@@ -1,0 +1,202 @@
+"""Columnar index snapshots: the device-resident form of the inverted index.
+
+The reference keeps postings as JSON rows in an LSM tree and walks them
+row-at-a-time with goroutines (database/database.go, retrieval/). The
+TPU-native representation is padded CSR in HBM:
+
+per section (title/body):
+  post_offsets  int32 [V+1]   postings range per word_id
+  doc_ids       int32 [P_pad] doc_id per posting, sorted per row; pad = n_docs
+  weights       f32   [P_pad] normTF (or normTF*idf once weighted)
+  pos_offsets   int32 [P+1]   positions range per posting
+  positions     f32   [L_pad] sorted ascending; meta/anchor sentinel -100;
+                              pad = +inf (matches nothing)
+
+plus doc-level arrays: magnitudes [D] per section, PageRank [D, C].
+
+Doc ids and word ids are assigned by sorted hash, so snapshots are
+deterministic functions of store content.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..store.tables import Database
+
+_PAD = 128
+
+
+def _pad_to(n: int, m: int = _PAD) -> int:
+    """Next multiple of m strictly greater than n: gather kernels use the
+    final pad slot as an always-safe sentinel, so at least one must exist."""
+    return (n // m + 1) * m
+
+
+@dataclass
+class SectionCSR:
+    post_offsets: np.ndarray  # int32 [V+1]
+    doc_ids: np.ndarray  # int32 [P_pad]
+    weights: np.ndarray  # f32  [P_pad]
+    pos_offsets: np.ndarray  # int32 [P_pad+1]
+    positions: np.ndarray  # f32  [L_pad]
+    n_postings: int
+    max_df: int
+    max_positions: int
+
+    @classmethod
+    def build(
+        cls,
+        rows: dict[str, dict[str, list[float]]],
+        word_id: dict[str, int],
+        doc_id: dict[str, int],
+        n_words: int,
+        n_docs: int,
+    ) -> "SectionCSR":
+        counts = np.zeros(n_words + 1, dtype=np.int64)
+        for wh, row in rows.items():
+            counts[word_id[wh] + 1] = len(row)
+        post_offsets = np.cumsum(counts).astype(np.int32)
+        n_post = int(post_offsets[-1])
+
+        p_pad = _pad_to(n_post)
+        doc_ids = np.full(p_pad, n_docs, dtype=np.int32)
+        weights = np.zeros(p_pad, dtype=np.float32)
+        pos_counts = np.zeros(p_pad + 1, dtype=np.int64)
+        max_df = 0
+        max_pos = 0
+
+        # fill postings sorted by doc_id within each word row
+        pos_lists: list[list[float]] = [[] for _ in range(n_post)]
+        for wh, row in rows.items():
+            base = int(post_offsets[word_id[wh]])
+            max_df = max(max_df, len(row))
+            entries = sorted((doc_id[dh], vals) for dh, vals in row.items())
+            for k, (did, vals) in enumerate(entries):
+                j = base + k
+                doc_ids[j] = did
+                weights[j] = np.float32(vals[0])
+                plist = sorted(vals[1:])
+                pos_lists[j] = plist
+                pos_counts[j + 1] = len(plist)
+                max_pos = max(max_pos, len(plist))
+
+        pos_offsets = np.cumsum(pos_counts[: n_post + 1]).astype(np.int32)
+        # extend offsets so padded posting slots map to an empty range
+        pos_offsets = np.concatenate(
+            [pos_offsets, np.full(p_pad - n_post, pos_offsets[-1], dtype=np.int32)]
+        )
+        l_pad = _pad_to(int(pos_offsets[n_post]))
+        positions = np.full(l_pad, np.inf, dtype=np.float32)
+        cursor = 0
+        for plist in pos_lists:
+            positions[cursor : cursor + len(plist)] = plist
+            cursor += len(plist)
+
+        return cls(
+            post_offsets=post_offsets,
+            doc_ids=doc_ids,
+            weights=weights,
+            pos_offsets=pos_offsets,
+            positions=positions,
+            n_postings=n_post,
+            max_df=max_df,
+            max_positions=max_pos,
+        )
+
+    def df(self, word_ids: np.ndarray) -> np.ndarray:
+        """Document frequency per word id; the unknown-word sentinel
+        (id >= n_words) has df 0."""
+        wid = np.asarray(word_ids)
+        n_words = self.post_offsets.shape[0] - 1
+        safe = np.minimum(wid, n_words - 1)
+        raw = self.post_offsets[safe + 1] - self.post_offsets[safe]
+        return np.where(wid < n_words, raw, 0)
+
+
+@dataclass
+class IndexSnapshot:
+    doc_hashes: list[str]
+    word_hashes: list[str]
+    doc_id: dict[str, int]
+    word_id: dict[str, int]
+    title: SectionCSR
+    body: SectionCSR
+    mag_title: np.ndarray  # f32 [D]
+    mag_body: np.ndarray  # f32 [D]
+    categories: list[str] = field(default_factory=list)
+    pagerank: np.ndarray | None = None  # f32 [D, C]
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_hashes)
+
+    @property
+    def n_words(self) -> int:
+        return len(self.word_hashes)
+
+    def section(self, name: str) -> SectionCSR:
+        return self.title if name == "title" else self.body
+
+    def term_ids(self, word_hashes: list[str]) -> np.ndarray:
+        """Map word hashes to ids; unknown words get the sentinel empty row
+        (id = n_words, whose postings range is empty)."""
+        return np.array(
+            [self.word_id.get(h, self.n_words) for h in word_hashes], dtype=np.int32
+        )
+
+
+def build_snapshot(db: Database) -> IndexSnapshot:
+    """Snapshot the store into columnar arrays.
+
+    The doc census is every DocInfo row (crawled docs + stub children) —
+    the same census the reference uses for idf (its rank table rows,
+    ranking/term_weighting.go:12-17, cover exactly these)."""
+    doc_hashes = sorted(db.doc_info.keys())
+    doc_id = {h: i for i, h in enumerate(doc_hashes)}
+
+    title_rows = dict(db.inv_title.items())
+    body_rows = dict(db.inv_body.items())
+    word_hashes = sorted(set(title_rows) | set(body_rows))
+    word_id = {h: i for i, h in enumerate(word_hashes)}
+
+    n_words, n_docs = len(word_hashes), len(doc_hashes)
+    title = SectionCSR.build(title_rows, word_id, doc_id, n_words, n_docs)
+    body = SectionCSR.build(body_rows, word_id, doc_id, n_words, n_docs)
+
+    mag_title = np.zeros(n_docs, dtype=np.float32)
+    mag_body = np.zeros(n_docs, dtype=np.float32)
+    for dh, mags in db.doc_magnitude.items():
+        i = doc_id.get(dh)
+        if i is not None:
+            mag_title[i] = np.float32(mags.get("title", 0.0))
+            mag_body[i] = np.float32(mags.get("body", 0.0))
+
+    categories: list[str] = sorted(db.topic_meta.keys())
+    pagerank = None
+    if categories:
+        cat_id = {c: j for j, c in enumerate(categories)}
+        pagerank = np.zeros((n_docs, len(categories)), dtype=np.float32)
+        for dh, ranks in db.doc_rank.items():
+            i = doc_id.get(dh)
+            if i is None:
+                continue
+            for c, r in ranks.items():
+                j = cat_id.get(c)
+                if j is not None:
+                    pagerank[i, j] = np.float32(r)
+
+    return IndexSnapshot(
+        doc_hashes=doc_hashes,
+        word_hashes=word_hashes,
+        doc_id=doc_id,
+        word_id=word_id,
+        title=title,
+        body=body,
+        mag_title=mag_title,
+        mag_body=mag_body,
+        categories=categories,
+        pagerank=pagerank,
+    )

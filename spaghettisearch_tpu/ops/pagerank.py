@@ -1,0 +1,139 @@
+"""Topic-sensitive PageRank as batched on-device power iteration.
+
+The reference runs one Go power-iteration loop per ODP category over a
+map-based link graph (reference: ranking/pagerank.go:14-145). Here the link
+graph is two flat edge arrays (src, dst) sorted by destination, the rank
+vector is dense, and one jit'd lax.while_loop iterates all categories as a
+leading batch axis:
+
+    contrib[p] = d * r[p] / outdeg[p]           (0 when outdeg == 0)
+    inherited  = segment_sum(contrib[src] -> dst)
+    total      = sum(contrib) + (1-d) * N
+    r'         = (first_iter * r + inherited + (1-d)) / total
+    delta      = sum(|r' - r|)   ; stop when delta <= eps (or max_iters)
+
+Reference quirks preserved: the first iteration adds the uniform init value
+on top of the inherited mass (pagerank.go:97-107 only clears currentRank from
+iteration 2), and the init is 1/numPages with numPages taken from the
+*category metadata*, not the node count (pagerank.go:60-61,104).
+
+Converged categories yield identical vectors (same fixed point) — the
+category axis exists for parity and for personalization vectors later.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PAGERANK_CONVERGENCE, PAGERANK_DAMPING
+from ..store.tables import Database
+
+DEFAULT_MAX_ITERS = 200
+
+
+def pagerank_power(
+    edge_src: jax.Array,  # int32 [E] parent node ids (sorted by edge_dst)
+    edge_dst: jax.Array,  # int32 [E] child node ids
+    outdeg: jax.Array,  # f [N]
+    n_pages: jax.Array,  # f [C] per-category page count (init 1/n)
+    n_nodes: int,
+    damping: float = PAGERANK_DAMPING,
+    eps: float = PAGERANK_CONVERGENCE,
+    max_iters: int = DEFAULT_MAX_ITERS,
+) -> jax.Array:
+    """Returns ranks [C, N]. Dtype follows `outdeg`/`n_pages` (f32 on TPU;
+    pass float64 arrays under jax_enable_x64 for bit-level parity tests)."""
+    dtype = outdeg.dtype
+    c = n_pages.shape[0]
+    teleport = jnp.asarray(1.0 - damping, dtype)
+    n = jnp.asarray(n_nodes, dtype)
+    inv_out = jnp.where(outdeg > 0, damping / jnp.maximum(outdeg, 1), 0.0).astype(dtype)
+
+    r0 = jnp.broadcast_to((1.0 / n_pages)[:, None], (c, n_nodes)).astype(dtype)
+
+    def step(state):
+        r, it, _ = state
+        contrib = r * inv_out[None, :]  # [C, N]
+        inherited = jax.ops.segment_sum(
+            contrib[:, edge_src].T, edge_dst, num_segments=n_nodes
+        ).T  # [C, N]
+        total = jnp.sum(contrib, axis=1, keepdims=True) + teleport * n
+        base = jnp.where(it == 0, r, 0.0)
+        r_new = (base + inherited + teleport) / total
+        delta = jnp.max(jnp.sum(jnp.abs(r_new - r), axis=1))
+        return r_new, it + 1, delta
+
+    def cond(state):
+        _, it, delta = state
+        return jnp.logical_and(delta > eps, it < max_iters)
+
+    init = (r0, jnp.array(0, jnp.int32), jnp.asarray(jnp.inf, dtype))
+    r_final, _, _ = jax.lax.while_loop(cond, step, init)
+    return r_final
+
+
+def _load_graph(db: Database) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+    """Node census + edge arrays from the children table
+    (reference: pagerank.go:18-43 builds the same node set)."""
+    children_rows = dict(db.doc_children.items())
+    nodes: set[str] = set(children_rows)
+    for kids in children_rows.values():
+        nodes.update(kids)
+    node_list = sorted(nodes)
+    node_id = {h: i for i, h in enumerate(node_list)}
+
+    srcs: list[int] = []
+    dsts: list[int] = []
+    outdeg = np.zeros(len(node_list), dtype=np.float64)
+    for parent, kids in children_rows.items():
+        p = node_id[parent]
+        outdeg[p] = len(kids)
+        for kid in kids:
+            srcs.append(p)
+            dsts.append(node_id[kid])
+
+    edge_src = np.asarray(srcs, dtype=np.int32)
+    edge_dst = np.asarray(dsts, dtype=np.int32)
+    order = np.argsort(edge_dst, kind="stable")
+    return node_list, edge_src[order], edge_dst[order], outdeg
+
+
+def update_pagerank(
+    db: Database,
+    damping: float = PAGERANK_DAMPING,
+    eps: float = PAGERANK_CONVERGENCE,
+    max_iters: int = DEFAULT_MAX_ITERS,
+) -> None:
+    """Recompute per-category PageRank and store doc_rank rows
+    (reference: ranking/pagerank.go:14-83)."""
+    node_list, edge_src, edge_dst, outdeg = _load_graph(db)
+    n_nodes = len(node_list)
+    if n_nodes == 0:
+        return
+
+    categories = sorted(db.topic_meta.keys())
+    if categories:
+        n_pages = np.array(
+            [max(float((db.topic_meta.get(c) or {}).get("numPages", 0.0)), 1.0) for c in categories]
+        )
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        ranks = np.asarray(
+            pagerank_power(
+                jnp.asarray(edge_src),
+                jnp.asarray(edge_dst),
+                jnp.asarray(outdeg, dtype=dtype),
+                jnp.asarray(n_pages, dtype=dtype),
+                n_nodes,
+                damping=damping,
+                eps=eps,
+                max_iters=max_iters,
+            )
+        )
+    else:
+        ranks = np.zeros((0, n_nodes))
+
+    with db.doc_rank.batch() as bw:
+        for i, node in enumerate(node_list):
+            bw.set(node, {c: float(ranks[j, i]) for j, c in enumerate(categories)})

@@ -1,0 +1,43 @@
+"""TF-IDF term weighting and per-document vector magnitudes.
+
+Equivalent of the reference's batch job (reference: ranking/term_weighting.go:
+10-123): for every inverted row, idf = log2(N/df) with N = the doc-rank-table
+census; the stored normalized TF is multiplied in place, and each document
+accumulates sum-of-squared weights whose square root is stored per section in
+the magnitude table.
+
+Like the reference, this job is NOT idempotent (running it twice re-multiplies
+idf); the crawl driver runs it exactly once per crawl, after PageRank (which
+populates the census), cf. cmd/crawl/start_crawl.go:174-177.
+
+All arithmetic is float32, matching the reference and the device arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..store.tables import Database
+
+
+def update_term_weights(db: Database, section: str, total_docs: int | None = None) -> None:
+    n = float(total_docs if total_docs is not None else len(db.doc_rank))
+    inv = db.inverted(section)
+
+    # weights multiply in float32; squared weights accumulate in float64,
+    # matching the reference's mixed precision (term_weighting.go:37-44)
+    page_sq_sum: dict[str, float] = {}
+    with inv.batch() as bw:
+        for word_hash, row in inv.items():
+            idf = np.float32(np.log2(np.float64(n) / np.float64(len(row))))
+            for doc_hash, vals in row.items():
+                w = np.float32(vals[0]) * idf
+                vals[0] = float(w)
+                page_sq_sum[doc_hash] = page_sq_sum.get(doc_hash, 0.0) + float(w) * float(w)
+            bw.set(word_hash, row)
+
+    with db.doc_magnitude.batch() as bw:
+        for doc_hash, sq in page_sq_sum.items():
+            mags = db.doc_magnitude.get(doc_hash) or {}
+            mags[section] = float(np.sqrt(sq))
+            bw.set(doc_hash, mags)

@@ -1,0 +1,265 @@
+"""The query engine: host query parsing + one jit'd device program per batch.
+
+Online path equivalent of the reference's Retrieve (reference:
+retrieval/main_retrieve.go:15-104), restructured TPU-first: the per-term /
+per-doc goroutine fan-out becomes array vectorization inside
+ops.scoring.score_queries, and candidates come back as a dense top-k.
+
+Query grammar parity:
+- "..." spans are phrases (regex `".*?"`, reference: util.go:151-160), removed
+  from the keyword part;
+- all phrase spans concatenate into ONE token sequence evaluated as a single
+  positional chain (reference: main_retrieve.go:26,45 passes the joined list);
+- query_len for cosine normalization = #keyword tokens + #phrase tokens
+  (reference: main_retrieve.go:90).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
+from ..index.snapshot import IndexSnapshot, build_snapshot
+from ..ops.phrase import match_phrase
+from ..ops.scoring import score_queries
+from ..store.docinfo import DocInfo
+from ..store.tables import Database
+from ..utils.hashing import md5_hex
+from ..utils.timing import TRACER
+from .device_index import DeviceIndex
+from .summary import get_summary
+from .topics import compute_topic_probs
+
+_PHRASE_RE = re.compile(r'".*?"')
+
+
+@dataclass
+class ParsedQuery:
+    raw: str
+    stripped: str  # query text with phrase spans removed
+    phrases: list[str]  # phrase texts (no quotes)
+    keyword_hashes: list[str]
+    phrase_hashes: list[str]
+
+    @property
+    def query_len(self) -> int:
+        return len(self.keyword_hashes) + len(self.phrase_hashes)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.query_len == 0
+
+
+def parse_query(text: str) -> ParsedQuery:
+    from ..text.laundry import laundry
+
+    spans = _PHRASE_RE.findall(text)
+    phrases = [s[1:-1] for s in spans]
+    stripped = text
+    for ph in phrases:
+        stripped = stripped.replace('"' + ph + '"', "", 1)
+    keywords = laundry(" ".join(stripped.split()))
+    phrase_tokens = laundry(" ".join(phrases))
+    return ParsedQuery(
+        raw=text,
+        stripped=stripped,
+        phrases=phrases,
+        keyword_hashes=[md5_hex(w) for w in keywords],
+        phrase_hashes=[md5_hex(w) for w in phrase_tokens],
+    )
+
+
+def _bucket(n: int, step: int = 4) -> int:
+    return max(((n + step - 1) // step) * step, step)
+
+
+@dataclass
+class QueryEngine:
+    db: Database
+    snapshot: IndexSnapshot | None = None
+    index: DeviceIndex | None = None
+    config: EngineConfig = field(default_factory=EngineConfig)
+    use_topic_model: bool = False  # reference ships with the model disabled
+    device: object | None = None
+
+    def __post_init__(self) -> None:
+        if self.snapshot is None:
+            self.snapshot = build_snapshot(self.db)
+        if self.index is None:
+            self.index = DeviceIndex.from_snapshot(self.snapshot, self.device)
+        self._wordlist_cache: list[str] | None = None
+
+    # ------------------------------------------------------------------ #
+    # device ranking
+    # ------------------------------------------------------------------ #
+
+    def rank(
+        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Device-rank a batch. Returns (scores [B,K], doc_ids [B,K]);
+        non-candidate slots have score -inf."""
+        idx = self.index
+        snap = self.snapshot
+        b = len(parsed)
+        q = _bucket(max((len(p.keyword_hashes) for p in parsed), default=1))
+
+        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
+        qlen = np.zeros(b, dtype=np.float32)
+        for i, p in enumerate(parsed):
+            ids = snap.term_ids(p.keyword_hashes)[:q]
+            term_ids[i, : len(ids)] = ids
+            qlen[i] = float(p.query_len)
+
+        has_phrase = any(p.phrase_hashes for p in parsed)
+        if has_phrase:
+            e = 2 * idx.posting_cap
+            ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
+            ph_tw = np.zeros((b, e), dtype=np.float32)
+            ph_bw = np.zeros((b, e), dtype=np.float32)
+            ph_fl = np.zeros((b, e), dtype=np.float32)
+            for i, p in enumerate(parsed):
+                if not p.phrase_hashes:
+                    continue
+                d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
+                ph_docs[i], ph_tw[i], ph_bw[i], ph_fl[i] = d, tw, bw, fl
+        else:
+            e = 8
+            ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
+            ph_tw = np.zeros((b, e), dtype=np.float32)
+            ph_bw = np.zeros((b, e), dtype=np.float32)
+            ph_fl = np.zeros((b, e), dtype=np.float32)
+
+        topic_probs = np.zeros((b, idx.n_categories), dtype=np.float32)
+        if self.use_topic_model:
+            for i, p in enumerate(parsed):
+                probs = compute_topic_probs(self.db, p.keyword_hashes)
+                for j, c in enumerate(snap.categories):
+                    topic_probs[i, j] = probs.get(c, 0.0)
+
+        with TRACER.span("rank.device"):
+            scores, ids = score_queries(
+                idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+                idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+                idx.mag_title, idx.mag_body, idx.pagerank,
+                jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
+                jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
+                jnp.asarray(ph_fl),
+                posting_cap=idx.posting_cap,
+                topk=min(topk, idx.n_docs) or 1,
+                n_docs=idx.n_docs,
+            )
+            return np.asarray(scores), np.asarray(ids)
+
+    def _match_phrase(self, phrase_hashes: list[str]):
+        idx = self.index
+        snap = self.snapshot
+        p = _bucket(len(phrase_hashes))
+        ids = np.full(p, snap.n_words, dtype=np.int32)
+        ids[: len(phrase_hashes)] = snap.term_ids(phrase_hashes)
+        valid = np.zeros(p, dtype=bool)
+        valid[: len(phrase_hashes)] = True
+        # generator term = rarest (smallest title+body df); every true match
+        # must contain it, so its postings cover the candidate set
+        dfs = snap.title.df(ids[: len(phrase_hashes)]) + snap.body.df(
+            ids[: len(phrase_hashes)]
+        )
+        gen = int(np.argmin(dfs))
+        d, tw, bw, fl = match_phrase(
+            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+            idx.title.pos_offsets, idx.title.positions,
+            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            idx.body.pos_offsets, idx.body.positions,
+            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
+            posting_cap=idx.posting_cap,
+            pos_cap=idx.pos_cap,
+            n_docs=idx.n_docs,
+        )
+        return np.asarray(d), np.asarray(tw), np.asarray(bw), np.asarray(fl)
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:
+        return self.query_batch([text], max_results)[0]
+
+    def query_batch(self, texts: list[str], max_results: int = MAX_RESULTS) -> list[list[dict]]:
+        parsed = [parse_query(t) for t in texts]
+        results: list[list[dict]] = [[] for _ in texts]
+        live = [i for i, p in enumerate(parsed) if not p.is_empty]
+        if not live or self.index.n_docs == 0:
+            return results
+        scores, ids = self.rank([parsed[i] for i in live], topk=max_results)
+        for row, i in enumerate(live):
+            out = []
+            for score, doc_id in zip(scores[row], ids[row]):
+                if not np.isfinite(score):
+                    continue
+                out.append(self._hydrate(float(score), int(doc_id), parsed[i]))
+            results[i] = out
+        return results
+
+    def _hydrate(self, score: float, doc_id: int, parsed: ParsedQuery) -> dict:
+        """Result formatting + metadata hydration (reference:
+        retrieval/util.go:56-149, get_metadata.go:211-411)."""
+        doc_hash = self.snapshot.doc_hashes[doc_id]
+        info: DocInfo | None = self.db.doc_info.get(doc_hash)
+        if info is None:
+            info = DocInfo(url="")
+
+        def url_of(h: str) -> str | None:
+            d = self.db.doc_info.get(h)
+            return d.url if d is not None else None
+
+        parents = [
+            u for u in (url_of(h) for h in list(info.parents)[:MAX_LINKED_DOCS]) if u
+        ]
+        children = [
+            u for u in (url_of(h) for h in info.children[:MAX_LINKED_DOCS]) if u
+        ]
+
+        top_words = sorted(info.words_mapping.items(), key=lambda kv: -kv[1])[:MAX_KEYWORDS]
+        words_mapping = {}
+        for wh, freq in top_words:
+            w = self.db.word.get(wh)
+            if w is not None:
+                words_mapping[w] = freq
+
+        title = " ".join(info.page_title) if info.page_title else info.host
+
+        pagerank = 0.0
+        if self.use_topic_model:
+            probs = compute_topic_probs(self.db, parsed.keyword_hashes)
+            ranks = self.db.doc_rank.get(doc_hash) or {}
+            pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
+
+        return {
+            "Url": info.url,
+            "Page_title": title,
+            "Mod_date": info.mod_date.isoformat(),
+            "Page_size": info.page_size,
+            "Children": children or None,
+            "Parents": parents or None,
+            "Words_mapping": words_mapping or None,
+            "Summary": get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases),
+            "PageRank": pagerank,
+            "FinalRank": score,
+        }
+
+    def wordlist(self, prefix: str) -> list[str]:
+        """Vocabulary dump filtered by prefix (reference:
+        cmd/server/server.go:54-85 + database.go:414-454)."""
+        if self._wordlist_cache is None:
+            words = []
+            for wh in self.snapshot.word_hashes:
+                w = self.db.word.get(wh)
+                if w is not None:
+                    words.append(w)
+            self._wordlist_cache = sorted(set(words))
+        if not prefix:
+            return list(self._wordlist_cache)
+        return [w for w in self._wordlist_cache if w.startswith(prefix)]

@@ -1,0 +1,215 @@
+"""The nine-table database schema.
+
+Mirrors the reference's table layout exactly (reference:
+database/database.go:85-122 and SURVEY.md §2.3) so a user of the reference
+finds the same logical contract:
+
+inverted tables
+  inv_title   (invKeyword_title) wordHash -> {docHash: [normTF*idf, pos...]}
+  inv_body    (invKeyword_body)  wordHash -> same, body positions
+  inv_topic   (invTopic_PR)      wordHash -> {category: freq}
+forward tables
+  word        (WordHash_word)      wordHash -> word
+  doc_info    (DocHash_docInfo)    docHash  -> DocInfo
+  doc_children(DocHash_children)   docHash  -> [child docHash]
+  doc_rank    (DocHash_rank)       docHash  -> {category: pagerank}
+  doc_magnitude(DocHash_magnitude) docHash  -> {"title"/"body": magnitude}
+  topic_meta  (Topic_metadata)     category -> {"numPages","wordCount"}
+
+The raw-HTML cache lives under <root>/docs/<docHash> (reference:
+indexer/indexer.go:21,342-347).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+from .docinfo import DocInfo
+from .kv import KVBackend, LogBackend, MemBackend
+
+
+def _ident(v: Any) -> Any:
+    return v
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    reference_name: str
+    encode: Callable[[Any], Any] = _ident  # value -> JSON-compatible
+    decode: Callable[[Any], Any] = _ident  # JSON-compatible -> value
+
+
+def _enc_docinfo(v: DocInfo) -> dict:
+    return v.to_json()
+
+
+def _dec_docinfo(v: dict) -> DocInfo:
+    return DocInfo.from_json(v)
+
+
+TABLE_SPECS: tuple[TableSpec, ...] = (
+    TableSpec("inv_title", "invKeyword_title"),
+    TableSpec("inv_body", "invKeyword_body"),
+    TableSpec("inv_topic", "invTopic_PR"),
+    TableSpec("word", "WordHash_word"),
+    TableSpec("doc_info", "DocHash_docInfo", _enc_docinfo, _dec_docinfo),
+    TableSpec("doc_children", "DocHash_children"),
+    TableSpec("doc_rank", "DocHash_rank"),
+    TableSpec("doc_magnitude", "DocHash_magnitude"),
+    TableSpec("topic_meta", "Topic_metadata"),
+)
+
+
+class Table:
+    """Typed view over a KV backend: values are JSON-encoded via the spec."""
+
+    def __init__(self, spec: TableSpec, backend: KVBackend) -> None:
+        self.spec = spec
+        self._kv = backend
+
+    def get(self, key: str) -> Any | None:
+        raw = self._kv.get(key)
+        if raw is None:
+            return None
+        return self.spec.decode(json.loads(raw))
+
+    def __contains__(self, key: str) -> bool:
+        return self._kv.get(key) is not None
+
+    def set(self, key: str, value: Any) -> None:
+        self._kv.set(key, json.dumps(self.spec.encode(value)))
+
+    def delete(self, key: str) -> None:
+        self._kv.delete(key)
+
+    def items(self) -> Iterator[tuple[str, Any]]:
+        dec = self.spec.decode
+        for k, raw in self._kv.items():
+            yield k, dec(json.loads(raw))
+
+    def keys(self) -> list[str]:
+        return [k for k, _ in self._kv.items()]
+
+    def __len__(self) -> int:
+        return len(self._kv)
+
+    def batch(self) -> "BatchWriter":
+        return BatchWriter(self)
+
+
+class BatchWriter:
+    """Buffered bulk writer (reference: database/batchwriter.go:9-52)."""
+
+    def __init__(self, table: Table) -> None:
+        self._table = table
+        self._buf: list[tuple[str, str]] = []
+
+    def set(self, key: str, value: Any) -> None:
+        self._buf.append((key, json.dumps(self._table.spec.encode(value))))
+
+    def flush(self) -> None:
+        if self._buf:
+            self._table._kv.set_many(self._buf)
+            self._buf = []
+
+    def cancel(self) -> None:
+        self._buf = []
+
+    def __enter__(self) -> "BatchWriter":
+        return self
+
+    def __exit__(self, exc_type, *a) -> None:
+        if exc_type is None:
+            self.flush()
+        else:
+            self.cancel()
+
+
+class Database:
+    """The full 9-table store plus the raw-HTML document cache."""
+
+    def __init__(self, root: str | None = None, backend: str = "auto") -> None:
+        self.root = root
+        use_mem = root is None or backend == "mem"
+        self.tables: dict[str, Table] = {}
+        for spec in TABLE_SPECS:
+            if use_mem:
+                kv: KVBackend = MemBackend()
+            else:
+                kv = LogBackend(os.path.join(root, spec.name))
+            self.tables[spec.name] = Table(spec, kv)
+        self._docs_dir = os.path.join(root, "docs") if root else None
+        self._mem_docs: dict[str, bytes] = {}
+
+    # --- typed accessors ---
+    @property
+    def inv_title(self) -> Table:
+        return self.tables["inv_title"]
+
+    @property
+    def inv_body(self) -> Table:
+        return self.tables["inv_body"]
+
+    @property
+    def inv_topic(self) -> Table:
+        return self.tables["inv_topic"]
+
+    @property
+    def word(self) -> Table:
+        return self.tables["word"]
+
+    @property
+    def doc_info(self) -> Table:
+        return self.tables["doc_info"]
+
+    @property
+    def doc_children(self) -> Table:
+        return self.tables["doc_children"]
+
+    @property
+    def doc_rank(self) -> Table:
+        return self.tables["doc_rank"]
+
+    @property
+    def doc_magnitude(self) -> Table:
+        return self.tables["doc_magnitude"]
+
+    @property
+    def topic_meta(self) -> Table:
+        return self.tables["topic_meta"]
+
+    def inverted(self, section: str) -> Table:
+        return self.tables["inv_title" if section == "title" else "inv_body"]
+
+    # --- raw HTML cache (reference DocsDir) ---
+    def cache_doc(self, doc_hash: str, raw: bytes) -> None:
+        if self._docs_dir is None:
+            self._mem_docs[doc_hash] = raw
+            return
+        os.makedirs(self._docs_dir, exist_ok=True)
+        with open(os.path.join(self._docs_dir, doc_hash), "wb") as f:
+            f.write(raw)
+
+    def cached_doc(self, doc_hash: str) -> bytes | None:
+        if self._docs_dir is None:
+            return self._mem_docs.get(doc_hash)
+        try:
+            with open(os.path.join(self._docs_dir, doc_hash), "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def flush(self) -> None:
+        for t in self.tables.values():
+            kv = t._kv
+            if isinstance(kv, LogBackend):
+                kv.flush()
+                kv.maybe_compact()
+
+    def close(self) -> None:
+        for t in self.tables.values():
+            t._kv.close()

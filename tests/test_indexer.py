@@ -1,0 +1,121 @@
+"""Indexer semantics: posting layout, anchor-text indexing, stubs,
+re-index gating, purge on content change."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from spaghettisearch_tpu.index.indexer import index_page
+from spaghettisearch_tpu.store.tables import Database
+from spaghettisearch_tpu.utils.hashing import md5_hex
+
+T1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+T2 = datetime(2026, 2, 1, tzinfo=timezone.utc)
+
+PAGE = b"""<html><head><title>Quantum Research Lab</title></head>
+<body><p>quantum computing research quantum hardware</p>
+<a href="/students">bright students</a>
+</body></html>"""
+
+BASE = "http://lab.local"
+
+
+@pytest.fixture
+def db():
+    d = Database()
+    index_page(d, PAGE, BASE + "/index", last_modified=T1)
+    return d
+
+
+def test_posting_layout(db):
+    doc_hash = md5_hex(BASE + "/index")
+    # body: "quantum" occurs twice of max-freq 2 -> normTF 1.0
+    row = db.inv_body.get(md5_hex("quantum"))
+    assert row is not None
+    norm_tf, *positions = row[doc_hash]
+    assert norm_tf == 1.0
+    assert positions == [0.0, 3.0]
+    # title: "quantum" normTF 1/1 at position 0
+    trow = db.inv_title.get(md5_hex("quantum"))
+    assert trow[doc_hash][0] == 1.0
+    # word table hydration
+    assert db.word.get(md5_hex("quantum")) == "quantum"
+
+
+def test_docinfo_and_children(db):
+    doc_hash = md5_hex(BASE + "/index")
+    info = db.doc_info.get(doc_hash)
+    assert info.page_title == ["Quantum", "Research", "Lab"]  # raw title fields
+    assert info.page_size == len(PAGE)
+    child_hash = md5_hex(BASE + "/students")
+    assert info.children == [child_hash]
+    assert db.doc_children.get(doc_hash) == [child_hash]
+    assert md5_hex("quantum") in info.words_mapping
+
+
+def test_anchor_stub_and_postings(db):
+    doc_hash = md5_hex(BASE + "/index")
+    child_hash = md5_hex(BASE + "/students")
+    stub = db.doc_info.get(child_hash)
+    assert stub is not None and stub.is_stub
+    assert stub.url == BASE + "/students"
+    assert stub.parents == {doc_hash: ["bright", "student"]}
+    # anchor text indexed into the *title* table under the child's hash
+    # with the -100 sentinel position
+    row = db.inv_title.get(md5_hex("bright"))
+    assert row[child_hash] == [1.0, -100.0]
+
+
+def test_reindex_skipped_when_not_newer(db):
+    doc_hash = md5_hex(BASE + "/index")
+    before = db.doc_info.get(doc_hash)
+    index_page(db, b"<html><title>changed</title></html>", BASE + "/index", last_modified=T1)
+    assert db.doc_info.get(doc_hash) == before  # same timestamp: skipped
+
+
+def test_reindex_purges_changed_content(db):
+    doc_hash = md5_hex(BASE + "/index")
+    new_page = b"""<html><head><title>Fusion Lab</title></head>
+<body><p>fusion energy research</p></body></html>"""
+    index_page(db, new_page, BASE + "/index", last_modified=T2)
+
+    # old body words gone for this doc, new ones present
+    qrow = db.inv_body.get(md5_hex("quantum"))
+    assert qrow is None or doc_hash not in qrow
+    assert doc_hash in db.inv_body.get(md5_hex("fusion"))
+    # old title postings purged
+    trow = db.inv_title.get(md5_hex("quantum"))
+    assert trow is None or doc_hash not in trow
+    # child's parent link + anchor postings removed
+    child_hash = md5_hex(BASE + "/students")
+    child = db.doc_info.get(child_hash)
+    assert doc_hash not in child.parents
+    brow = db.inv_title.get(md5_hex("bright"))
+    assert brow is None or child_hash not in brow
+    info = db.doc_info.get(doc_hash)
+    assert info.page_title == ["Fusion", "Lab"]
+    assert info.mod_date == T2
+
+
+def test_anchor_merges_child_title(db):
+    """When the child already has a DocInfo with a title, anchor postings
+    blend anchor counts with raw-title positions (indexer.go:240-291)."""
+    child_url = BASE + "/students"
+    child_page = b"<html><head><title>student portal</title></head><body>x</body></html>"
+    index_page(db, child_page, child_url, last_modified=T1)
+    # re-index parent (newer) so the anchor path sees a real child DocInfo
+    page2 = PAGE.replace(b"quantum hardware", b"quantum devices")
+    index_page(db, page2, BASE + "/index", last_modified=T2)
+
+    child_hash = md5_hex(child_url)
+    row = db.inv_title.get(md5_hex("student"))
+    # anchor token "student" (stemmed) + raw title word "student" at pos 0:
+    # count 2, maxFreq 2 -> normTF 1.0; positions [-100, 0]
+    assert row[child_hash] == [1.0, -100.0, 0.0]
+
+
+def test_parent_url_recorded():
+    db = Database()
+    index_page(db, PAGE, BASE + "/index", last_modified=T1, parent_url=BASE + "/root")
+    info = db.doc_info.get(md5_hex(BASE + "/index"))
+    assert md5_hex(BASE + "/root") in info.parents

@@ -1,0 +1,81 @@
+"""Store layer: table roundtrips, durability, batch writes."""
+
+from datetime import datetime, timezone
+
+from spaghettisearch_tpu.store.docinfo import ZERO_TIME, DocInfo
+from spaghettisearch_tpu.store.tables import Database
+
+
+def test_docinfo_roundtrip():
+    info = DocInfo(
+        url="https://example.com/x",
+        page_title=["Hello", "World"],
+        mod_date=datetime(2026, 3, 1, 12, 30, tzinfo=timezone.utc),
+        page_size=1234,
+        children=["c1", "c2"],
+        parents={"p1": ["anchor", "text"], "p2": []},
+        words_mapping={"w1": 3, "w2": 1},
+    )
+    again = DocInfo.from_json(info.to_json())
+    assert again == info
+    assert not info.is_stub
+    assert DocInfo(url="u").is_stub
+    assert DocInfo(url="u").mod_date == ZERO_TIME
+
+
+def test_tables_roundtrip_mem():
+    db = Database()
+    db.inv_title.set("wh", {"dh": [0.5, 1.0, 2.0]})
+    assert db.inv_title.get("wh") == {"dh": [0.5, 1.0, 2.0]}
+    db.word.set("wh", "hello")
+    assert db.word.get("wh") == "hello"
+    db.doc_children.set("dh", ["a", "b"])
+    assert db.doc_children.get("dh") == ["a", "b"]
+    assert db.doc_children.get("missing") is None
+    assert len(db.doc_children) == 1
+    db.doc_children.delete("dh")
+    assert db.doc_children.get("dh") is None
+
+
+def test_batch_writer():
+    db = Database()
+    with db.word.batch() as bw:
+        for i in range(10):
+            bw.set(f"k{i}", f"v{i}")
+        # not yet visible pre-flush
+        assert db.word.get("k0") is None
+    assert db.word.get("k7") == "v7"
+    assert len(db.word) == 10
+
+
+def test_durability(tmp_path):
+    root = str(tmp_path / "db")
+    db = Database(root)
+    db.word.set("k", "v")
+    info = DocInfo(url="https://a.b/c")
+    db.doc_info.set("dh", info)
+    db.cache_doc("dh", b"<html>raw</html>")
+    db.close()
+
+    db2 = Database(root)
+    assert db2.word.get("k") == "v"
+    assert db2.doc_info.get("dh") == info
+    assert db2.cached_doc("dh") == b"<html>raw</html>"
+    db2.close()
+
+
+def test_compaction(tmp_path):
+    root = str(tmp_path / "db")
+    db = Database(root)
+    for i in range(100):
+        db.word.set(f"k{i}", f"v{i}")
+    db.word.delete("k0")
+    kv = db.word._kv
+    kv.compact()
+    db.close()
+
+    db2 = Database(root)
+    assert db2.word.get("k0") is None
+    assert db2.word.get("k99") == "v99"
+    assert len(db2.word) == 99
+    db2.close()
