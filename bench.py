@@ -1,0 +1,168 @@
+"""Headline benchmark: batched top-10 retrieval QPS on a 100k-doc index.
+
+North star (BASELINE.json): >=10k QPS batched top-10 at recall@10 parity on a
+100k-doc corpus on one TPU chip. The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against the 10k-QPS target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_snapshot(
+    n_docs: int = 100_000,
+    n_words: int = 50_000,
+    body_terms_per_doc: int = 64,
+    title_terms_per_doc: int = 6,
+    max_df: int = 16_384,
+    seed: int = 0,
+):
+    """Synthesize a Zipf-distributed CSR index directly (no host store):
+    equivalent in shape/statistics to a crawled 100k-page corpus after
+    stopword filtering (which bounds the hottest term's df)."""
+    from spaghettisearch_tpu.index.snapshot import IndexSnapshot, SectionCSR, _pad_to
+
+    rng = np.random.default_rng(seed)
+
+    def make_section(terms_per_doc: int) -> SectionCSR:
+        # sample word ids with a Zipf-ish distribution
+        probs = 1.0 / np.arange(1, n_words + 1) ** 1.05
+        probs /= probs.sum()
+        total = n_docs * terms_per_doc
+        words = rng.choice(n_words, size=total, p=probs).astype(np.int32)
+        docs = np.repeat(np.arange(n_docs, dtype=np.int32), terms_per_doc)
+        # unique (word, doc), then truncate hot rows to max_df
+        key = words.astype(np.int64) * n_docs + docs
+        key = np.unique(key)
+        words = (key // n_docs).astype(np.int32)
+        docs = (key % n_docs).astype(np.int32)
+        # truncate per-word postings at max_df (order is word-major, doc asc)
+        counts = np.bincount(words, minlength=n_words)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        rank_in_row = np.arange(len(words)) - offsets[words]
+        keep = rank_in_row < max_df
+        words, docs = words[keep], docs[keep]
+        counts = np.bincount(words, minlength=n_words)
+        post_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        n_post = len(words)
+
+        tf = rng.integers(1, 8, n_post).astype(np.float32)
+        idf = np.log2(n_docs / np.maximum(counts, 1)).astype(np.float32)
+        weights = (tf / 8.0) * idf[words]
+
+        p_pad = _pad_to(n_post)
+        doc_ids = np.full(p_pad, n_docs, np.int32)
+        doc_ids[:n_post] = docs
+        w = np.zeros(p_pad, np.float32)
+        w[:n_post] = weights
+        # single position per posting (keyword bench doesn't exercise phrase)
+        pos_offsets = np.arange(p_pad + 1, dtype=np.int32)
+        pos_offsets[n_post:] = n_post
+        l_pad = _pad_to(n_post)
+        positions = np.full(l_pad, np.inf, np.float32)
+        positions[:n_post] = rng.integers(0, 500, n_post).astype(np.float32)
+        return SectionCSR(
+            post_offsets=post_offsets,
+            doc_ids=doc_ids,
+            weights=w,
+            pos_offsets=pos_offsets,
+            positions=positions,
+            n_postings=n_post,
+            max_df=int(counts.max()),
+            max_positions=1,
+        )
+
+    body = make_section(body_terms_per_doc)
+    title = make_section(title_terms_per_doc)
+
+    # magnitudes consistent with the weights
+    def mags(csr) -> np.ndarray:
+        m = np.zeros(n_docs + 1, np.float64)
+        np.add.at(m, csr.doc_ids[: csr.n_postings], csr.weights[: csr.n_postings] ** 2)
+        return np.sqrt(m[:n_docs]).astype(np.float32)
+
+    doc_hashes = [f"d{i:07d}" for i in range(n_docs)]
+    word_hashes = [f"w{i:07d}" for i in range(n_words)]
+    return IndexSnapshot(
+        doc_hashes=doc_hashes,
+        word_hashes=word_hashes,
+        doc_id={},
+        word_id={},
+        title=title,
+        body=body,
+        mag_title=mags(title),
+        mag_body=mags(body),
+        categories=["general"],
+        pagerank=np.abs(rng.normal(size=(n_docs, 1))).astype(np.float32) / n_docs,
+    )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.scoring import score_queries
+    from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
+
+    n_docs, n_words = 100_000, 50_000
+    batch, q, topk = 256, 4, 10
+    n_batches = 20
+
+    snap = synth_snapshot(n_docs=n_docs, n_words=n_words)
+    idx = DeviceIndex.from_snapshot(snap)
+
+    # realistic query mix: terms sampled proportional to df
+    rng = np.random.default_rng(1)
+    df = (snap.body.post_offsets[1:] - snap.body.post_offsets[:-1]).astype(np.float64)
+    p = df / df.sum()
+    term_batches = [
+        jnp.asarray(rng.choice(n_words, size=(batch, q), p=p).astype(np.int32))
+        for _ in range(n_batches)
+    ]
+    qlen = jnp.full((batch,), float(q), jnp.float32)
+    tp = jnp.zeros((batch, 1), jnp.float32)
+    e = 8
+    ph_docs = jnp.full((batch, e), n_docs, jnp.int32)
+    ph_zero = jnp.zeros((batch, e), jnp.float32)
+
+    def run(tids):
+        return score_queries(
+            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            idx.mag_title, idx.mag_body, idx.pagerank,
+            tids, qlen, tp, ph_docs, ph_zero, ph_zero, ph_zero,
+            posting_cap=idx.posting_cap, topk=topk, n_docs=n_docs,
+        )
+
+    # warmup / compile (np.asarray forces a host round-trip: through the
+    # remote-TPU relay, block_until_ready alone can under-report)
+    np.asarray(run(term_batches[0])[0])
+
+    t0 = time.perf_counter()
+    outs = [run(t) for t in term_batches]
+    jax.block_until_ready(outs)
+    for o in outs:
+        np.asarray(o[0])
+    dt = time.perf_counter() - t0
+
+    qps = n_batches * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "batched_top10_qps_100k_docs",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / 10_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,11 +68,7 @@ def _scatter_scores(
     return acc[:, :n_docs, 0], acc[:, :n_docs, 1]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("posting_cap", "topk", "n_docs"),
-)
-def score_queries(
+def score_dense(
     # section CSRs (device-resident)
     title_offsets: jax.Array,
     title_doc_ids: jax.Array,
@@ -86,19 +82,22 @@ def score_queries(
     pagerank: jax.Array,  # f32 [D, C]
     # query batch
     term_ids: jax.Array,  # int32 [B, Q]
-    query_len: jax.Array,  # f32 [B]  (len(keywords)+len(phrase terms))
-    topic_probs: jax.Array,  # f32 [B, C] (zeros when topic model disabled)
+    query_len: jax.Array,  # f32 [B]
+    topic_probs: jax.Array,  # f32 [B, C]
     # sparse phrase contributions (pad doc id = n_docs)
     phrase_doc_ids: jax.Array,  # int32 [B, E]
     phrase_title_w: jax.Array,  # f32 [B, E]
     phrase_body_w: jax.Array,  # f32 [B, E]
-    phrase_flag: jax.Array,  # f32 [B, E] 1.0 for real phrase candidates
+    phrase_flag: jax.Array,  # f32 [B, E]
     *,
     posting_cap: int,
-    topk: int,
     n_docs: int,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (top scores [B, K] f32 with -inf for non-candidates, doc ids [B, K])"""
+) -> jax.Array:
+    """Dense final scores [B, D]; -inf for non-candidate docs.
+
+    This is the shared core: the single-chip path tops-k the result; the
+    doc-sharded path runs it per shard and merges per-shard top-k over ICI
+    (parallel/sharded.py)."""
     b = term_ids.shape[0]
     brow = jnp.arange(b)[:, None]
 
@@ -132,6 +131,47 @@ def score_queries(
     sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
 
     final = (W_PAGERANK * sqd + W_TITLE * title_n + W_BODY * body_n) * SCORE_SCALE
-    final = jnp.where(count > 0, final, -jnp.inf)
+    return jnp.where(count > 0, final, -jnp.inf)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("posting_cap", "topk", "n_docs"),
+)
+def score_queries(
+    # section CSRs (device-resident)
+    title_offsets: jax.Array,
+    title_doc_ids: jax.Array,
+    title_weights: jax.Array,
+    body_offsets: jax.Array,
+    body_doc_ids: jax.Array,
+    body_weights: jax.Array,
+    # doc-level arrays
+    mag_title: jax.Array,  # f32 [D]
+    mag_body: jax.Array,  # f32 [D]
+    pagerank: jax.Array,  # f32 [D, C]
+    # query batch
+    term_ids: jax.Array,  # int32 [B, Q]
+    query_len: jax.Array,  # f32 [B]  (len(keywords)+len(phrase terms))
+    topic_probs: jax.Array,  # f32 [B, C] (zeros when topic model disabled)
+    # sparse phrase contributions (pad doc id = n_docs)
+    phrase_doc_ids: jax.Array,  # int32 [B, E]
+    phrase_title_w: jax.Array,  # f32 [B, E]
+    phrase_body_w: jax.Array,  # f32 [B, E]
+    phrase_flag: jax.Array,  # f32 [B, E] 1.0 for real phrase candidates
+    *,
+    posting_cap: int,
+    topk: int,
+    n_docs: int,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (top scores [B, K] f32 with -inf for non-candidates, doc ids [B, K])"""
+    final = score_dense(
+        title_offsets, title_doc_ids, title_weights,
+        body_offsets, body_doc_ids, body_weights,
+        mag_title, mag_body, pagerank,
+        term_ids, query_len, topic_probs,
+        phrase_doc_ids, phrase_title_w, phrase_body_w, phrase_flag,
+        posting_cap=posting_cap,
+        n_docs=n_docs,
+    )
     return jax.lax.top_k(final, topk)

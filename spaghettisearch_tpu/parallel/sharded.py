@@ -1,0 +1,334 @@
+"""Multi-chip scale-out over ICI: doc-sharded postings + link graph.
+
+The reference is a single Go process with no distributed layer (SURVEY §2.4);
+this module is the TPU-native scale path called for by BASELINE.json configs
+4-5: postings and the link graph are sharded across a jax.sharding.Mesh, the
+query path does per-shard top-k + all-gather merge, and PageRank's matvec
+rides ICI collectives.
+
+Layout:
+- documents are split into contiguous id ranges, one per shard;
+- each shard holds a complete local CSR (its docs' postings for every word),
+  so any query term is resolvable locally — queries broadcast, docs shard;
+- one shard_map program per query batch: local phrase intersection ->
+  local dense scoring -> local top-k -> all_gather([S, B, K]) -> merged
+  top-k. Only B*K*S scores cross ICI, never the [B, D] score matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.snapshot import IndexSnapshot, SectionCSR
+from ..ops.phrase import match_phrase
+from ..ops.scoring import score_dense
+
+
+def _repeat_blocks(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for variable-length blocks [starts[i], starts[i]+lens[i])."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    shift = np.repeat(np.cumsum(lens) - lens, lens)
+    return np.arange(total, dtype=np.int64) - shift + np.repeat(starts, lens)
+
+
+def _shard_csr(
+    csr: SectionCSR, n_shards: int, docs_per_shard: int
+) -> dict[str, np.ndarray]:
+    """Split a global CSR into per-shard local CSRs (stacked, equal shapes)."""
+    n_words = csr.post_offsets.shape[0] - 1
+    n_post = csr.n_postings
+    word_of_post = np.repeat(
+        np.arange(n_words, dtype=np.int32), np.diff(csr.post_offsets)
+    )
+    doc = csr.doc_ids[:n_post]
+    shard_of_post = doc // docs_per_shard
+
+    parts = []
+    for s in range(n_shards):
+        sel = np.flatnonzero(shard_of_post == s)
+        counts = np.bincount(word_of_post[sel], minlength=n_words)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        starts = csr.pos_offsets[sel]
+        lens = (csr.pos_offsets[sel + 1] - starts).astype(np.int64)
+        pos_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        parts.append(
+            dict(
+                offsets=offsets,
+                doc_ids=(doc[sel] - s * docs_per_shard).astype(np.int32),
+                weights=csr.weights[sel],
+                pos_offsets=pos_offsets,
+                positions=csr.positions[_repeat_blocks(starts, lens)],
+            )
+        )
+
+    def stack(key: str, pad_value, width: int, tail_fill: bool = False) -> np.ndarray:
+        arrs = [p[key] for p in parts]
+        out = np.full((n_shards, width), pad_value, dtype=arrs[0].dtype)
+        for s, a in enumerate(arrs):
+            out[s, : a.shape[0]] = a
+            if tail_fill and a.shape[0]:
+                out[s, a.shape[0] :] = a[-1]
+        return out
+
+    def rounded(key: str, extra: int = 1) -> int:
+        return -(-(max(p[key].shape[0] for p in parts) + extra) // 128) * 128
+
+    post_width = rounded("doc_ids")
+    return dict(
+        # +1 word row as the sentinel empty row; pad rows repeat the final
+        # offset so their postings ranges are empty
+        offsets=stack("offsets", 0, rounded("offsets"), tail_fill=True),
+        doc_ids=stack("doc_ids", docs_per_shard, post_width),
+        weights=stack("weights", 0.0, post_width),
+        # exactly one offset per (padded) posting slot plus one: gather
+        # kernels index pos_offsets[j + 1] for j < post_width
+        pos_offsets=stack("pos_offsets", 0, post_width + 1, tail_fill=True),
+        positions=stack("positions", np.inf, rounded("positions")),
+    )
+
+
+@dataclass
+class ShardedIndex:
+    mesh: Mesh
+    axis: str
+    n_shards: int
+    n_docs: int  # global (unpadded)
+    docs_per_shard: int
+    n_words: int
+    posting_cap: int
+    pos_cap: int
+    # stacked [S, ...] arrays, sharded over `axis` on the leading dim
+    title: dict[str, jax.Array]
+    body: dict[str, jax.Array]
+    mag_title: jax.Array  # [S, Dl]
+    mag_body: jax.Array  # [S, Dl]
+    pagerank: jax.Array  # [S, Dl, C]
+
+    @classmethod
+    def from_snapshot(
+        cls, snap: IndexSnapshot, mesh: Mesh, axis: str = "d"
+    ) -> "ShardedIndex":
+        n_shards = mesh.shape[axis]
+        dl = -(-max(snap.n_docs, 1) // n_shards)
+        dl = -(-dl // 8) * 8  # lane-friendly local doc count
+
+        title_np = _shard_csr(snap.title, n_shards, dl)
+        body_np = _shard_csr(snap.body, n_shards, dl)
+
+        def pad_docs(arr: np.ndarray) -> np.ndarray:
+            out = np.zeros((n_shards * dl,) + arr.shape[1:], dtype=arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out.reshape((n_shards, dl) + arr.shape[1:])
+
+        if snap.pagerank is not None and snap.pagerank.shape[1] > 0:
+            pr = snap.pagerank
+        else:
+            pr = np.zeros((snap.n_docs, 1), dtype=np.float32)
+
+        shard1 = NamedSharding(mesh, P(axis))
+        put = partial(jax.device_put, device=shard1)
+        posting_cap = min(
+            -(-max(snap.title.max_df, snap.body.max_df, 1) // 128) * 128,
+            title_np["doc_ids"].shape[1],
+        )
+        return cls(
+            mesh=mesh,
+            axis=axis,
+            n_shards=n_shards,
+            n_docs=snap.n_docs,
+            docs_per_shard=dl,
+            n_words=snap.n_words,
+            posting_cap=posting_cap,
+            pos_cap=-(-max(snap.title.max_positions, snap.body.max_positions, 1) // 8) * 8,
+            title={k: put(v) for k, v in title_np.items()},
+            body={k: put(v) for k, v in body_np.items()},
+            mag_title=put(pad_docs(snap.mag_title)),
+            mag_body=put(pad_docs(snap.mag_body)),
+            pagerank=put(pad_docs(pr)),
+        )
+
+
+def make_sharded_scorer(sidx: ShardedIndex, topk: int):
+    """Build the jit'd multi-chip query step.
+
+    Returns run(term_ids [B,Q], qlen [B], topic_probs [B,C],
+                phrase_term_ids [P], phrase_valid [P], gen_idx) ->
+    (scores [B,K], global doc ids [B,K]). Pass phrase_valid all-False for
+    keyword-only batches.
+    """
+    mesh, ax = sidx.mesh, sidx.axis
+    dl = sidx.docs_per_shard
+    cap, pcap = sidx.posting_cap, sidx.pos_cap
+    k = topk
+
+    def block(
+        t_off, t_did, t_w, t_poff, t_pos,
+        b_off, b_did, b_w, b_poff, b_pos,
+        mt, mb, pr,
+        term_ids, qlen, topic_probs,
+        ph_ids, ph_valid, gen_idx,
+    ):
+        (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
+         mt, mb, pr) = jax.tree.map(
+            lambda a: a[0],
+            (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
+             mt, mb, pr),
+        )
+        b = term_ids.shape[0]
+
+        def with_phrase(_):
+            d, tw, bw, fl = match_phrase(
+                t_off, t_did, t_w, t_poff, t_pos,
+                b_off, b_did, b_w, b_poff, b_pos,
+                ph_ids, ph_valid, gen_idx,
+                posting_cap=cap, pos_cap=pcap, n_docs=dl,
+            )
+            return (
+                jnp.broadcast_to(d, (b,) + d.shape),
+                jnp.broadcast_to(tw, (b,) + tw.shape),
+                jnp.broadcast_to(bw, (b,) + bw.shape),
+                jnp.broadcast_to(fl, (b,) + fl.shape),
+            )
+
+        def without_phrase(_):
+            e = 2 * cap
+            return (
+                jnp.full((b, e), dl, jnp.int32),
+                jnp.zeros((b, e), jnp.float32),
+                jnp.zeros((b, e), jnp.float32),
+                jnp.zeros((b, e), jnp.float32),
+            )
+
+        ph_docs, ph_tw, ph_bw, ph_fl = jax.lax.cond(
+            jnp.any(ph_valid), with_phrase, without_phrase, None
+        )
+
+        final = score_dense(
+            t_off, t_did, t_w, b_off, b_did, b_w, mt, mb, pr,
+            term_ids, qlen, topic_probs, ph_docs, ph_tw, ph_bw, ph_fl,
+            posting_cap=cap, n_docs=dl,
+        )
+        scores, ids = jax.lax.top_k(final, min(k, dl))
+        ids = ids + jax.lax.axis_index(ax) * dl
+
+        all_scores = jax.lax.all_gather(scores, ax)  # [S, B, k]
+        all_ids = jax.lax.all_gather(ids, ax)
+        s = all_scores.shape[0]
+        flat_scores = jnp.moveaxis(all_scores, 0, 1).reshape(b, -1)
+        flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(b, -1)
+        top_s, pos = jax.lax.top_k(flat_scores, min(k, s * min(k, dl)))
+        top_i = jnp.take_along_axis(flat_ids, pos, axis=1)
+        return top_s, top_i
+
+    sharded = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=tuple([P(ax)] * 13 + [P(), P(), P(), P(), P(), P()]),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx):
+        t, bd = sidx.title, sidx.body
+        return sharded(
+            t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
+            bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
+            sidx.mag_title, sidx.mag_body, sidx.pagerank,
+            term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
+        )
+
+    return run
+
+
+def sharded_pagerank(
+    mesh: Mesh,
+    edge_src: np.ndarray,  # int32 [E] sorted by dst
+    edge_dst: np.ndarray,  # int32 [E]
+    outdeg: np.ndarray,  # f32 [N]
+    n_pages: np.ndarray,  # f32 [C]
+    n_nodes: int,
+    damping: float = 0.75,
+    eps: float = 1e-20,
+    max_iters: int = 200,
+    axis: str = "d",
+) -> jax.Array:
+    """PageRank power iteration with the edge set sharded over the mesh:
+    each shard owns a contiguous destination-node range, computes its local
+    inherited-mass segment-sum, and the full rank vector is reassembled with
+    an all_gather per iteration (rank vector replicated, O(N) over ICI)."""
+    s = mesh.shape[axis]
+    nl = -(-max(n_nodes, 1) // s)
+    n_pad = s * nl
+    c = n_pages.shape[0]
+
+    # pad node arrays; valid mask excludes padding from totals/teleport
+    outdeg_p = np.zeros(n_pad, np.float32)
+    outdeg_p[:n_nodes] = outdeg
+    valid = np.zeros(n_pad, np.float32)
+    valid[:n_nodes] = 1.0
+
+    # shard edges by destination range, pad to equal length per shard
+    shard_of_edge = edge_dst // nl
+    per_shard = [np.flatnonzero(shard_of_edge == i) for i in range(s)]
+    el = -(-max([1] + [len(p) for p in per_shard]) // 128) * 128
+    esrc = np.zeros((s, el), np.int32)
+    edst_local = np.full((s, el), nl, np.int32)  # pad -> dropped segment
+    for i, sel in enumerate(per_shard):
+        esrc[i, : len(sel)] = edge_src[sel]
+        edst_local[i, : len(sel)] = edge_dst[sel] - i * nl
+
+    shard1 = NamedSharding(mesh, P(axis))
+    esrc_d = jax.device_put(esrc, shard1)
+    edst_d = jax.device_put(edst_local, shard1)
+
+    teleport = 1.0 - damping
+    inv_out = np.where(outdeg_p > 0, damping / np.maximum(outdeg_p, 1), 0.0).astype(
+        np.float32
+    )
+
+    def block(esrc_b, edst_b, inv_out_b, valid_b, n_pages_b):
+        esrc_l, edst_l = esrc_b[0], edst_b[0]
+        r0 = jnp.broadcast_to((1.0 / n_pages_b)[:, None], (c, n_pad)) * valid_b
+
+        def step(state):
+            r, it, _ = state
+            contrib = r * inv_out_b[None, :]
+            local = jax.ops.segment_sum(
+                contrib[:, esrc_l].T, edst_l, num_segments=nl + 1
+            ).T[:, :nl]
+            inherited = jax.lax.all_gather(local, axis, axis=1, tiled=True)
+            total = jnp.sum(contrib, axis=1, keepdims=True) + teleport * n_nodes
+            base = jnp.where(it == 0, r, 0.0)
+            r_new = (base + inherited + teleport * valid_b[None, :]) / total
+            delta = jnp.max(jnp.sum(jnp.abs(r_new - r), axis=1))
+            return r_new, it + 1, delta
+
+        def cond(state):
+            _, it, delta = state
+            return jnp.logical_and(delta > eps, it < max_iters)
+
+        r, _, _ = jax.lax.while_loop(
+            cond, step, (r0, jnp.array(0, jnp.int32), jnp.asarray(jnp.inf, jnp.float32))
+        )
+        return r
+
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    r = jax.jit(fn)(
+        esrc_d, edst_d, jnp.asarray(inv_out), jnp.asarray(valid), jnp.asarray(n_pages, jnp.float32)
+    )
+    return r[:, :n_nodes]

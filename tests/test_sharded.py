@@ -1,0 +1,133 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: sharded query
+scoring and PageRank must match their single-chip counterparts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corpus import build_corpus_db
+from spaghettisearch_tpu.ops.pagerank import _load_graph, pagerank_power
+from spaghettisearch_tpu.parallel.mesh import make_mesh
+from spaghettisearch_tpu.parallel.sharded import (
+    ShardedIndex,
+    make_sharded_scorer,
+    sharded_pagerank,
+)
+from spaghettisearch_tpu.retrieval.engine import QueryEngine, parse_query
+
+
+@pytest.fixture(scope="module")
+def db():
+    return build_corpus_db(n_pages=30, seed=5)
+
+
+@pytest.fixture(scope="module")
+def engine(db):
+    return QueryEngine(db)
+
+
+@pytest.fixture(scope="module", params=[2, 8])
+def mesh(request):
+    if len(jax.devices()) < request.param:
+        pytest.skip("not enough virtual devices")
+    return make_mesh(request.param)
+
+
+@pytest.fixture(scope="module")
+def sharded(engine, mesh):
+    sidx = ShardedIndex.from_snapshot(engine.snapshot, mesh)
+    return sidx, make_sharded_scorer(sidx, topk=50)
+
+
+def _run_sharded(engine, scorer, sidx, query, topk=50):
+    parsed = parse_query(query)
+    q = max(len(parsed.keyword_hashes), 1)
+    term_ids = np.full((1, q), engine.snapshot.n_words, np.int32)
+    ids = engine.snapshot.term_ids(parsed.keyword_hashes)
+    term_ids[0, : len(ids)] = ids
+    qlen = np.array([float(parsed.query_len)], np.float32)
+    tp = np.zeros((1, sidx.pagerank.shape[-1]), np.float32)
+
+    pmax = max(len(parsed.phrase_hashes), 4)
+    ph_ids = np.full(pmax, engine.snapshot.n_words, np.int32)
+    ph_valid = np.zeros(pmax, bool)
+    gen = 0
+    if parsed.phrase_hashes:
+        pids = engine.snapshot.term_ids(parsed.phrase_hashes)
+        ph_ids[: len(pids)] = pids
+        ph_valid[: len(pids)] = True
+        dfs = engine.snapshot.title.df(pids) + engine.snapshot.body.df(pids)
+        gen = int(np.argmin(dfs))
+    s, i = scorer(
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
+        jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gen, jnp.int32),
+    )
+    return np.asarray(s)[0], np.asarray(i)[0]
+
+
+QUERIES = (
+    "algorithm",
+    "quantum physics database",
+    "galaxy poetry theater ranking",
+    '"algorithm"',
+    "nonexistentword",
+)
+
+
+def test_sharded_matches_single_chip(engine, sharded):
+    sidx, scorer = sharded
+    for query in QUERIES:
+        parsed = parse_query(query)
+        want_s, want_i = engine.rank([parsed], topk=50)
+        got_s, got_i = _run_sharded(engine, scorer, sidx, query)
+
+        want = [(int(i), float(s)) for s, i in zip(want_s[0], want_i[0]) if np.isfinite(s)]
+        got = [(int(i), float(s)) for s, i in zip(got_s, got_i) if np.isfinite(s)]
+        assert len(got) == len(want), query
+        # same doc set; same scores; same order up to ties
+        assert dict(got).keys() == dict(want).keys(), query
+        for (gi, gs), (wi, ws) in zip(
+            sorted(got, key=lambda t: (-t[1], t[0])),
+            sorted(want, key=lambda t: (-t[1], t[0])),
+        ):
+            assert gi == wi
+            assert gs == pytest.approx(ws, rel=1e-5, abs=1e-6)
+
+
+def test_sharded_phrase(engine, sharded, db):
+    sidx, scorer = sharded
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    for doc_hash in engine.snapshot.doc_hashes:
+        raw = db.cached_doc(doc_hash)
+        if not raw:
+            continue
+        toks = laundry(" ".join(raw.decode().split("<p>")[1].split("</p>")[0].split()))
+        if len(toks) >= 3:
+            query = f'"{toks[0]} {toks[1]} {toks[2]}"'
+            break
+    parsed = parse_query(query)
+    want_s, want_i = engine.rank([parsed], topk=50)
+    got_s, got_i = _run_sharded(engine, scorer, sidx, query)
+    want = {int(i): float(s) for s, i in zip(want_s[0], want_i[0]) if np.isfinite(s)}
+    got = {int(i): float(s) for s, i in zip(got_s, got_i) if np.isfinite(s)}
+    assert want and got.keys() == want.keys()
+    for k, v in got.items():
+        assert v == pytest.approx(want[k], rel=1e-5)
+
+
+def test_sharded_pagerank_matches(db, mesh):
+    node_list, es, ed, od = _load_graph(db)
+    n = len(node_list)
+    n_pages = np.array([float(n)], np.float32)
+    want = np.asarray(
+        pagerank_power(
+            jnp.asarray(es), jnp.asarray(ed), jnp.asarray(od, jnp.float32),
+            jnp.asarray(n_pages), n, eps=1e-10,
+        )
+    )
+    got = np.asarray(
+        sharded_pagerank(mesh, es, ed, od.astype(np.float32), n_pages, n, eps=1e-10)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
