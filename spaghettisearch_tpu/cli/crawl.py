@@ -1,0 +1,89 @@
+"""Crawl driver CLI.
+
+Equivalent of the reference's bin/crawl (reference:
+cmd/crawl/start_crawl.go:25-181): flags -numPages/-startURL/-domainOnly,
+one-time ODP topic scrape (skipped when Topic_metadata is already populated),
+BFS crawl, then the post-crawl batch jobs: topic-sensitive PageRank followed
+by tf-idf term weighting for title and body.
+
+Usage:
+  python -m spaghettisearch_tpu.cli.crawl [--numPages N] [--startURL URL]
+      [--domainOnly {true,false}] [--db PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import time
+
+from ..config import (
+    CRAWL_DEFAULT_DOMAIN_ONLY,
+    CRAWL_DEFAULT_PAGES,
+    CRAWL_DEFAULT_START,
+    PAGERANK_CONVERGENCE,
+    PAGERANK_DAMPING,
+)
+from ..crawl.frontier import crawl
+from ..crawl.odp import parse_odp
+from ..ops.pagerank import update_pagerank
+from ..ops.weighting import update_term_weights
+from ..store.tables import Database
+from ..utils.timing import TRACER
+
+
+def _bool(v: str) -> bool:
+    return v.lower() not in ("false", "0", "no")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="SpaghettiSearch-TPU crawler")
+    ap.add_argument("--numPages", type=int, default=CRAWL_DEFAULT_PAGES)
+    ap.add_argument("--startURL", default=CRAWL_DEFAULT_START)
+    ap.add_argument("--domainOnly", type=_bool, default=CRAWL_DEFAULT_DOMAIN_ONLY)
+    ap.add_argument("--db", default="./db_data", help="store root directory")
+    ap.add_argument("--odpURL", default="http://odp.org/")
+    ap.add_argument("--skipODP", action="store_true")
+    ap.add_argument("--damping", type=float, default=PAGERANK_DAMPING)
+    ap.add_argument("--convergence", type=float, default=PAGERANK_CONVERGENCE)
+    args = ap.parse_args(argv)
+
+    print("Crawler started...")
+    start = time.time()
+    db = Database(args.db)
+
+    async def run() -> None:
+        # one-time topic scrape (reference: start_crawl.go:74-77)
+        if not args.skipODP and len(db.topic_meta) == 0:
+            from ..crawl.fetch import AiohttpFetcher
+
+            t0 = time.time()
+            async with AiohttpFetcher() as fetcher:
+                await parse_odp(db, fetcher, seed_url=args.odpURL)
+            print(f"ODP topic scrape: {time.time() - t0:.1f}s")
+
+        stats = await crawl(
+            db,
+            args.startURL,
+            num_pages=args.numPages,
+            domain_only=args.domainOnly,
+        )
+        print(f"\nTotal visited length: {stats.visited} "
+              f"(indexed {stats.indexed}, errors {stats.errors})")
+
+    asyncio.run(run())
+    print(f"\nTotal crawling and indexing time: {time.time() - start:.1f}s")
+
+    timer = time.time()
+    update_pagerank(db, damping=args.damping, eps=args.convergence)
+    update_term_weights(db, "title")
+    update_term_weights(db, "body")
+    print(f"Updating pagerank and idf takes {time.time() - timer:.1f}s")
+    db.flush()
+    db.close()
+    print(f"\nTotal elapsed time: {time.time() - start:.1f}s")
+    print(TRACER.report())
+
+
+if __name__ == "__main__":
+    main()

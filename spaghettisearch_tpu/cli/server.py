@@ -1,0 +1,31 @@
+"""Server CLI (reference: cmd/server/server.go:87-125 with $PORT env)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+from ..retrieval.engine import QueryEngine
+from ..serve.server import SearchServer
+from ..store.tables import Database
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="SpaghettiSearch-TPU server")
+    ap.add_argument("--db", default="./db_data")
+    ap.add_argument("--port", type=int, default=int(os.environ.get("PORT") or 8080))
+    ap.add_argument("--topicModel", action="store_true",
+                    help="enable the topic-sensitive PageRank blend")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    db = Database(args.db)
+    engine = QueryEngine(db, use_topic_model=args.topicModel)
+    print(f"Loaded index: {engine.index.n_docs} docs, {engine.index.n_words} words")
+    print(f"\nServer is running on port {args.port}")
+    SearchServer(engine).serve(port=args.port)
+
+
+if __name__ == "__main__":
+    main()

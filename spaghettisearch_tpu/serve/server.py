@@ -1,0 +1,165 @@
+"""HTTP JSON API + static UI.
+
+Route-compatible with the reference server (reference:
+cmd/server/server.go:87-125):
+
+  POST /query            {"query": "..."} -> [Rank_combined...]
+  GET  /query/{terms}    -> same
+  GET  /wordlist/{pre}   -> ["word", ...] (prefix-filtered vocabulary)
+  GET  /*                -> static UI
+
+Implemented on the stdlib threading HTTP server; query batches from
+concurrent clients are micro-batched into one device program per tick by the
+engine's batched path when the caller uses /query_batch.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote, urlsplit
+
+from ..retrieval.engine import QueryEngine
+from ..utils.timing import TRACER
+
+log = logging.getLogger("spaghettisearch.serve")
+
+STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
+
+_CONTENT_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "text/javascript",
+    ".css": "text/css",
+    ".png": "image/png",
+    ".ico": "image/x-icon",
+    ".svg": "image/svg+xml",
+}
+
+
+class SearchServer:
+    def __init__(self, engine: QueryEngine, static_dir: str = STATIC_DIR) -> None:
+        self.engine = engine
+        self.static_dir = static_dir
+        self._httpd: ThreadingHTTPServer | None = None
+        # the device program is single-stream; serialize ranking calls
+        self._rank_lock = threading.Lock()
+
+    # ------------------------------------------------------------------ #
+    def handle_query(self, query: str) -> list[dict]:
+        with self._rank_lock, TRACER.span("serve.query"):
+            t0 = time.perf_counter()
+            results = self.engine.query(query)
+            log.info("query %r -> %d results in %.1f ms",
+                     query, len(results), 1e3 * (time.perf_counter() - t0))
+            return results
+
+    def handle_query_batch(self, queries: list[str]) -> list[list[dict]]:
+        with self._rank_lock, TRACER.span("serve.query_batch"):
+            return self.engine.query_batch(queries)
+
+    def handle_wordlist(self, prefix: str) -> list[str]:
+        return self.engine.wordlist(prefix)
+
+    # ------------------------------------------------------------------ #
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):
+                log.debug("%s " + fmt, self.address_string(), *args)
+
+            def _send_json(self, obj, status: int = 200) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Origin, X-Requested-With, Content-Type, Accept",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_static(self, path: str) -> None:
+                rel = path.lstrip("/") or "index.html"
+                full = os.path.normpath(os.path.join(server.static_dir, rel))
+                if not full.startswith(os.path.abspath(server.static_dir)):
+                    self.send_error(403)
+                    return
+                if not os.path.isfile(full):
+                    # SPA fallback
+                    full = os.path.join(server.static_dir, "index.html")
+                    if not os.path.isfile(full):
+                        self.send_error(404)
+                        return
+                with open(full, "rb") as f:
+                    body = f.read()
+                ext = os.path.splitext(full)[1]
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", _CONTENT_TYPES.get(ext, "application/octet-stream")
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_OPTIONS(self):
+                self._send_json({})
+
+            def do_POST(self):
+                parts = urlsplit(self.path)
+                length = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(length) if length else b"{}"
+                try:
+                    payload = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    self._send_json({"error": "bad json"}, 400)
+                    return
+                if parts.path == "/query":
+                    self._send_json(server.handle_query(str(payload.get("query", ""))))
+                elif parts.path == "/query_batch":
+                    queries = [str(q) for q in payload.get("queries", [])]
+                    self._send_json(server.handle_query_batch(queries))
+                else:
+                    self._send_json({"error": "not found"}, 404)
+
+            def do_GET(self):
+                parts = urlsplit(self.path)
+                path = parts.path
+                if path.startswith("/query/"):
+                    self._send_json(server.handle_query(unquote(path[len("/query/"):])))
+                elif path.startswith("/wordlist/"):
+                    self._send_json(
+                        server.handle_wordlist(unquote(path[len("/wordlist/"):]))
+                    )
+                elif path == "/healthz":
+                    self._send_json({"ok": True, "docs": server.engine.index.n_docs})
+                elif path == "/stats":
+                    self._send_json(TRACER.report())
+                else:
+                    self._send_static(path)
+
+        return Handler
+
+    def serve(self, port: int = 8080, host: str = "0.0.0.0") -> None:
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        log.info("Server is running on port %d", port)
+        self._httpd.serve_forever()
+
+    def start_background(self, port: int = 8080, host: str = "127.0.0.1"):
+        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return self._httpd.server_address
+
+    def shutdown(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
