@@ -106,6 +106,32 @@ class SectionCSR:
             max_positions=max_pos,
         )
 
+    def forward(self, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+        """Doc-major ("forward") view: per-doc term ids + weights.
+
+        -> (ft int32 [D, T_pad] with -1 padding, fw f32 [D, T_pad]).
+        This is the layout the TPU keyword scorer consumes: scoring becomes a
+        dense compare/weighted-reduce over [B, D, T] with no scatter/gather
+        (ops/scoring.py), which measures ~200x faster than scatter-add on
+        TPU. T_pad is the max distinct terms of any doc, rounded up."""
+        n_words = self.post_offsets.shape[0] - 1
+        n_post = self.n_postings
+        word_of_post = np.repeat(
+            np.arange(n_words, dtype=np.int32), np.diff(self.post_offsets)
+        )
+        docs = self.doc_ids[:n_post]
+        order = np.argsort(docs, kind="stable")
+        docs_s = docs[order]
+        counts = np.bincount(docs_s, minlength=n_docs)
+        t_pad = max(-(-int(counts.max(initial=0)) // 8) * 8, 8)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        slot = np.arange(n_post, dtype=np.int64) - offsets[docs_s]
+        ft = np.full((n_docs, t_pad), -1, np.int32)
+        fw = np.zeros((n_docs, t_pad), np.float32)
+        ft[docs_s, slot] = word_of_post[order]
+        fw[docs_s, slot] = self.weights[order]
+        return ft, fw
+
     def df(self, word_ids: np.ndarray) -> np.ndarray:
         """Document frequency per word id; the unknown-word sentinel
         (id >= n_words) has df 0."""

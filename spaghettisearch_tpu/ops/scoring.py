@@ -1,27 +1,33 @@
-"""Batched query scoring: the flagship jit'd device program.
+"""Batched query scoring: the flagship jit'd device programs.
 
 One XLA program replaces the reference's entire per-query goroutine pipeline
-(reference: retrieval/main_retrieve.go:50-103 + get_metadata.go:16-77):
+(reference: retrieval/main_retrieve.go:50-103 + get_metadata.go:16-77).
 
-  gather postings for every (query, term)  ->  scatter-add per-doc weights
-  ->  cosine-normalize by precomputed magnitudes  ->  blend with the
-  topic-weighted PageRank score (MXU matmul)  ->  top-k.
+Two formulations share one finalization (cosine normalize -> PageRank blend
+-> candidate mask -> exact top-k):
+
+1. **Forward membership** (production keyword path): the index is doc-major
+   `ft[d, j]` term ids / `fw[d, j]` weights; per query term the score is a
+   dense compare + weighted reduce over [B, D, T] — no scatter, no gather,
+   pure VPU work. Measured ~200x faster than scatter-add on TPU v5e
+   (experiments/kernel_probe.py).
+
+2. **CSR gather/scatter** (phrase + parity path): gather each term's postings
+   window and scatter-add per-doc weights. Kept because phrase matching needs
+   the positional CSR anyway and as an independent oracle for the forward
+   path.
 
 Scoring semantics match the reference exactly:
 - per-doc title/body score = sum of the [0] entries (normTF*idf) of the doc's
-  postings across query terms (main_retrieve.go:62-78, 170-187)
+  postings across query terms, counting duplicate query terms once per
+  occurrence (main_retrieve.go:62-78);
 - cosine: score /= magnitude * sqrt(query_len); NaN (0/0) -> 0 but +inf kept
-  (get_metadata.go:53-66 only guards IsNaN)
+  (get_metadata.go:53-66 only guards IsNaN);
 - final = (0.33*sqd + 0.38*title + 0.29*body) * 100 (get_metadata.go:69);
-  sqd = topic_probs . pagerank[d] — zero when the topic model is off, which
-  is the reference's shipped behavior (main_retrieve.go:87-88)
-- only candidate docs (appearing in >=1 postings row of >=1 query term, or
-  matching a phrase) are ranked; non-candidates come back as -inf.
-
-Postings are gathered with a static per-term cap: rows longer than the cap
-contribute their first `posting_cap` entries per term. Callers pick the cap
-from the snapshot's max_df so nothing is truncated (engine.py), keeping
-result parity; capped multi-pass scoring is a planned optimization.
+  sqd = topic_probs . pagerank[d] — zero when the topic model is off, the
+  reference's shipped behavior (main_retrieve.go:87-88);
+- only candidate docs (>=1 postings row hit or a phrase match) are ranked;
+  non-candidates come back as -inf.
 """
 
 from __future__ import annotations
@@ -32,6 +38,128 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SCORE_SCALE, W_BODY, W_PAGERANK, W_TITLE
+
+# ---------------------------------------------------------------------- #
+# exact top-k
+# ---------------------------------------------------------------------- #
+
+
+def exact_top_k(scores: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.Array]:
+    """Two-stage exact top-k over the doc axis.
+
+    Every global top-k element is top-k within its block, so per-block top-k
+    followed by top-k over the [B, M*k] candidates is exact and much faster
+    than one pass over 100k lanes (experiments/topk_probe.py)."""
+    b, d = scores.shape
+    k = min(k, d)
+    if d <= 4 * block:
+        return jax.lax.top_k(scores, k)
+    m = -(-d // block)
+    pad = m * block - d
+    xp = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    blocks = xp.reshape(b, m, block)
+    kb = min(k, block)
+    bs, bi = jax.lax.top_k(blocks, kb)  # [B, M, kb]
+    base = (jnp.arange(m, dtype=jnp.int32) * block)[None, :, None]
+    cand_s = bs.reshape(b, m * kb)
+    cand_i = (bi + base).reshape(b, m * kb)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    return top_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
+# ---------------------------------------------------------------------- #
+# shared finalization
+# ---------------------------------------------------------------------- #
+
+
+def finalize_scores(
+    title_score: jax.Array,  # [B, D]
+    title_count: jax.Array,
+    body_score: jax.Array,
+    body_count: jax.Array,
+    mag_title: jax.Array,  # [D]
+    mag_body: jax.Array,
+    pagerank: jax.Array,  # [D, C]
+    query_len: jax.Array,  # [B]
+    topic_probs: jax.Array,  # [B, C]
+) -> jax.Array:
+    qmag = jnp.sqrt(query_len)[:, None]
+    title_n = title_score / (mag_title[None, :] * qmag)
+    body_n = body_score / (mag_body[None, :] * qmag)
+    title_n = jnp.where(jnp.isnan(title_n), 0.0, title_n)
+    body_n = jnp.where(jnp.isnan(body_n), 0.0, body_n)
+    # topic-sensitive importance (MXU): sqd[b,d] = topic_probs[b] . pagerank[d]
+    sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
+    final = (W_PAGERANK * sqd + W_TITLE * title_n + W_BODY * body_n) * SCORE_SCALE
+    count = title_count + body_count
+    return jnp.where(count > 0, final, -jnp.inf)
+
+
+# ---------------------------------------------------------------------- #
+# forward-membership formulation
+# ---------------------------------------------------------------------- #
+
+
+def forward_section_scores(
+    ft: jax.Array,  # int32 [D, T], -1 padding
+    fw: jax.Array,  # f32 [D, T]
+    term_ids: jax.Array,  # int32 [B, Q], pad >= n_words (never matches -1)
+    n_blocks: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (score [B, D], count [B, D]).
+
+    mult[b,d,j] = #occurrences of ft[d,j] among the query's terms (duplicate
+    query terms count per occurrence, matching the reference's per-term
+    fan-out); score = sum_j fw*mult, count = sum_j mult."""
+    d, t = ft.shape
+    b = term_ids.shape[0]
+    db = -(-d // n_blocks)
+    pad = n_blocks * db - d
+    ftb = jnp.pad(ft, ((0, pad), (0, 0)), constant_values=-1).reshape(n_blocks, db, t)
+    fwb = jnp.pad(fw, ((0, pad), (0, 0))).reshape(n_blocks, db, t)
+
+    def block_scores(args):
+        ft_blk, fw_blk = args  # [Db, T]
+        eq = ft_blk[None, :, :, None] == term_ids[:, None, None, :]  # [B,Db,T,Q]
+        mult = eq.sum(-1).astype(jnp.float32)  # [B, Db, T]
+        score = jnp.einsum("bdt,dt->bd", mult, fw_blk)
+        count = mult.sum(-1)
+        return score, count
+
+    score, count = jax.lax.map(block_scores, (ftb, fwb))  # [M, B, Db]
+    score = jnp.moveaxis(score, 0, 1).reshape(b, -1)[:, :d]
+    count = jnp.moveaxis(count, 0, 1).reshape(b, -1)[:, :d]
+    return score, count
+
+
+@partial(jax.jit, static_argnames=("topk", "n_blocks"))
+def score_queries_forward(
+    title_ft: jax.Array,
+    title_fw: jax.Array,
+    body_ft: jax.Array,
+    body_fw: jax.Array,
+    mag_title: jax.Array,
+    mag_body: jax.Array,
+    pagerank: jax.Array,
+    term_ids: jax.Array,  # int32 [B, Q]
+    query_len: jax.Array,  # f32 [B]
+    topic_probs: jax.Array,  # f32 [B, C]
+    *,
+    topk: int,
+    n_blocks: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
+    ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
+    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+    final = finalize_scores(
+        ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
+    )
+    return exact_top_k(final, topk)
+
+
+# ---------------------------------------------------------------------- #
+# CSR gather/scatter formulation (phrase + parity oracle)
+# ---------------------------------------------------------------------- #
 
 
 def _gather_section(
@@ -69,35 +197,28 @@ def _scatter_scores(
 
 
 def score_dense(
-    # section CSRs (device-resident)
     title_offsets: jax.Array,
     title_doc_ids: jax.Array,
     title_weights: jax.Array,
     body_offsets: jax.Array,
     body_doc_ids: jax.Array,
     body_weights: jax.Array,
-    # doc-level arrays
-    mag_title: jax.Array,  # f32 [D]
-    mag_body: jax.Array,  # f32 [D]
-    pagerank: jax.Array,  # f32 [D, C]
-    # query batch
-    term_ids: jax.Array,  # int32 [B, Q]
-    query_len: jax.Array,  # f32 [B]
-    topic_probs: jax.Array,  # f32 [B, C]
-    # sparse phrase contributions (pad doc id = n_docs)
-    phrase_doc_ids: jax.Array,  # int32 [B, E]
-    phrase_title_w: jax.Array,  # f32 [B, E]
-    phrase_body_w: jax.Array,  # f32 [B, E]
-    phrase_flag: jax.Array,  # f32 [B, E]
+    mag_title: jax.Array,
+    mag_body: jax.Array,
+    pagerank: jax.Array,
+    term_ids: jax.Array,
+    query_len: jax.Array,
+    topic_probs: jax.Array,
+    phrase_doc_ids: jax.Array,  # int32 [B, E], pad = n_docs
+    phrase_title_w: jax.Array,
+    phrase_body_w: jax.Array,
+    phrase_flag: jax.Array,
     *,
     posting_cap: int,
     n_docs: int,
 ) -> jax.Array:
-    """Dense final scores [B, D]; -inf for non-candidate docs.
-
-    This is the shared core: the single-chip path tops-k the result; the
-    doc-sharded path runs it per shard and merges per-shard top-k over ICI
-    (parallel/sharded.py)."""
+    """Dense final scores [B, D] via the CSR formulation; folds sparse phrase
+    contributions (weights + candidacy) before normalization."""
     b = term_ids.shape[0]
     brow = jnp.arange(b)[:, None]
 
@@ -111,60 +232,44 @@ def score_dense(
     )
     body_score, body_count = _scatter_scores(b_docs, b_w, b_valid, n_docs)
 
-    # fold in phrase matches (weights + candidacy)
     pacc = jnp.zeros((b, n_docs + 1, 3), dtype=title_score.dtype)
     pacc = pacc.at[brow, phrase_doc_ids].add(
         jnp.stack([phrase_title_w, phrase_body_w, phrase_flag], axis=-1), mode="drop"
     )
     title_score = title_score + pacc[:, :n_docs, 0]
     body_score = body_score + pacc[:, :n_docs, 1]
-    count = title_count + body_count + pacc[:, :n_docs, 2]
+    title_count = title_count + pacc[:, :n_docs, 2]
 
-    # cosine normalization; NaN (0/0) -> 0, +inf preserved
-    qmag = jnp.sqrt(query_len)[:, None]  # [B, 1]
-    title_n = title_score / (mag_title[None, :] * qmag)
-    body_n = body_score / (mag_body[None, :] * qmag)
-    title_n = jnp.where(jnp.isnan(title_n), 0.0, title_n)
-    body_n = jnp.where(jnp.isnan(body_n), 0.0, body_n)
-
-    # topic-sensitive importance (MXU): sqd[b,d] = topic_probs[b] . pagerank[d]
-    sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
-
-    final = (W_PAGERANK * sqd + W_TITLE * title_n + W_BODY * body_n) * SCORE_SCALE
-    return jnp.where(count > 0, final, -jnp.inf)
+    return finalize_scores(
+        title_score, title_count, body_score, body_count,
+        mag_title, mag_body, pagerank, query_len, topic_probs,
+    )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("posting_cap", "topk", "n_docs"),
-)
+@partial(jax.jit, static_argnames=("posting_cap", "topk", "n_docs"))
 def score_queries(
-    # section CSRs (device-resident)
     title_offsets: jax.Array,
     title_doc_ids: jax.Array,
     title_weights: jax.Array,
     body_offsets: jax.Array,
     body_doc_ids: jax.Array,
     body_weights: jax.Array,
-    # doc-level arrays
-    mag_title: jax.Array,  # f32 [D]
-    mag_body: jax.Array,  # f32 [D]
-    pagerank: jax.Array,  # f32 [D, C]
-    # query batch
-    term_ids: jax.Array,  # int32 [B, Q]
-    query_len: jax.Array,  # f32 [B]  (len(keywords)+len(phrase terms))
-    topic_probs: jax.Array,  # f32 [B, C] (zeros when topic model disabled)
-    # sparse phrase contributions (pad doc id = n_docs)
-    phrase_doc_ids: jax.Array,  # int32 [B, E]
-    phrase_title_w: jax.Array,  # f32 [B, E]
-    phrase_body_w: jax.Array,  # f32 [B, E]
-    phrase_flag: jax.Array,  # f32 [B, E] 1.0 for real phrase candidates
+    mag_title: jax.Array,
+    mag_body: jax.Array,
+    pagerank: jax.Array,
+    term_ids: jax.Array,
+    query_len: jax.Array,
+    topic_probs: jax.Array,
+    phrase_doc_ids: jax.Array,
+    phrase_title_w: jax.Array,
+    phrase_body_w: jax.Array,
+    phrase_flag: jax.Array,
     *,
     posting_cap: int,
     topk: int,
     n_docs: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """-> (top scores [B, K] f32 with -inf for non-candidates, doc ids [B, K])"""
+    """CSR path with phrase folding. -> (top scores [B,K], doc ids [B,K])."""
     final = score_dense(
         title_offsets, title_doc_ids, title_weights,
         body_offsets, body_doc_ids, body_weights,
@@ -174,4 +279,4 @@ def score_queries(
         posting_cap=posting_cap,
         n_docs=n_docs,
     )
-    return jax.lax.top_k(final, topk)
+    return exact_top_k(final, topk)

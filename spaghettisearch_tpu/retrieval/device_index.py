@@ -23,18 +23,24 @@ class DeviceSection:
     weights: jax.Array  # f32 [P_pad]
     pos_offsets: jax.Array  # int32 [P_pad+1]
     positions: jax.Array  # f32 [L_pad]
+    # doc-major view for the forward-membership keyword scorer
+    ft: jax.Array  # int32 [D, T_pad], -1 padding
+    fw: jax.Array  # f32 [D, T_pad]
 
     @classmethod
-    def from_csr(cls, csr: SectionCSR, device=None) -> "DeviceSection":
+    def from_csr(cls, csr: SectionCSR, n_docs: int, device=None) -> "DeviceSection":
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])
+        ft, fw = csr.forward(n_docs)
         return cls(
             offsets=put(offsets.astype(np.int32)),
             doc_ids=put(csr.doc_ids),
             weights=put(csr.weights),
             pos_offsets=put(csr.pos_offsets),
             positions=put(csr.positions),
+            ft=put(ft),
+            fw=put(fw),
         )
 
 
@@ -60,8 +66,8 @@ class DeviceIndex:
         posting_cap = _round_up(max(snap.title.max_df, snap.body.max_df, 1))
         pos_cap = _round_up(max(snap.title.max_positions, snap.body.max_positions, 1), 8)
         return cls(
-            title=DeviceSection.from_csr(snap.title, device),
-            body=DeviceSection.from_csr(snap.body, device),
+            title=DeviceSection.from_csr(snap.title, snap.n_docs, device),
+            body=DeviceSection.from_csr(snap.body, snap.n_docs, device),
             mag_title=put(snap.mag_title),
             mag_body=put(snap.mag_body),
             pagerank=put(pr),

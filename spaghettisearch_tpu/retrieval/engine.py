@@ -25,7 +25,7 @@ import numpy as np
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..ops.phrase import match_phrase
-from ..ops.scoring import score_queries
+from ..ops.scoring import score_queries, score_queries_forward
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -114,31 +114,36 @@ class QueryEngine:
             term_ids[i, : len(ids)] = ids
             qlen[i] = float(p.query_len)
 
-        has_phrase = any(p.phrase_hashes for p in parsed)
-        if has_phrase:
-            e = 2 * idx.posting_cap
-            ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
-            ph_tw = np.zeros((b, e), dtype=np.float32)
-            ph_bw = np.zeros((b, e), dtype=np.float32)
-            ph_fl = np.zeros((b, e), dtype=np.float32)
-            for i, p in enumerate(parsed):
-                if not p.phrase_hashes:
-                    continue
-                d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
-                ph_docs[i], ph_tw[i], ph_bw[i], ph_fl[i] = d, tw, bw, fl
-        else:
-            e = 8
-            ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
-            ph_tw = np.zeros((b, e), dtype=np.float32)
-            ph_bw = np.zeros((b, e), dtype=np.float32)
-            ph_fl = np.zeros((b, e), dtype=np.float32)
-
         topic_probs = np.zeros((b, idx.n_categories), dtype=np.float32)
         if self.use_topic_model:
             for i, p in enumerate(parsed):
                 probs = compute_topic_probs(self.db, p.keyword_hashes)
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
+
+        has_phrase = any(p.phrase_hashes for p in parsed)
+        if not has_phrase:
+            # fast path: forward-membership scorer (no scatter/gather)
+            with TRACER.span("rank.device"):
+                scores, ids = score_queries_forward(
+                    idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
+                    idx.mag_title, idx.mag_body, idx.pagerank,
+                    jnp.asarray(term_ids), jnp.asarray(qlen),
+                    jnp.asarray(topic_probs),
+                    topk=min(topk, idx.n_docs) or 1,
+                )
+                return np.asarray(scores), np.asarray(ids)
+
+        e = 2 * idx.posting_cap
+        ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
+        ph_tw = np.zeros((b, e), dtype=np.float32)
+        ph_bw = np.zeros((b, e), dtype=np.float32)
+        ph_fl = np.zeros((b, e), dtype=np.float32)
+        for i, p in enumerate(parsed):
+            if not p.phrase_hashes:
+                continue
+            d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
+            ph_docs[i], ph_tw[i], ph_bw[i], ph_fl[i] = d, tw, bw, fl
 
         with TRACER.span("rank.device"):
             scores, ids = score_queries(

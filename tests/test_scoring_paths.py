@@ -1,0 +1,73 @@
+"""The two scoring formulations (forward membership vs CSR gather/scatter)
+must rank identically — each is an independent oracle for the other."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from corpus import build_corpus_db
+from spaghettisearch_tpu.ops.scoring import (
+    exact_top_k,
+    score_queries,
+    score_queries_forward,
+)
+from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
+from spaghettisearch_tpu.retrieval.engine import QueryEngine, parse_query
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return QueryEngine(build_corpus_db(n_pages=25, seed=9))
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["algorithm", "quantum physics database", "matrix matrix", "galaxy poetry theater music novel"],
+)
+def test_forward_matches_csr(engine, query):
+    idx = engine.index
+    snap = engine.snapshot
+    parsed = parse_query(query)
+    q = max(len(parsed.keyword_hashes), 1)
+    term_ids = np.full((1, q), snap.n_words, np.int32)
+    term_ids[0] = snap.term_ids(parsed.keyword_hashes)
+    qlen = np.array([float(parsed.query_len)], np.float32)
+    tp = np.zeros((1, idx.n_categories), np.float32)
+    e = 8
+    phd = np.full((1, e), idx.n_docs, np.int32)
+    phz = np.zeros((1, e), np.float32)
+
+    fs, fi = score_queries_forward(
+        idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
+        idx.mag_title, idx.mag_body, idx.pagerank,
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
+        topk=min(50, idx.n_docs),
+    )
+    cs, ci = score_queries(
+        idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+        idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+        idx.mag_title, idx.mag_body, idx.pagerank,
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
+        jnp.asarray(phd), jnp.asarray(phz), jnp.asarray(phz), jnp.asarray(phz),
+        posting_cap=idx.posting_cap, topk=min(50, idx.n_docs), n_docs=idx.n_docs,
+    )
+    fs, fi, cs, ci = map(np.asarray, (fs, fi, cs, ci))
+    f = {int(i): float(s) for s, i in zip(fs[0], fi[0]) if np.isfinite(s)}
+    c = {int(i): float(s) for s, i in zip(cs[0], ci[0]) if np.isfinite(s)}
+    assert f.keys() == c.keys()
+    for d in f:
+        assert f[d] == pytest.approx(c[d], rel=1e-5, abs=1e-7)
+
+
+def test_exact_top_k_matches_lax():
+    import jax
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(7, 5000)).astype(np.float32))
+    want_s, _ = jax.lax.top_k(x, 20)
+    got_s, got_i = exact_top_k(x, 20, block=256)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s))
+    # returned ids must address the right values
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(x), np.asarray(got_i), 1), np.asarray(got_s)
+    )
