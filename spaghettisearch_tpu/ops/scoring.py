@@ -44,12 +44,13 @@ from ..config import SCORE_SCALE, W_BODY, W_PAGERANK, W_TITLE
 # ---------------------------------------------------------------------- #
 
 
-def exact_top_k(scores: jax.Array, k: int, block: int = 1024) -> tuple[jax.Array, jax.Array]:
-    """Two-stage exact top-k over the doc axis.
+def exact_top_k(scores: jax.Array, k: int, block: int = 1 << 20) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over the doc axis.
 
-    Every global top-k element is top-k within its block, so per-block top-k
-    followed by top-k over the [B, M*k] candidates is exact and much faster
-    than one pass over 100k lanes (experiments/topk_probe.py)."""
+    Plain lax.top_k wins up to ~1M docs on v5e (experiments/topk_probe.py:
+    two-stage block variants measured slower at D=100k); beyond `block`,
+    switch to two-stage — exact, since every global top-k element is top-k
+    within its block."""
     b, d = scores.shape
     k = min(k, d)
     if d <= 4 * block:

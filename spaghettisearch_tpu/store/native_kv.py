@@ -1,0 +1,167 @@
+"""ctypes binding for the native C++ KV store (native/fastkv.cpp).
+
+Drop-in KVBackend implementation: binary WAL + RAM-resident hash map with
+compaction, built on demand with `make -C native` (g++). Falls back cleanly
+when the shared library can't be built (store/tables.py picks the Python
+LogBackend instead).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfastkv.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, OSError) as e:
+                raise RuntimeError(f"could not build libfastkv.so: {e}") from e
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.fastkv_open.restype = ctypes.c_void_p
+        lib.fastkv_open.argtypes = [ctypes.c_char_p]
+        lib.fastkv_close.argtypes = [ctypes.c_void_p]
+        lib.fastkv_get.restype = ctypes.c_int
+        lib.fastkv_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.fastkv_free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+        lib.fastkv_set.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.c_char_p, ctypes.c_uint32,
+        ]
+        lib.fastkv_delete.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32]
+        lib.fastkv_set_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.fastkv_len.restype = ctypes.c_uint64
+        lib.fastkv_len.argtypes = [ctypes.c_void_p]
+        lib.fastkv_log_bytes.restype = ctypes.c_uint64
+        lib.fastkv_log_bytes.argtypes = [ctypes.c_void_p]
+        lib.fastkv_flush.argtypes = [ctypes.c_void_p]
+        lib.fastkv_compact.argtypes = [ctypes.c_void_p]
+        lib.fastkv_iter_new.restype = ctypes.c_void_p
+        lib.fastkv_iter_new.argtypes = [ctypes.c_void_p]
+        lib.fastkv_iter_next.restype = ctypes.c_int
+        lib.fastkv_iter_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.fastkv_iter_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def native_available() -> bool:
+    try:
+        _load_lib()
+        return True
+    except RuntimeError:
+        return False
+
+
+class NativeBackend:
+    """KVBackend over libfastkv (str keys/values, utf-8)."""
+
+    WAL_COMPACT_BYTES = 256 << 20
+
+    def __init__(self, path: str) -> None:
+        self._lib = _load_lib()
+        os.makedirs(path, exist_ok=True)
+        self._h = self._lib.fastkv_open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"fastkv_open failed for {path}")
+        self.path = path
+
+    def get(self, key: str) -> str | None:
+        out = ctypes.POINTER(ctypes.c_char)()
+        out_len = ctypes.c_uint32()
+        kb = key.encode()
+        if not self._lib.fastkv_get(self._h, kb, len(kb), ctypes.byref(out), ctypes.byref(out_len)):
+            return None
+        try:
+            return ctypes.string_at(out, out_len.value).decode()
+        finally:
+            self._lib.fastkv_free(out)
+
+    def set(self, key: str, value: str) -> None:
+        kb, vb = key.encode(), value.encode()
+        self._lib.fastkv_set(self._h, kb, len(kb), vb, len(vb))
+
+    def delete(self, key: str) -> None:
+        kb = key.encode()
+        self._lib.fastkv_delete(self._h, kb, len(kb))
+
+    def set_many(self, items: list[tuple[str, str]]) -> None:
+        if not items:
+            return
+        keys = [k.encode() for k, _ in items]
+        vals = [v.encode() for _, v in items]
+        klens = (ctypes.c_uint32 * len(items))(*[len(k) for k in keys])
+        vlens = (ctypes.c_uint32 * len(items))(*[len(v) for v in vals])
+        self._lib.fastkv_set_many(
+            self._h, len(items), b"".join(keys), klens, b"".join(vals), vlens
+        )
+
+    def items(self) -> Iterator[tuple[str, str]]:
+        it = self._lib.fastkv_iter_new(self._h)
+        k = ctypes.POINTER(ctypes.c_char)()
+        v = ctypes.POINTER(ctypes.c_char)()
+        klen = ctypes.c_uint32()
+        vlen = ctypes.c_uint32()
+        try:
+            while self._lib.fastkv_iter_next(
+                it, ctypes.byref(k), ctypes.byref(klen), ctypes.byref(v), ctypes.byref(vlen)
+            ):
+                yield (
+                    ctypes.string_at(k, klen.value).decode(),
+                    ctypes.string_at(v, vlen.value).decode(),
+                )
+        finally:
+            self._lib.fastkv_iter_free(it)
+
+    def __len__(self) -> int:
+        return int(self._lib.fastkv_len(self._h))
+
+    def flush(self) -> None:
+        self._lib.fastkv_flush(self._h)
+
+    def compact(self) -> None:
+        self._lib.fastkv_compact(self._h)
+
+    def maybe_compact(self) -> None:
+        if self._lib.fastkv_log_bytes(self._h) > self.WAL_COMPACT_BYTES:
+            self.compact()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fastkv_close(self._h)
+            self._h = None

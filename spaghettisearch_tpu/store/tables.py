@@ -130,17 +130,38 @@ class BatchWriter:
 
 
 class Database:
-    """The full 9-table store plus the raw-HTML document cache."""
+    """The full 9-table store plus the raw-HTML document cache.
+
+    backend: "auto" (native C++ fastkv when buildable, else Python log),
+    "native", "log", or "mem". In-memory when root is None."""
 
     def __init__(self, root: str | None = None, backend: str = "auto") -> None:
         self.root = root
         use_mem = root is None or backend == "mem"
+        make_kv = None
+        if not use_mem:
+            if backend in ("auto", "native"):
+                try:
+                    from .native_kv import NativeBackend, native_available
+
+                    if native_available():
+                        make_kv = NativeBackend
+                    elif backend == "native":
+                        raise RuntimeError("native backend requested but unavailable")
+                except (ImportError, RuntimeError):
+                    if backend == "native":
+                        raise
+            if make_kv is None:
+                make_kv = LogBackend
+        self.backend_kind = "mem" if use_mem else (
+            "native" if make_kv is not LogBackend else "log"
+        )
         self.tables: dict[str, Table] = {}
         for spec in TABLE_SPECS:
             if use_mem:
                 kv: KVBackend = MemBackend()
             else:
-                kv = LogBackend(os.path.join(root, spec.name))
+                kv = make_kv(os.path.join(root, spec.name))
             self.tables[spec.name] = Table(spec, kv)
         self._docs_dir = os.path.join(root, "docs") if root else None
         self._mem_docs: dict[str, bytes] = {}
@@ -206,8 +227,9 @@ class Database:
     def flush(self) -> None:
         for t in self.tables.values():
             kv = t._kv
-            if isinstance(kv, LogBackend):
+            if hasattr(kv, "flush"):
                 kv.flush()
+            if hasattr(kv, "maybe_compact"):
                 kv.maybe_compact()
 
     def close(self) -> None:

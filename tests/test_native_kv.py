@@ -1,0 +1,85 @@
+"""Native C++ KV backend: build, roundtrip, durability, compaction."""
+
+import pytest
+
+from spaghettisearch_tpu.store.tables import Database
+
+native = pytest.importorskip("spaghettisearch_tpu.store.native_kv")
+
+if not native.native_available():
+    pytest.skip("libfastkv.so not buildable", allow_module_level=True)
+
+
+def test_roundtrip(tmp_path):
+    b = native.NativeBackend(str(tmp_path / "t"))
+    assert len(b) == 0
+    b.set("k1", "v1")
+    b.set("k2", '{"json": [1,2,3]}')
+    assert b.get("k1") == "v1"
+    assert b.get("missing") is None
+    assert len(b) == 2
+    b.delete("k1")
+    assert b.get("k1") is None
+    b.set_many([("a", "1"), ("b", "2"), ("c", "3")])
+    assert dict(b.items()) == {"k2": '{"json": [1,2,3]}', "a": "1", "b": "2", "c": "3"}
+    b.close()
+
+
+def test_durability_and_compaction(tmp_path):
+    path = str(tmp_path / "t")
+    b = native.NativeBackend(path)
+    for i in range(1000):
+        b.set(f"k{i}", f"value-{i}" * 5)
+    b.delete("k0")
+    b.flush()
+    b.close()
+
+    b2 = native.NativeBackend(path)
+    assert len(b2) == 999
+    assert b2.get("k0") is None
+    assert b2.get("k500") == "value-500" * 5
+    b2.compact()
+    b2.close()
+
+    b3 = native.NativeBackend(path)
+    assert len(b3) == 999
+    assert b3.get("k999") == "value-999" * 5
+    b3.close()
+
+
+def test_unicode(tmp_path):
+    b = native.NativeBackend(str(tmp_path / "t"))
+    b.set("clé", "vàlüe ünïcode ✓")
+    assert b.get("clé") == "vàlüe ünïcode ✓"
+    b.close()
+
+
+def test_database_native_backend(tmp_path):
+    db = Database(str(tmp_path / "db"), backend="native")
+    assert db.backend_kind == "native"
+    db.word.set("wh", "hello")
+    db.inv_title.set("wh", {"dh": [1.0, -100.0]})
+    db.flush()
+    db.close()
+
+    db2 = Database(str(tmp_path / "db"), backend="native")
+    assert db2.word.get("wh") == "hello"
+    assert db2.inv_title.get("wh") == {"dh": [1.0, -100.0]}
+    db2.close()
+
+
+def test_torn_tail_record_recovered(tmp_path):
+    path = str(tmp_path / "t")
+    b = native.NativeBackend(path)
+    b.set("good", "value")
+    b.flush()
+    b.close()
+    import os
+
+    log = os.path.join(path, "data.log")
+    with open(log, "ab") as f:
+        f.write(b"\x00\x10\x00\x00\x00")  # truncated record header
+    b2 = native.NativeBackend(path)
+    assert b2.get("good") == "value"
+    assert len(b2) == 1
+    b2.close()
