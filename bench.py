@@ -107,7 +107,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from spaghettisearch_tpu.ops.scoring import score_queries
+    from spaghettisearch_tpu.ops.scoring import score_queries_forward
     from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
 
     n_docs, n_words = 100_000, 50_000
@@ -127,17 +127,12 @@ def main() -> None:
     ]
     qlen = jnp.full((batch,), float(q), jnp.float32)
     tp = jnp.zeros((batch, 1), jnp.float32)
-    e = 8
-    ph_docs = jnp.full((batch, e), n_docs, jnp.int32)
-    ph_zero = jnp.zeros((batch, e), jnp.float32)
 
     def run(tids):
-        return score_queries(
-            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
-            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+        return score_queries_forward(
+            idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
             idx.mag_title, idx.mag_body, idx.pagerank,
-            tids, qlen, tp, ph_docs, ph_zero, ph_zero, ph_zero,
-            posting_cap=idx.posting_cap, topk=topk, n_docs=n_docs,
+            tids, qlen, tp, topk=topk,
         )
 
     # warmup / compile (np.asarray forces a host round-trip: through the

@@ -31,7 +31,7 @@ def main() -> None:
         return dt
 
     # --- raw bandwidth: big reduce and big copy ---
-    big = jnp.ones((128 * 1024 * 1024,), jnp.float32)  # 512MB
+    big = jnp.ones((16 * 1024 * 1024,), jnp.float32)  # 64MB
 
     @jax.jit
     def reduce_big(x):
@@ -41,18 +41,18 @@ def main() -> None:
     def scale_big(x):
         return x * 1.0000001
 
-    timeit("reduce 512MB (read)", reduce_big, big, bytes_moved=512e6)
-    timeit("scale 512MB (read+write)", scale_big, big, bytes_moved=1024e6)
+    timeit("reduce 64MB (read)", reduce_big, big, bytes_moved=64e6)
+    timeit("scale 64MB (read+write)", scale_big, big, bytes_moved=128e6)
 
     # --- MXU flops probe ---
-    a = jnp.ones((8192, 8192), jnp.bfloat16)
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
 
     @jax.jit
     def mm(a):
         return jnp.dot(a, a, preferred_element_type=jnp.float32)
 
-    dt = timeit("matmul 8192^3 bf16", mm, a)
-    print(f"  -> {2*8192**3/dt/1e12:.1f} TFLOP/s", flush=True)
+    dt = timeit("matmul 4096^3 bf16", mm, a)
+    print(f"  -> {2*4096**3/dt/1e12:.1f} TFLOP/s", flush=True)
 
     # --- production forward scorer sweep ---
     n_docs, n_words = 100_000, 50_000

@@ -158,6 +158,52 @@ def score_queries_forward(
     return exact_top_k(final, topk)
 
 
+@partial(jax.jit, static_argnames=("topk", "n_blocks"))
+def score_queries_forward_phrase(
+    title_ft: jax.Array,
+    title_fw: jax.Array,
+    body_ft: jax.Array,
+    body_fw: jax.Array,
+    mag_title: jax.Array,
+    mag_body: jax.Array,
+    pagerank: jax.Array,
+    term_ids: jax.Array,  # int32 [B, Q]
+    query_len: jax.Array,  # f32 [B]
+    topic_probs: jax.Array,  # f32 [B, C]
+    phrase_doc_ids: jax.Array,  # int32 [B, E] host-compressed, pad = n_docs
+    phrase_title_w: jax.Array,  # f32 [B, E]
+    phrase_body_w: jax.Array,  # f32 [B, E]
+    phrase_flag: jax.Array,  # f32 [B, E]
+    *,
+    topk: int,
+    n_blocks: int = 16,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward keyword scoring + sparse phrase fold.
+
+    The phrase op's output is compressed on host to its (few) real matches
+    before this call, so the scatter is tiny — E is typically <= 1024 vs the
+    2*posting_cap device-side sparse width."""
+    n_docs = title_ft.shape[0]
+    b = term_ids.shape[0]
+    brow = jnp.arange(b)[:, None]
+
+    ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
+    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+
+    pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
+    pacc = pacc.at[brow, phrase_doc_ids].add(
+        jnp.stack([phrase_title_w, phrase_body_w, phrase_flag], axis=-1), mode="drop"
+    )
+    ts = ts + pacc[:, :n_docs, 0]
+    bs = bs + pacc[:, :n_docs, 1]
+    tc = tc + pacc[:, :n_docs, 2]
+
+    final = finalize_scores(
+        ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
+    )
+    return exact_top_k(final, topk)
+
+
 # ---------------------------------------------------------------------- #
 # CSR gather/scatter formulation (phrase + parity oracle)
 # ---------------------------------------------------------------------- #

@@ -25,7 +25,7 @@ import numpy as np
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..ops.phrase import match_phrase
-from ..ops.scoring import score_queries, score_queries_forward
+from ..ops.scoring import score_queries_forward, score_queries_forward_phrase
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -74,6 +74,8 @@ def parse_query(text: str) -> ParsedQuery:
 
 
 def _bucket(n: int, step: int = 4) -> int:
+    """Round up to a step multiple (pads dynamic sizes into a small set of
+    static shapes so jit retraces stay bounded)."""
     return max(((n + step - 1) // step) * step, step)
 
 
@@ -134,28 +136,34 @@ class QueryEngine:
                 )
                 return np.asarray(scores), np.asarray(ids)
 
-        e = 2 * idx.posting_cap
+        # phrase matches: device positional intersection, then host-compress
+        # the sparse results so the fold-in scatter is tiny
+        matches: list[tuple[np.ndarray, ...]] = []
+        for p in parsed:
+            if not p.phrase_hashes:
+                matches.append((np.zeros(0, np.int32),) * 4)
+                continue
+            d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
+            real = d < idx.n_docs
+            matches.append((d[real], tw[real], bw[real], fl[real]))
+        e = _bucket(max((len(m[0]) for m in matches), default=1), 64)
         ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
         ph_tw = np.zeros((b, e), dtype=np.float32)
         ph_bw = np.zeros((b, e), dtype=np.float32)
         ph_fl = np.zeros((b, e), dtype=np.float32)
-        for i, p in enumerate(parsed):
-            if not p.phrase_hashes:
-                continue
-            d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
-            ph_docs[i], ph_tw[i], ph_bw[i], ph_fl[i] = d, tw, bw, fl
+        for i, (d, tw, bw, fl) in enumerate(matches):
+            n = len(d)
+            ph_docs[i, :n], ph_tw[i, :n] = d, tw
+            ph_bw[i, :n], ph_fl[i, :n] = bw, fl
 
         with TRACER.span("rank.device"):
-            scores, ids = score_queries(
-                idx.title.offsets, idx.title.doc_ids, idx.title.weights,
-                idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            scores, ids = score_queries_forward_phrase(
+                idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
                 idx.mag_title, idx.mag_body, idx.pagerank,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                 jnp.asarray(ph_fl),
-                posting_cap=idx.posting_cap,
                 topk=min(topk, idx.n_docs) or 1,
-                n_docs=idx.n_docs,
             )
             return np.asarray(scores), np.asarray(ids)
 

@@ -232,6 +232,27 @@ class Database:
             if hasattr(kv, "maybe_compact"):
                 kv.maybe_compact()
 
+    def start_gc(self, interval_s: float = 7200.0) -> None:
+        """Background compaction daemon (the analogue of the reference's
+        BadgerDB value-log GC goroutine, database/database.go:20-25,315-332)."""
+        import threading
+
+        def loop() -> None:
+            while not self._gc_stop.wait(interval_s):
+                for t in self.tables.values():
+                    kv = t._kv
+                    if hasattr(kv, "maybe_compact"):
+                        kv.maybe_compact()
+
+        self._gc_stop = threading.Event()
+        t = threading.Thread(target=loop, daemon=True, name="store-gc")
+        t.start()
+        self._gc_thread = t
+
+    def stop_gc(self) -> None:
+        if hasattr(self, "_gc_stop"):
+            self._gc_stop.set()
+
     def close(self) -> None:
         for t in self.tables.values():
             t._kv.close()

@@ -1,0 +1,56 @@
+"""Snapshot save/load roundtrip + micro-bench smoke + GC daemon."""
+
+import numpy as np
+
+from corpus import build_corpus_db
+from spaghettisearch_tpu.index.persist import load_snapshot, save_snapshot
+from spaghettisearch_tpu.index.snapshot import build_snapshot
+from spaghettisearch_tpu.retrieval.engine import QueryEngine
+from spaghettisearch_tpu.store.tables import Database
+
+
+def test_snapshot_roundtrip(tmp_path):
+    db = build_corpus_db(n_pages=12, seed=4)
+    snap = build_snapshot(db)
+    save_snapshot(snap, str(tmp_path / "snap"))
+    again = load_snapshot(str(tmp_path / "snap"))
+
+    assert again.doc_hashes == snap.doc_hashes
+    assert again.word_hashes == snap.word_hashes
+    assert again.categories == snap.categories
+    for name in ("title", "body"):
+        a, b = getattr(snap, name), getattr(again, name)
+        np.testing.assert_array_equal(a.post_offsets, b.post_offsets)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.weights, b.weights)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        assert a.max_df == b.max_df
+    np.testing.assert_array_equal(snap.pagerank, again.pagerank)
+
+    # a loaded snapshot serves queries identically
+    e1 = QueryEngine(db, snapshot=snap)
+    e2 = QueryEngine(db, snapshot=again)
+    r1 = e1.query("algorithm database")
+    r2 = e2.query("algorithm database")
+    assert [x["Url"] for x in r1] == [x["Url"] for x in r2]
+
+
+def test_bench_micro_runs(capsys):
+    from spaghettisearch_tpu.cli.bench_micro import main
+
+    main([])
+    out = capsys.readouterr().out
+    assert "md5 hex of a word" in out
+    assert "intersect" in out
+
+
+def test_gc_daemon(tmp_path):
+    db = Database(str(tmp_path / "db"))
+    db.word.set("k", "v")
+    db.start_gc(interval_s=0.05)
+    import time
+
+    time.sleep(0.2)
+    db.stop_gc()
+    assert db.word.get("k") == "v"
+    db.close()
