@@ -1,0 +1,82 @@
+"""Pallas TPU kernel for forward-membership scoring.
+
+Computes, for one section and a query batch,
+
+    mult[b, d, j]  = #occurrences of ft[d, j] among query b's terms
+    score[b, d]    = sum_j fw[d, j] * mult[b, d, j]
+    count[b, d]    = sum_j mult[b, d, j]
+
+The XLA formulation (ops/scoring.py forward_section_scores) materializes the
+[B, Db, T] compare intermediates through HBM; here the forward-index tile
+([T, Db], term axis on sublanes, doc axis on 128-wide lanes) is loaded into
+VMEM once per doc block and reused across the whole query batch, with the
+compare/accumulate kept on-chip.
+
+Layout: the index is passed TRANSPOSED (ftT/fwT [T, D]) so the doc axis is
+the lane axis; T must be a multiple of 8 and D a multiple of the doc block
+(the DeviceIndex pads both).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(tq_ref, ft_ref, fw_ref, score_ref, count_ref, *, b_block: int, q: int):
+    ft = ft_ref[:]  # [T, Db] int32
+    fw = fw_ref[:]  # [T, Db] f32
+    b_total = tq_ref.shape[0]
+
+    def b_body(bi, _):
+        row = bi * b_block
+        tq = tq_ref[pl.ds(row, b_block), :]  # [Bb, Q]
+        mult = jnp.zeros((b_block,) + ft.shape, jnp.float32)
+        for qi in range(q):  # static unroll over query slots
+            t = tq[:, qi][:, None, None]  # [Bb, 1, 1]
+            mult = mult + (ft[None, :, :] == t).astype(jnp.float32)
+        score_ref[pl.ds(row, b_block), :] = jnp.sum(mult * fw[None, :, :], axis=1)
+        count_ref[pl.ds(row, b_block), :] = jnp.sum(mult, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, b_total // b_block, b_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("doc_block", "b_block", "interpret"))
+def pallas_forward_scores(
+    ftT: jax.Array,  # int32 [T, D] (transposed forward index, -1 pad)
+    fwT: jax.Array,  # f32 [T, D]
+    term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
+    *,
+    doc_block: int = 2048,
+    b_block: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """-> (score [B, D], count [B, D])."""
+    t, d = ftT.shape
+    b, q = term_ids.shape
+    assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    grid = (d // doc_block,)
+    kernel = functools.partial(_kernel, b_block=b_block, q=q)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(term_ids, ftT, fwT)

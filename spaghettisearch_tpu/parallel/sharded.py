@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.snapshot import IndexSnapshot, SectionCSR
 from ..ops.phrase import match_phrase
-from ..ops.scoring import score_dense
+from ..ops.scoring import finalize_scores, forward_section_scores
 
 
 def _repeat_blocks(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -111,6 +111,11 @@ class ShardedIndex:
     mag_title: jax.Array  # [S, Dl]
     mag_body: jax.Array  # [S, Dl]
     pagerank: jax.Array  # [S, Dl, C]
+    # doc-major forward views (per-shard local docs)
+    title_ft: jax.Array  # [S, Dl, Tt]
+    title_fw: jax.Array
+    body_ft: jax.Array  # [S, Dl, Tb]
+    body_fw: jax.Array
 
     @classmethod
     def from_snapshot(
@@ -139,6 +144,15 @@ class ShardedIndex:
             -(-max(snap.title.max_df, snap.body.max_df, 1) // 128) * 128,
             title_np["doc_ids"].shape[1],
         )
+
+        t_ft, t_fw = snap.title.forward(snap.n_docs)
+        b_ft, b_fw = snap.body.forward(snap.n_docs)
+
+        def pad_docs_fill(arr: np.ndarray, fill) -> np.ndarray:
+            out = np.full((n_shards * dl,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out.reshape((n_shards, dl) + arr.shape[1:])
+
         return cls(
             mesh=mesh,
             axis=axis,
@@ -153,6 +167,10 @@ class ShardedIndex:
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
+            title_ft=put(pad_docs_fill(t_ft, -1)),
+            title_fw=put(pad_docs_fill(t_fw, 0.0)),
+            body_ft=put(pad_docs_fill(b_ft, -1)),
+            body_fw=put(pad_docs_fill(b_fw, 0.0)),
         )
 
 
@@ -172,17 +190,18 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
     def block(
         t_off, t_did, t_w, t_poff, t_pos,
         b_off, b_did, b_w, b_poff, b_pos,
-        mt, mb, pr,
+        mt, mb, pr, tft, tfw, bft, bfw,
         term_ids, qlen, topic_probs,
         ph_ids, ph_valid, gen_idx,
     ):
         (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-         mt, mb, pr) = jax.tree.map(
+         mt, mb, pr, tft, tfw, bft, bfw) = jax.tree.map(
             lambda a: a[0],
             (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-             mt, mb, pr),
+             mt, mb, pr, tft, tfw, bft, bfw),
         )
         b = term_ids.shape[0]
+        e = 2 * cap
 
         def with_phrase(_):
             d, tw, bw, fl = match_phrase(
@@ -199,7 +218,6 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
             )
 
         def without_phrase(_):
-            e = 2 * cap
             return (
                 jnp.full((b, e), dl, jnp.int32),
                 jnp.zeros((b, e), jnp.float32),
@@ -211,11 +229,19 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
             jnp.any(ph_valid), with_phrase, without_phrase, None
         )
 
-        final = score_dense(
-            t_off, t_did, t_w, b_off, b_did, b_w, mt, mb, pr,
-            term_ids, qlen, topic_probs, ph_docs, ph_tw, ph_bw, ph_fl,
-            posting_cap=cap, n_docs=dl,
+        # local keyword scores via the forward formulation + phrase fold
+        ts, tc = forward_section_scores(tft, tfw, term_ids, n_blocks=4)
+        bs, bc = forward_section_scores(bft, bfw, term_ids, n_blocks=4)
+        brow = jnp.arange(b)[:, None]
+        pacc = jnp.zeros((b, dl + 1, 3), dtype=ts.dtype)
+        pacc = pacc.at[brow, ph_docs].add(
+            jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
         )
+        ts = ts + pacc[:, :dl, 0]
+        bs = bs + pacc[:, :dl, 1]
+        tc = tc + pacc[:, :dl, 2]
+        final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
+
         scores, ids = jax.lax.top_k(final, min(k, dl))
         ids = ids + jax.lax.axis_index(ax) * dl
 
@@ -231,7 +257,7 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
     sharded = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=tuple([P(ax)] * 13 + [P(), P(), P(), P(), P(), P()]),
+        in_specs=tuple([P(ax)] * 17 + [P(), P(), P(), P(), P(), P()]),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -243,6 +269,7 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
             t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
             bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
             sidx.mag_title, sidx.mag_body, sidx.pagerank,
+            sidx.title_ft, sidx.title_fw, sidx.body_ft, sidx.body_fw,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
         )
 
