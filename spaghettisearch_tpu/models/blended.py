@@ -1,0 +1,142 @@
+"""The flagship ranking model: PageRank-blended vector-space cosine.
+
+The reference hard-codes the model as scattered constants (blend weights at
+get_metadata.go:69, damping at start_crawl.go:175, top-50 at
+main_retrieve.go:99); here it is a first-class configurable model object
+whose defaults reproduce the reference exactly. The engine delegates device
+scoring to the model, so alternative model families (different blends,
+personalization vectors, per-section weighting) are drop-in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    MAX_RESULTS,
+    PAGERANK_CONVERGENCE,
+    PAGERANK_DAMPING,
+    SCORE_SCALE,
+    W_BODY,
+    W_PAGERANK,
+    W_TITLE,
+)
+from ..ops import scoring as _scoring
+
+
+@dataclass(frozen=True)
+class BlendedRanker:
+    """FinalRank = (w_pagerank*sqd + w_title*title + w_body*body) * scale,
+    cosine-normalized per section, candidates only."""
+
+    w_pagerank: float = W_PAGERANK
+    w_title: float = W_TITLE
+    w_body: float = W_BODY
+    scale: float = SCORE_SCALE
+    topk: int = MAX_RESULTS
+    damping: float = PAGERANK_DAMPING
+    convergence: float = PAGERANK_CONVERGENCE
+
+    def finalize(self, ts, tc, bs, bc, mag_t, mag_b, pagerank, qlen, topic_probs):
+        qmag = jnp.sqrt(qlen)[:, None]
+        tn = ts / (mag_t[None, :] * qmag)
+        bn = bs / (mag_b[None, :] * qmag)
+        tn = jnp.where(jnp.isnan(tn), 0.0, tn)
+        bn = jnp.where(jnp.isnan(bn), 0.0, bn)
+        sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
+        final = (self.w_pagerank * sqd + self.w_title * tn + self.w_body * bn) * self.scale
+        return jnp.where(tc + bc > 0, final, -jnp.inf)
+
+    def is_reference_blend(self) -> bool:
+        return (
+            self.w_pagerank == W_PAGERANK
+            and self.w_title == W_TITLE
+            and self.w_body == W_BODY
+            and self.scale == SCORE_SCALE
+        )
+
+    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None):
+        """Keyword batch -> (scores [B,K], doc ids [B,K]) on device."""
+        k = min(topk or self.topk, index.n_docs) or 1
+        if self.is_reference_blend():
+            return _scoring.score_queries_forward(
+                index.title.ft, index.title.fw, index.body.ft, index.body.fw,
+                index.mag_title, index.mag_body, index.pagerank,
+                term_ids, qlen, topic_probs, topk=k,
+            )
+        return self._custom_forward(index, term_ids, qlen, topic_probs, k)
+
+    def score_with_phrase(
+        self, index, term_ids, qlen, topic_probs,
+        ph_docs, ph_tw, ph_bw, ph_fl, topk=None,
+    ):
+        k = min(topk or self.topk, index.n_docs) or 1
+        if self.is_reference_blend():
+            return _scoring.score_queries_forward_phrase(
+                index.title.ft, index.title.fw, index.body.ft, index.body.fw,
+                index.mag_title, index.mag_body, index.pagerank,
+                term_ids, qlen, topic_probs,
+                ph_docs, ph_tw, ph_bw, ph_fl, topk=k,
+            )
+        return self._custom_forward(
+            index, term_ids, qlen, topic_probs, k, (ph_docs, ph_tw, ph_bw, ph_fl)
+        )
+
+    def _custom_forward(self, index, term_ids, qlen, topic_probs, k, phrase=None):
+        weights = jnp.array(
+            [self.w_pagerank, self.w_title, self.w_body, self.scale], jnp.float32
+        )
+        if phrase is None:
+            b = term_ids.shape[0]
+            e = 8
+            phrase = (
+                jnp.full((b, e), index.n_docs, jnp.int32),
+                jnp.zeros((b, e), jnp.float32),
+                jnp.zeros((b, e), jnp.float32),
+                jnp.zeros((b, e), jnp.float32),
+            )
+        return _custom_score(
+            index.title.ft, index.title.fw, index.body.ft, index.body.fw,
+            index.mag_title, index.mag_body, index.pagerank,
+            weights, term_ids, qlen, topic_probs, *phrase, topk=k,
+        )
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def _custom_score(
+    title_ft, title_fw, body_ft, body_fw,
+    mag_t, mag_b, pagerank,
+    weights,  # f32 [4]: w_pagerank, w_title, w_body, scale
+    term_ids, qlen, topic_probs,
+    ph_docs, ph_tw, ph_bw, ph_fl,
+    *,
+    topk: int,
+):
+    n_docs = title_ft.shape[0]
+    b = term_ids.shape[0]
+    ts, tc = _scoring.forward_section_scores(title_ft, title_fw, term_ids)
+    bs, bc = _scoring.forward_section_scores(body_ft, body_fw, term_ids)
+    brow = jnp.arange(b)[:, None]
+    pacc = jnp.zeros((b, n_docs + 1, 3), ts.dtype)
+    pacc = pacc.at[brow, ph_docs].add(
+        jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
+    )
+    ts = ts + pacc[:, :n_docs, 0]
+    bs = bs + pacc[:, :n_docs, 1]
+    tc = tc + pacc[:, :n_docs, 2]
+
+    qmag = jnp.sqrt(qlen)[:, None]
+    tn = ts / (mag_t[None, :] * qmag)
+    bn = bs / (mag_b[None, :] * qmag)
+    tn = jnp.where(jnp.isnan(tn), 0.0, tn)
+    bn = jnp.where(jnp.isnan(bn), 0.0, bn)
+    sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
+    final = (weights[0] * sqd + weights[1] * tn + weights[2] * bn) * weights[3]
+    final = jnp.where(tc + bc > 0, final, -jnp.inf)
+    return _scoring.exact_top_k(final, topk)

@@ -24,8 +24,8 @@ import numpy as np
 
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
+from ..models.blended import BlendedRanker
 from ..ops.phrase import match_phrase
-from ..ops.scoring import score_queries_forward, score_queries_forward_phrase
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -85,6 +85,7 @@ class QueryEngine:
     snapshot: IndexSnapshot | None = None
     index: DeviceIndex | None = None
     config: EngineConfig = field(default_factory=EngineConfig)
+    model: BlendedRanker = field(default_factory=BlendedRanker)
     use_topic_model: bool = False  # reference ships with the model disabled
     device: object | None = None
 
@@ -94,6 +95,16 @@ class QueryEngine:
         if self.index is None:
             self.index = DeviceIndex.from_snapshot(self.snapshot, self.device)
         self._wordlist_cache: list[str] | None = None
+
+    def refresh(self) -> None:
+        """Rebuild the snapshot + device index from the store and swap
+        atomically — the TPU-native analogue of the reference's in-place row
+        mutation under a global mutex (SURVEY §2.4: immutable snapshots +
+        atomic swap). In-flight queries keep the old arrays alive."""
+        snapshot = build_snapshot(self.db)
+        index = DeviceIndex.from_snapshot(snapshot, self.device)
+        self.snapshot, self.index = snapshot, index
+        self._wordlist_cache = None
 
     # ------------------------------------------------------------------ #
     # device ranking
@@ -127,12 +138,10 @@ class QueryEngine:
         if not has_phrase:
             # fast path: forward-membership scorer (no scatter/gather)
             with TRACER.span("rank.device"):
-                scores, ids = score_queries_forward(
-                    idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
-                    idx.mag_title, idx.mag_body, idx.pagerank,
+                scores, ids = self.model.score_keywords(
+                    idx,
                     jnp.asarray(term_ids), jnp.asarray(qlen),
-                    jnp.asarray(topic_probs),
-                    topk=min(topk, idx.n_docs) or 1,
+                    jnp.asarray(topic_probs), topk=topk,
                 )
                 return np.asarray(scores), np.asarray(ids)
 
@@ -157,13 +166,11 @@ class QueryEngine:
             ph_bw[i, :n], ph_fl[i, :n] = bw, fl
 
         with TRACER.span("rank.device"):
-            scores, ids = score_queries_forward_phrase(
-                idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
-                idx.mag_title, idx.mag_body, idx.pagerank,
+            scores, ids = self.model.score_with_phrase(
+                idx,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
-                jnp.asarray(ph_fl),
-                topk=min(topk, idx.n_docs) or 1,
+                jnp.asarray(ph_fl), topk=topk,
             )
             return np.asarray(scores), np.asarray(ids)
 
@@ -210,7 +217,10 @@ class QueryEngine:
         for row, i in enumerate(live):
             out = []
             for score, doc_id in zip(scores[row], ids[row]):
-                if not np.isfinite(score):
+                # -inf marks non-candidates; +inf is a legitimate score for a
+                # candidate whose magnitude is 0 (not yet weighted), matching
+                # the reference's IsNaN-only guard (get_metadata.go:61-66)
+                if score == -np.inf or np.isnan(score):
                     continue
                 out.append(self._hydrate(float(score), int(doc_id), parsed[i]))
             results[i] = out
