@@ -103,7 +103,95 @@ def synth_snapshot(
     )
 
 
+def bench_pagerank(n_nodes: int = 10_000, seed: int = 0) -> dict:
+    """BASELINE config 3: topic-sensitive PageRank convergence on a 10k-node
+    link graph (north star: < 1 s)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.pagerank import pagerank_power
+
+    rng = np.random.default_rng(seed)
+    out_deg = np.clip(rng.zipf(1.6, n_nodes), 0, 50)
+    srcs = np.repeat(np.arange(n_nodes, dtype=np.int32), out_deg)
+    dsts = rng.integers(0, n_nodes, len(srcs)).astype(np.int32)
+    order = np.argsort(dsts, kind="stable")
+    srcs, dsts = srcs[order], dsts[order]
+    n_pages = np.full(16, float(n_nodes), np.float32)  # 16 topic categories
+
+    args = (
+        jnp.asarray(srcs), jnp.asarray(dsts),
+        jnp.asarray(out_deg.astype(np.float32)), jnp.asarray(n_pages),
+    )
+    r = pagerank_power(*args, n_nodes, eps=1e-9, max_iters=100)
+    np.asarray(r)  # compile + sync
+    t0 = time.perf_counter()
+    r = pagerank_power(*args, n_nodes, eps=1e-9, max_iters=100)
+    np.asarray(r)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "pagerank_16topics_10k_nodes_wall_s",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(1.0 / max(dt, 1e-9), 3),  # target: < 1 s
+    }
+
+
+def bench_phrase(n_docs: int = 100_000, reps: int = 30) -> dict:
+    """BASELINE config 2: phrase-query latency (positional intersection)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.phrase import match_phrase
+    from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
+
+    snap = synth_snapshot(n_docs=n_docs, n_words=50_000)
+    idx = DeviceIndex.from_snapshot(snap)
+    rng = np.random.default_rng(2)
+    ids = np.full(4, snap.n_words, np.int32)
+    ids[:3] = rng.integers(0, 1000, 3)  # common terms: worst-case candidates
+    valid = np.array([True, True, True, False])
+
+    def run():
+        return match_phrase(
+            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+            idx.title.pos_offsets, idx.title.positions,
+            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            idx.body.pos_offsets, idx.body.positions,
+            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(0, jnp.int32),
+            posting_cap=idx.posting_cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+        )
+
+    np.asarray(run()[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "metric": "phrase_match_p50_ms_100k_docs",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(0.010 / max(dt, 1e-9), 3),  # target: 10 ms
+    }
+
+
 def main() -> None:
+    import sys
+
+    if "--mode" in sys.argv:
+        mode = sys.argv[sys.argv.index("--mode") + 1]
+        if mode == "pagerank":
+            print(json.dumps(bench_pagerank()))
+            return
+        if mode == "phrase":
+            print(json.dumps(bench_phrase()))
+            return
+        raise SystemExit(f"unknown mode {mode}")
+
     import jax
     import jax.numpy as jnp
 

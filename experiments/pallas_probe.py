@@ -82,7 +82,7 @@ def main() -> None:
         return exact_top_k(final, k)
 
     want = jax.tree.map(np.asarray, timeit("xla forward full", xla_full, tq, qlen, tp))
-    for doc_block, b_block in ((2048, 8), (4096, 8), (2048, 16), (1024, 32)):
+    for doc_block, b_block in ((1024, 8), (512, 8), (1024, 4)):
         got = jax.tree.map(
             np.asarray,
             timeit(
