@@ -64,7 +64,10 @@ def resolve_href(href: str, base_url: str) -> str | None:
         parts = urlsplit(base_url)
         if href[0] != "/":
             return clean_url(base_url + "/" + href)
-        return clean_url(parts.scheme + "://" + (parts.hostname or "") + href)
+        # deliberate fix vs the reference: keep the port when resolving
+        # root-relative hrefs (crawler.go:78 uses Hostname(), which drops
+        # non-default ports and would break any crawl of a :port site)
+        return clean_url(parts.scheme + "://" + parts.netloc + href)
     if href == base_url:
         return None
     return clean_url(href)
