@@ -216,11 +216,15 @@ def main() -> None:
     qlen = jnp.full((batch,), float(q), jnp.float32)
     tp = jnp.zeros((batch, 1), jnp.float32)
 
+    from spaghettisearch_tpu.ops.scoring import pallas_available
+
+    use_pallas = pallas_available()
+
     def run(tids):
         return score_queries_forward(
-            idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
+            idx.title.fwd, idx.body.fwd,
             idx.mag_title, idx.mag_body, idx.pagerank,
-            tids, qlen, tp, topk=topk,
+            tids, qlen, tp, topk=topk, use_pallas=use_pallas,
         )
 
     # warmup / compile (np.asarray forces a host round-trip: through the

@@ -63,9 +63,10 @@ class BlendedRanker:
         k = min(topk or self.topk, index.n_docs) or 1
         if self.is_reference_blend():
             return _scoring.score_queries_forward(
-                index.title.ft, index.title.fw, index.body.ft, index.body.fw,
+                index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
                 term_ids, qlen, topic_probs, topk=k,
+                use_pallas=_scoring.pallas_available(),
             )
         return self._custom_forward(index, term_ids, qlen, topic_probs, k)
 
@@ -76,10 +77,11 @@ class BlendedRanker:
         k = min(topk or self.topk, index.n_docs) or 1
         if self.is_reference_blend():
             return _scoring.score_queries_forward_phrase(
-                index.title.ft, index.title.fw, index.body.ft, index.body.fw,
+                index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
                 term_ids, qlen, topic_probs,
                 ph_docs, ph_tw, ph_bw, ph_fl, topk=k,
+                use_pallas=_scoring.pallas_available(),
             )
         return self._custom_forward(
             index, term_ids, qlen, topic_probs, k, (ph_docs, ph_tw, ph_bw, ph_fl)
@@ -93,7 +95,7 @@ class BlendedRanker:
             b = term_ids.shape[0]
             e = 8
             phrase = (
-                jnp.full((b, e), index.n_docs, jnp.int32),
+                jnp.full((b, e), index.n_docs_padded, jnp.int32),
                 jnp.zeros((b, e), jnp.float32),
                 jnp.zeros((b, e), jnp.float32),
                 jnp.zeros((b, e), jnp.float32),

@@ -39,6 +39,16 @@ import jax.numpy as jnp
 
 from ..config import SCORE_SCALE, W_BODY, W_PAGERANK, W_TITLE
 
+
+def pallas_available() -> bool:
+    """Use the Pallas membership kernel on real TPU backends; the XLA
+    formulation everywhere else (CPU tests, emulated meshes)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
+
+
 # ---------------------------------------------------------------------- #
 # exact top-k
 # ---------------------------------------------------------------------- #
@@ -133,12 +143,26 @@ def forward_section_scores(
     return score, count
 
 
-@partial(jax.jit, static_argnames=("topk", "n_blocks"))
+def _section_scores(fwd, term_ids, n_blocks: int, use_pallas: bool):
+    """Dispatch one section to the Pallas kernel (TPU) or the XLA
+    formulation. Pallas requires the batch padded to a multiple of 8."""
+    if not use_pallas:
+        return forward_section_scores(fwd.ft, fwd.fw, term_ids, n_blocks)
+    from .kernels.membership import pallas_forward_scores
+
+    b = term_ids.shape[0]
+    b_pad = -(-b // 8) * 8
+    tq = jnp.pad(
+        term_ids, ((0, b_pad - b), (0, 0)), constant_values=jnp.iinfo(jnp.int32).max
+    )
+    score, count = pallas_forward_scores(fwd.ftT, fwd.fwT, tq, doc_block=512)
+    return score[:b], count[:b]
+
+
+@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas"))
 def score_queries_forward(
-    title_ft: jax.Array,
-    title_fw: jax.Array,
-    body_ft: jax.Array,
-    body_fw: jax.Array,
+    title_fwd,  # ForwardArrays
+    body_fwd,  # ForwardArrays
     mag_title: jax.Array,
     mag_body: jax.Array,
     pagerank: jax.Array,
@@ -148,47 +172,47 @@ def score_queries_forward(
     *,
     topk: int,
     n_blocks: int = 16,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
-    ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
-    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+    ts, tc = _section_scores(title_fwd, term_ids, n_blocks, use_pallas)
+    bs, bc = _section_scores(body_fwd, term_ids, n_blocks, use_pallas)
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
     return exact_top_k(final, topk)
 
 
-@partial(jax.jit, static_argnames=("topk", "n_blocks"))
+@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas"))
 def score_queries_forward_phrase(
-    title_ft: jax.Array,
-    title_fw: jax.Array,
-    body_ft: jax.Array,
-    body_fw: jax.Array,
+    title_fwd,  # ForwardArrays
+    body_fwd,  # ForwardArrays
     mag_title: jax.Array,
     mag_body: jax.Array,
     pagerank: jax.Array,
     term_ids: jax.Array,  # int32 [B, Q]
     query_len: jax.Array,  # f32 [B]
     topic_probs: jax.Array,  # f32 [B, C]
-    phrase_doc_ids: jax.Array,  # int32 [B, E] host-compressed, pad = n_docs
+    phrase_doc_ids: jax.Array,  # int32 [B, E] host-compressed, pad >= n_docs
     phrase_title_w: jax.Array,  # f32 [B, E]
     phrase_body_w: jax.Array,  # f32 [B, E]
     phrase_flag: jax.Array,  # f32 [B, E]
     *,
     topk: int,
     n_blocks: int = 16,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward keyword scoring + sparse phrase fold.
 
     The phrase op's output is compressed on host to its (few) real matches
     before this call, so the scatter is tiny — E is typically <= 1024 vs the
     2*posting_cap device-side sparse width."""
-    n_docs = title_ft.shape[0]
+    n_docs = title_fwd.ft.shape[0]
     b = term_ids.shape[0]
     brow = jnp.arange(b)[:, None]
 
-    ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
-    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+    ts, tc = _section_scores(title_fwd, term_ids, n_blocks, use_pallas)
+    bs, bc = _section_scores(body_fwd, term_ids, n_blocks, use_pallas)
 
     pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
     pacc = pacc.at[brow, phrase_doc_ids].add(
@@ -287,9 +311,11 @@ def score_dense(
     body_score = body_score + pacc[:, :n_docs, 1]
     title_count = title_count + pacc[:, :n_docs, 2]
 
+    # doc-level arrays may be padded beyond n_docs (Pallas layout); slice
     return finalize_scores(
         title_score, title_count, body_score, body_count,
-        mag_title, mag_body, pagerank, query_len, topic_probs,
+        mag_title[:n_docs], mag_body[:n_docs], pagerank[:n_docs],
+        query_len, topic_probs,
     )
 
 

@@ -4,6 +4,7 @@ padding/sentinel layout the gather kernels expect."""
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -11,9 +12,23 @@ import numpy as np
 
 from ..index.snapshot import IndexSnapshot, SectionCSR
 
+#: doc-axis padding granularity; also the Pallas scorer's doc block
+DOC_BLOCK = 512
+
 
 def _round_up(n: int, m: int = 128) -> int:
     return max(((n + m - 1) // m) * m, m)
+
+
+class ForwardArrays(NamedTuple):
+    """Doc-major forward index in both layouts: [D, T] for the XLA
+    formulation, transposed [T, D] (doc axis on lanes) for the Pallas
+    kernel."""
+
+    ft: jax.Array  # int32 [D_pad, T]
+    fw: jax.Array  # f32 [D_pad, T]
+    ftT: jax.Array  # int32 [T, D_pad]
+    fwT: jax.Array  # f32 [T, D_pad]
 
 
 @dataclass
@@ -23,35 +38,54 @@ class DeviceSection:
     weights: jax.Array  # f32 [P_pad]
     pos_offsets: jax.Array  # int32 [P_pad+1]
     positions: jax.Array  # f32 [L_pad]
-    # doc-major view for the forward-membership keyword scorer
-    ft: jax.Array  # int32 [D, T_pad], -1 padding
-    fw: jax.Array  # f32 [D, T_pad]
+    fwd: ForwardArrays
 
     @classmethod
-    def from_csr(cls, csr: SectionCSR, n_docs: int, device=None) -> "DeviceSection":
+    def from_csr(
+        cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None
+    ) -> "DeviceSection":
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])
         ft, fw = csr.forward(n_docs)
+        ft = np.concatenate(
+            [ft, np.full((d_pad - n_docs, ft.shape[1]), -1, np.int32)]
+        )
+        fw = np.concatenate([fw, np.zeros((d_pad - n_docs, fw.shape[1]), np.float32)])
+        fwd = ForwardArrays(
+            ft=put(ft),
+            fw=put(fw),
+            ftT=put(np.ascontiguousarray(ft.T)),
+            fwT=put(np.ascontiguousarray(fw.T)),
+        )
         return cls(
             offsets=put(offsets.astype(np.int32)),
             doc_ids=put(csr.doc_ids),
             weights=put(csr.weights),
             pos_offsets=put(csr.pos_offsets),
             positions=put(csr.positions),
-            ft=put(ft),
-            fw=put(fw),
+            fwd=fwd,
         )
+
+    # convenience aliases used by the XLA formulation and tests
+    @property
+    def ft(self) -> jax.Array:
+        return self.fwd.ft
+
+    @property
+    def fw(self) -> jax.Array:
+        return self.fwd.fw
 
 
 @dataclass
 class DeviceIndex:
     title: DeviceSection
     body: DeviceSection
-    mag_title: jax.Array  # f32 [D]
-    mag_body: jax.Array  # f32 [D]
-    pagerank: jax.Array  # f32 [D, C] (C >= 1; zeros when no topics)
-    n_docs: int
+    mag_title: jax.Array  # f32 [D_pad]
+    mag_body: jax.Array  # f32 [D_pad]
+    pagerank: jax.Array  # f32 [D_pad, C] (C >= 1; zeros when no topics)
+    n_docs: int  # true doc count (hydration bound)
+    n_docs_padded: int
     n_words: int
     posting_cap: int  # covers max df across both sections
     pos_cap: int  # covers max positions per posting
@@ -59,6 +93,13 @@ class DeviceIndex:
     @classmethod
     def from_snapshot(cls, snap: IndexSnapshot, device=None) -> "DeviceIndex":
         put = lambda x: jax.device_put(x, device)  # noqa: E731
+        d_pad = _round_up(max(snap.n_docs, 1), DOC_BLOCK)
+
+        def pad_docs(a: np.ndarray) -> np.ndarray:
+            out = np.zeros((d_pad,) + a.shape[1:], dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
         if snap.pagerank is not None and snap.pagerank.shape[1] > 0:
             pr = snap.pagerank
         else:
@@ -66,12 +107,13 @@ class DeviceIndex:
         posting_cap = _round_up(max(snap.title.max_df, snap.body.max_df, 1))
         pos_cap = _round_up(max(snap.title.max_positions, snap.body.max_positions, 1), 8)
         return cls(
-            title=DeviceSection.from_csr(snap.title, snap.n_docs, device),
-            body=DeviceSection.from_csr(snap.body, snap.n_docs, device),
-            mag_title=put(snap.mag_title),
-            mag_body=put(snap.mag_body),
-            pagerank=put(pr),
+            title=DeviceSection.from_csr(snap.title, snap.n_docs, d_pad, device),
+            body=DeviceSection.from_csr(snap.body, snap.n_docs, d_pad, device),
+            mag_title=put(pad_docs(snap.mag_title)),
+            mag_body=put(pad_docs(snap.mag_body)),
+            pagerank=put(pad_docs(pr)),
             n_docs=snap.n_docs,
+            n_docs_padded=d_pad,
             n_words=snap.n_words,
             posting_cap=posting_cap,
             pos_cap=pos_cap,

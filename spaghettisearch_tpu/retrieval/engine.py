@@ -156,7 +156,9 @@ class QueryEngine:
             real = d < idx.n_docs
             matches.append((d[real], tw[real], bw[real], fl[real]))
         e = _bucket(max((len(m[0]) for m in matches), default=1), 64)
-        ph_docs = np.full((b, e), idx.n_docs, dtype=np.int32)
+        # pad slot = n_docs_padded: lands past the real doc range in the
+        # fold-in accumulator and is sliced away
+        ph_docs = np.full((b, e), idx.n_docs_padded, dtype=np.int32)
         ph_tw = np.zeros((b, e), dtype=np.float32)
         ph_bw = np.zeros((b, e), dtype=np.float32)
         ph_fl = np.zeros((b, e), dtype=np.float32)

@@ -38,7 +38,7 @@ def test_forward_matches_csr(engine, query):
     phz = np.zeros((1, e), np.float32)
 
     fs, fi = score_queries_forward(
-        idx.title.ft, idx.title.fw, idx.body.ft, idx.body.fw,
+        idx.title.fwd, idx.body.fwd,
         idx.mag_title, idx.mag_body, idx.pagerank,
         jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
         topk=min(50, idx.n_docs),
