@@ -41,18 +41,34 @@ _CONTENT_TYPES = {
 
 
 class SearchServer:
-    def __init__(self, engine: QueryEngine, static_dir: str = STATIC_DIR) -> None:
+    def __init__(
+        self,
+        engine: QueryEngine,
+        static_dir: str = STATIC_DIR,
+        batching: bool = True,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+    ) -> None:
         self.engine = engine
         self.static_dir = static_dir
         self._httpd: ThreadingHTTPServer | None = None
         # the device program is single-stream; serialize ranking calls
         self._rank_lock = threading.Lock()
+        self.batcher = None
+        if batching:
+            from .batcher import MicroBatcher
+
+            self.batcher = MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     # ------------------------------------------------------------------ #
     def handle_query(self, query: str) -> list[dict]:
-        with self._rank_lock, TRACER.span("serve.query"):
+        with TRACER.span("serve.query"):
             t0 = time.perf_counter()
-            results = self.engine.query(query)
+            if self.batcher is not None:
+                results = self.batcher.query(query)
+            else:
+                with self._rank_lock:
+                    results = self.engine.query(query)
             log.info("query %r -> %d results in %.1f ms",
                      query, len(results), 1e3 * (time.perf_counter() - t0))
             return results
@@ -142,7 +158,14 @@ class SearchServer:
                 elif path == "/healthz":
                     self._send_json({"ok": True, "docs": server.engine.index.n_docs})
                 elif path == "/stats":
-                    self._send_json(TRACER.report())
+                    stats = dict(TRACER.report())
+                    if server.batcher is not None:
+                        stats["microbatcher"] = {
+                            "batches": server.batcher.stats.batches,
+                            "queries": server.batcher.stats.queries,
+                            "mean_batch": round(server.batcher.stats.mean_batch, 2),
+                        }
+                    self._send_json(stats)
                 else:
                     self._send_static(path)
 
@@ -163,3 +186,5 @@ class SearchServer:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+        if self.batcher is not None:
+            self.batcher.shutdown()
