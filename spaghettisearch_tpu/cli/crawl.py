@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--skipODP", action="store_true")
     ap.add_argument("--damping", type=float, default=PAGERANK_DAMPING)
     ap.add_argument("--convergence", type=float, default=PAGERANK_CONVERGENCE)
+    ap.add_argument("--saveSnapshot", default=None,
+                    help="also export the columnar snapshot to this directory")
     args = ap.parse_args(argv)
 
     print("Crawler started...")
@@ -80,6 +82,12 @@ def main(argv: list[str] | None = None) -> None:
     update_term_weights(db, "body")
     print(f"Updating pagerank and idf takes {time.time() - timer:.1f}s")
     db.flush()
+    if args.saveSnapshot:
+        from ..index.persist import save_snapshot
+        from ..index.snapshot import build_snapshot
+
+        save_snapshot(build_snapshot(db), args.saveSnapshot)
+        print(f"Snapshot saved to {args.saveSnapshot}")
     db.close()
     print(f"\nTotal elapsed time: {time.time() - start:.1f}s")
     print(TRACER.report())

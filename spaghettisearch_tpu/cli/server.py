@@ -17,14 +17,23 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--port", type=int, default=int(os.environ.get("PORT") or 8080))
     ap.add_argument("--topicModel", action="store_true",
                     help="enable the topic-sensitive PageRank blend")
+    ap.add_argument("--snapshot", default=None,
+                    help="load a saved columnar snapshot instead of walking the store")
+    ap.add_argument("--noBatching", action="store_true")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     db = Database(args.db)
-    engine = QueryEngine(db, use_topic_model=args.topicModel)
+    db.start_gc()
+    snapshot = None
+    if args.snapshot:
+        from ..index.persist import load_snapshot
+
+        snapshot = load_snapshot(args.snapshot)
+    engine = QueryEngine(db, snapshot=snapshot, use_topic_model=args.topicModel)
     print(f"Loaded index: {engine.index.n_docs} docs, {engine.index.n_words} words")
     print(f"\nServer is running on port {args.port}")
-    SearchServer(engine).serve(port=args.port)
+    SearchServer(engine, batching=not args.noBatching).serve(port=args.port)
 
 
 if __name__ == "__main__":
