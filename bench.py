@@ -179,6 +179,58 @@ def bench_phrase(n_docs: int = 100_000, reps: int = 30) -> dict:
     }
 
 
+def bench_scale(n_docs: int = 1_000_000) -> dict:
+    """BASELINE config 5 (single-chip form): batched top-10 over a 1M-doc
+    corpus. The multi-chip variant shards the same arrays over a mesh
+    (parallel/sharded.py); with one physical chip we measure the per-chip
+    shard at full 1M-doc residency."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.scoring import pallas_available, score_queries_forward
+    from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
+
+    n_words = 200_000
+    batch = 256
+    snap = synth_snapshot(
+        n_docs=n_docs, n_words=n_words, body_terms_per_doc=48,
+        title_terms_per_doc=4, max_df=32_768,
+    )
+    idx = DeviceIndex.from_snapshot(snap)
+    rng = np.random.default_rng(1)
+    df = (snap.body.post_offsets[1:] - snap.body.post_offsets[:-1]).astype(np.float64)
+    p = df / df.sum()
+    batches = [
+        jnp.asarray(rng.choice(n_words, size=(batch, 4), p=p).astype(np.int32))
+        for _ in range(5)
+    ]
+    qlen = jnp.full((batch,), 4.0, jnp.float32)
+    tp = jnp.zeros((batch, 1), jnp.float32)
+    use_pallas = pallas_available()
+
+    def run(t):
+        return score_queries_forward(
+            idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body, idx.pagerank,
+            t, qlen, tp, topk=10, use_pallas=use_pallas,
+        )
+
+    np.asarray(run(batches[0])[0])
+    t0 = time.perf_counter()
+    outs = [run(t) for t in batches]
+    jax.block_until_ready(outs)
+    np.asarray(outs[-1][0])
+    dt = time.perf_counter() - t0
+    qps = len(batches) * batch / dt
+    return {
+        "metric": "batched_top10_qps_1m_docs",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 1000.0, 3),  # pro-rata: 10k qps per 100k docs
+    }
+
+
 def main() -> None:
     import sys
 
@@ -189,6 +241,9 @@ def main() -> None:
             return
         if mode == "phrase":
             print(json.dumps(bench_phrase()))
+            return
+        if mode == "scale1m":
+            print(json.dumps(bench_scale()))
             return
         raise SystemExit(f"unknown mode {mode}")
 

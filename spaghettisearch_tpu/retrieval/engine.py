@@ -87,6 +87,9 @@ class QueryEngine:
     config: EngineConfig = field(default_factory=EngineConfig)
     model: BlendedRanker = field(default_factory=BlendedRanker)
     use_topic_model: bool = False  # reference ships with the model disabled
+    # reference quirk: its naive-Bayes product is seeded at 0 so enabled
+    # still yields zero probabilities; fixed=True seeds at 1 (usable model)
+    topic_model_fixed: bool = False
     device: object | None = None
 
     def __post_init__(self) -> None:
@@ -130,7 +133,9 @@ class QueryEngine:
         topic_probs = np.zeros((b, idx.n_categories), dtype=np.float32)
         if self.use_topic_model:
             for i, p in enumerate(parsed):
-                probs = compute_topic_probs(self.db, p.keyword_hashes)
+                probs = compute_topic_probs(
+                    self.db, p.keyword_hashes, fixed=self.topic_model_fixed
+                )
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
@@ -258,7 +263,9 @@ class QueryEngine:
 
         pagerank = 0.0
         if self.use_topic_model:
-            probs = compute_topic_probs(self.db, parsed.keyword_hashes)
+            probs = compute_topic_probs(
+                self.db, parsed.keyword_hashes, fixed=self.topic_model_fixed
+            )
             ranks = self.db.doc_rank.get(doc_hash) or {}
             pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
 
