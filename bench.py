@@ -125,10 +125,12 @@ def bench_pagerank(n_nodes: int = 10_000, seed: int = 0) -> dict:
         jnp.asarray(srcs), jnp.asarray(dsts),
         jnp.asarray(out_deg.astype(np.float32)), jnp.asarray(n_pages),
     )
-    r = pagerank_power(*args, n_nodes, eps=1e-9, max_iters=100)
+    # eps 1e-6 ~= the f32 delta floor; the reference's 1e-20 is below f64
+    # noise too and simply iterates to a fixed point (pagerank.go:93)
+    r = pagerank_power(*args, n_nodes, eps=1e-6, max_iters=100)
     np.asarray(r)  # compile + sync
     t0 = time.perf_counter()
-    r = pagerank_power(*args, n_nodes, eps=1e-9, max_iters=100)
+    r = pagerank_power(*args, n_nodes, eps=1e-6, max_iters=100)
     np.asarray(r)
     dt = time.perf_counter() - t0
     return {

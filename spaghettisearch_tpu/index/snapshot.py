@@ -114,6 +114,16 @@ class SectionCSR:
         dense compare/weighted-reduce over [B, D, T] with no scatter/gather
         (ops/scoring.py), which measures ~200x faster than scatter-add on
         TPU. T_pad is the max distinct terms of any doc, rounded up."""
+        ft, fw, _ = self.forward_with_postings(n_docs)
+        return ft, fw
+
+    def forward_with_postings(
+        self, n_docs: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """forward() plus fj int32 [D, T_pad]: each doc-term's global posting
+        index into this CSR (pad slots point at the CSR's always-empty final
+        pad posting), used by the phrase kernel to jump from a matched
+        doc-term straight to its position list."""
         n_words = self.post_offsets.shape[0] - 1
         n_post = self.n_postings
         word_of_post = np.repeat(
@@ -128,9 +138,11 @@ class SectionCSR:
         slot = np.arange(n_post, dtype=np.int64) - offsets[docs_s]
         ft = np.full((n_docs, t_pad), -1, np.int32)
         fw = np.zeros((n_docs, t_pad), np.float32)
+        fj = np.full((n_docs, t_pad), self.doc_ids.shape[0] - 1, np.int32)
         ft[docs_s, slot] = word_of_post[order]
         fw[docs_s, slot] = self.weights[order]
-        return ft, fw
+        fj[docs_s, slot] = order.astype(np.int32)
+        return ft, fw, fj
 
     def df(self, word_ids: np.ndarray) -> np.ndarray:
         """Document frequency per word id; the unknown-word sentinel

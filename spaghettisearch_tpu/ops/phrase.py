@@ -34,6 +34,108 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("posting_cap", "pos_cap", "n_docs"))
+def match_phrase_fwd(
+    # forward views ([D_pad, T]) + positional CSR per section
+    title_ft: jax.Array,
+    title_fj: jax.Array,
+    title_weights: jax.Array,
+    title_pos_offsets: jax.Array,
+    title_positions: jax.Array,
+    body_ft: jax.Array,
+    body_fj: jax.Array,
+    body_weights: jax.Array,
+    body_pos_offsets: jax.Array,
+    body_positions: jax.Array,
+    # CSR row windows of the generator term (candidate source)
+    title_offsets: jax.Array,
+    title_doc_ids: jax.Array,
+    body_offsets: jax.Array,
+    body_doc_ids: jax.Array,
+    term_ids: jax.Array,  # int32 [P]
+    term_valid: jax.Array,  # bool [P]
+    gen_idx: jax.Array,  # int32 scalar
+    *,
+    posting_cap: int,  # covers the GENERATOR term's df only
+    pos_cap: int,
+    n_docs: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Forward-index phrase matcher: membership and posting lookup are dense
+    compares against each candidate's term list (no binary searches), using
+    fj to jump to position lists. ~100x less gather traffic than the
+    searchsorted formulation for selective phrases, since posting_cap only
+    needs to cover the rarest term. Semantics identical to match_phrase."""
+    p = term_ids.shape[0]
+    shift = jnp.arange(p, dtype=jnp.float32)
+
+    # --- candidates from the generator term's CSR windows (title+body) ---
+    t_docs, _, _ = _gather_term_windows(
+        title_offsets, title_doc_ids, term_ids[gen_idx][None], posting_cap
+    )
+    b_docs, _, _ = _gather_term_windows(
+        body_offsets, body_doc_ids, term_ids[gen_idx][None], posting_cap
+    )
+    cand = jnp.sort(jnp.concatenate([t_docs[0], b_docs[0]]))  # [E]
+    first = jnp.concatenate([jnp.array([True]), cand[1:] != cand[:-1]])
+    is_real = cand < n_docs
+    keep_slot = first & is_real
+    d_pad = title_ft.shape[0]
+    cand_row = jnp.where(keep_slot, cand, d_pad - 1)  # pad doc row: all -1
+
+    def section(ft, fj, weights, pos_offsets, positions):
+        ftc = ft[cand_row]  # [E, T] row gather
+        fjc = fj[cand_row]
+        eq = ftc[None, :, :] == term_ids[:, None, None]  # [P, E, T]
+        found = jnp.any(eq, axis=-1)  # [P, E]
+        j = jnp.max(jnp.where(eq, fjc[None], 0), axis=-1)  # unique per row
+        j = jnp.where(found, j, pos_offsets.shape[0] - 2)  # -> empty range
+        w = jnp.where(found, weights[jnp.minimum(j, weights.shape[0] - 1)], 0.0)
+        p_start = pos_offsets[j]
+        p_end = jnp.where(found, pos_offsets[j + 1], p_start)
+        pidx = p_start[..., None] + jnp.arange(pos_cap, dtype=jnp.int32)
+        pvalid = pidx < p_end[..., None]
+        pidx = jnp.where(pvalid, pidx, positions.shape[0] - 1)
+        pos = jnp.where(pvalid, positions[pidx], jnp.inf) - shift[:, None, None]
+        return found, w, pos
+
+    t_found, t_w, t_pos = section(
+        title_ft, title_fj, title_weights, title_pos_offsets, title_positions
+    )
+    b_found, b_w, b_pos = section(
+        body_ft, body_fj, body_weights, body_pos_offsets, body_positions
+    )
+
+    tv = term_valid
+    present_all = jnp.all(jnp.where(tv[:, None], t_found | b_found, True), axis=0)
+    title_all = jnp.all(jnp.where(tv[:, None], t_found, True), axis=0)
+    body_all = jnp.all(jnp.where(tv[:, None], b_found, True), axis=0)
+
+    def intersect(pos_pec):
+        """True where some shifted position of term 0 appears in every valid
+        term's list — pairwise compares, no searches."""
+        p0 = pos_pec[0]  # [E, C]
+        member = p0[None, :, :, None] == pos_pec[:, :, None, :]  # [P,E,C,C']
+        hit = jnp.any(member, axis=-1)  # [P, E, C]
+        hit = jnp.where(tv[:, None, None], hit, True)
+        all_terms = jnp.all(hit, axis=0)  # [E, C]
+        return jnp.any(all_terms & jnp.isfinite(p0), axis=-1)
+
+    t_match = intersect(t_pos)
+    b_match = intersect(b_pos)
+
+    title_ok = present_all & title_all & t_match & keep_slot
+    body_ok = present_all & body_all & b_match & keep_slot
+    keep = title_ok | body_ok
+
+    sum_t = jnp.sum(jnp.where(tv[:, None], t_w, 0.0), axis=0)
+    sum_b = jnp.sum(jnp.where(tv[:, None], b_w, 0.0), axis=0)
+
+    out_docs = jnp.where(keep, cand, n_docs).astype(jnp.int32)
+    out_tw = jnp.where(title_ok, sum_t, 0.0)
+    out_bw = jnp.where(body_ok, sum_b, 0.0)
+    return out_docs, out_tw, out_bw, keep.astype(jnp.float32)
+
+
 def _gather_term_windows(offsets, doc_ids, term_ids, posting_cap):
     """[P] term ids -> (docs [P,L] sorted w/ sentinel pad, start [P], valid [P,L])."""
     start = offsets[term_ids]

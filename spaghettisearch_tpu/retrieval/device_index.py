@@ -22,10 +22,11 @@ def _round_up(n: int, m: int = 128) -> int:
 class ForwardArrays(NamedTuple):
     """Doc-major forward index in both layouts: [D, T] for the XLA
     formulation, transposed [T, D] (doc axis on lanes) for the Pallas
-    kernel."""
+    kernel; fj maps each doc-term to its CSR posting (phrase kernel)."""
 
     ft: jax.Array  # int32 [D_pad, T]
     fw: jax.Array  # f32 [D_pad, T]
+    fj: jax.Array  # int32 [D_pad, T] posting index (pad -> empty posting)
     ftT: jax.Array  # int32 [T, D_pad]
     fwT: jax.Array  # f32 [T, D_pad]
 
@@ -46,14 +47,17 @@ class DeviceSection:
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])
-        ft, fw = csr.forward(n_docs)
-        ft = np.concatenate(
-            [ft, np.full((d_pad - n_docs, ft.shape[1]), -1, np.int32)]
+        ft, fw, fj = csr.forward_with_postings(n_docs)
+        pad_rows = d_pad - n_docs
+        ft = np.concatenate([ft, np.full((pad_rows, ft.shape[1]), -1, np.int32)])
+        fw = np.concatenate([fw, np.zeros((pad_rows, fw.shape[1]), np.float32)])
+        fj = np.concatenate(
+            [fj, np.full((pad_rows, fj.shape[1]), csr.doc_ids.shape[0] - 1, np.int32)]
         )
-        fw = np.concatenate([fw, np.zeros((d_pad - n_docs, fw.shape[1]), np.float32)])
         fwd = ForwardArrays(
             ft=put(ft),
             fw=put(fw),
+            fj=put(fj),
             ftT=put(np.ascontiguousarray(ft.T)),
             fwT=put(np.ascontiguousarray(fw.T)),
         )

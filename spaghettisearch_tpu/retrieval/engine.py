@@ -25,7 +25,7 @@ import numpy as np
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..models.blended import BlendedRanker
-from ..ops.phrase import match_phrase
+from ..ops.phrase import match_phrase_fwd
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -191,17 +191,25 @@ class QueryEngine:
         valid[: len(phrase_hashes)] = True
         # generator term = rarest (smallest title+body df); every true match
         # must contain it, so its postings cover the candidate set
-        dfs = snap.title.df(ids[: len(phrase_hashes)]) + snap.body.df(
-            ids[: len(phrase_hashes)]
-        )
-        gen = int(np.argmin(dfs))
-        d, tw, bw, fl = match_phrase(
-            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+        real_ids = ids[: len(phrase_hashes)]
+        t_df = snap.title.df(real_ids)
+        b_df = snap.body.df(real_ids)
+        gen = int(np.argmin(t_df + b_df))
+        # cap only needs the generator's windows — bucket to a power of two
+        cap = 128
+        need = int(max(t_df[gen], b_df[gen], 1))
+        while cap < need:
+            cap *= 2
+        cap = min(cap, idx.posting_cap)
+        d, tw, bw, fl = match_phrase_fwd(
+            idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
             idx.title.pos_offsets, idx.title.positions,
-            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
             idx.body.pos_offsets, idx.body.positions,
+            idx.title.offsets, idx.title.doc_ids,
+            idx.body.offsets, idx.body.doc_ids,
             jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
-            posting_cap=idx.posting_cap,
+            posting_cap=cap,
             pos_cap=idx.pos_cap,
             n_docs=idx.n_docs,
         )
