@@ -142,12 +142,14 @@ def bench_pagerank(n_nodes: int = 10_000, seed: int = 0) -> dict:
 
 
 def bench_phrase(n_docs: int = 100_000, reps: int = 30) -> dict:
-    """BASELINE config 2: phrase-query latency (positional intersection)."""
+    """BASELINE config 2: phrase-query latency (positional intersection),
+    on the production forward-index matcher. Worst case: all phrase terms
+    common, so the generator term's candidate window is at its widest."""
     import time
 
     import jax.numpy as jnp
 
-    from spaghettisearch_tpu.ops.phrase import match_phrase
+    from spaghettisearch_tpu.ops.phrase import match_phrase_fwd
     from spaghettisearch_tpu.retrieval.device_index import DeviceIndex
 
     snap = synth_snapshot(n_docs=n_docs, n_words=50_000)
@@ -156,15 +158,24 @@ def bench_phrase(n_docs: int = 100_000, reps: int = 30) -> dict:
     ids = np.full(4, snap.n_words, np.int32)
     ids[:3] = rng.integers(0, 1000, 3)  # common terms: worst-case candidates
     valid = np.array([True, True, True, False])
+    t_df = snap.title.df(ids[:3])
+    b_df = snap.body.df(ids[:3])
+    gen = int(np.argmin(t_df + b_df))
+    cap = 128
+    while cap < max(t_df[gen], b_df[gen], 1):
+        cap *= 2
+    cap = min(cap, idx.posting_cap)
 
     def run():
-        return match_phrase(
-            idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+        return match_phrase_fwd(
+            idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
             idx.title.pos_offsets, idx.title.positions,
-            idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+            idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
             idx.body.pos_offsets, idx.body.positions,
-            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(0, jnp.int32),
-            posting_cap=idx.posting_cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+            idx.title.offsets, idx.title.doc_ids,
+            idx.body.offsets, idx.body.doc_ids,
+            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
+            posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
         )
 
     np.asarray(run()[0])
