@@ -14,3 +14,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
     import numpy as np
 
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh2d(
+    n_q: int, n_d: int, axes: tuple[str, str] = ("q", "d")
+) -> Mesh:
+    """2-D mesh: query batches data-parallel over `q` (no communication),
+    docs sharded over `d` (per-shard top-k + all-gather merge rides the
+    inner, fastest ICI axis). Index arrays are replicated across `q`."""
+    import numpy as np
+
+    devs = jax.devices()
+    if len(devs) < n_q * n_d:
+        raise ValueError(f"need {n_q * n_d} devices, have {len(devs)}")
+    return Mesh(np.array(devs[: n_q * n_d]).reshape(n_q, n_d), axes)

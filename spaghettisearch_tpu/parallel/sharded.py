@@ -174,15 +174,24 @@ class ShardedIndex:
         )
 
 
-def make_sharded_scorer(sidx: ShardedIndex, topk: int):
+def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = None):
     """Build the jit'd multi-chip query step.
 
     Returns run(term_ids [B,Q], qlen [B], topic_probs [B,C],
                 phrase_term_ids [P], phrase_valid [P], gen_idx) ->
     (scores [B,K], global doc ids [B,K]). Pass phrase_valid all-False for
     keyword-only batches.
+
+    On a 2-D mesh (make_mesh2d), the query batch is additionally split
+    data-parallel over `batch_axis` (auto-detected: any mesh axis other than
+    the doc axis): each q-row scores B/n_q queries against the full
+    doc-sharded index, and no data crosses the q axis. B must divide by n_q.
     """
     mesh, ax = sidx.mesh, sidx.axis
+    if batch_axis is None:
+        others = [a for a in mesh.axis_names if a != ax and mesh.shape[a] > 1]
+        batch_axis = others[0] if others else None
+    bspec = P(batch_axis) if batch_axis else P()
     dl = sidx.docs_per_shard
     cap, pcap = sidx.posting_cap, sidx.pos_cap
     k = topk
@@ -257,8 +266,8 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int):
     sharded = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=tuple([P(ax)] * 17 + [P(), P(), P(), P(), P(), P()]),
-        out_specs=(P(), P()),
+        in_specs=tuple([P(ax)] * 17 + [bspec, bspec, bspec, P(), P(), P()]),
+        out_specs=(bspec, bspec),
         check_vma=False,
     )
 

@@ -131,3 +131,36 @@ def test_sharded_pagerank_matches(db, mesh):
         sharded_pagerank(mesh, es, ed, od.astype(np.float32), n_pages, n, eps=1e-10)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_2d_mesh_batch_dp_matches_1d(engine):
+    """(q=2, d=4) mesh: query batch split data-parallel over q, docs over d;
+    results must equal the 1-D doc-sharded mesh row for row."""
+    from spaghettisearch_tpu.parallel.mesh import make_mesh2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh1 = make_mesh(4)
+    mesh2 = make_mesh2d(2, 4)
+
+    sidx1 = ShardedIndex.from_snapshot(engine.snapshot, mesh1)
+    sidx2 = ShardedIndex.from_snapshot(engine.snapshot, mesh2)
+    scorer1 = make_sharded_scorer(sidx1, topk=20)
+    scorer2 = make_sharded_scorer(sidx2, topk=20)
+
+    rng = np.random.default_rng(0)
+    b, q = 4, 3
+    term_ids = rng.integers(0, engine.snapshot.n_words, (b, q)).astype(np.int32)
+    qlen = np.full((b,), float(q), np.float32)
+    tp = np.zeros((b, sidx1.pagerank.shape[-1]), np.float32)
+    ph_ids = np.full(4, engine.snapshot.n_words, np.int32)
+    ph_valid = np.zeros(4, bool)
+
+    args = (
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
+        jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(0, jnp.int32),
+    )
+    s1, i1 = map(np.asarray, scorer1(*args))
+    s2, i2 = map(np.asarray, scorer2(*args))
+    np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i2, i1)
