@@ -65,6 +65,10 @@ class AiohttpFetcher:
 
     async def __call__(self, url: str) -> FetchResult:
         async with self._session.get(url) as resp:
+            # deliberate fix vs the reference: treat HTTP errors as fetch
+            # failures (budget re-credit) instead of indexing 404/5xx bodies
+            # as documents (crawler.go:119-126 never checks StatusCode)
+            resp.raise_for_status()
             body = await resp.read()
             cl = resp.headers.get("Content-Length")
             return FetchResult(

@@ -89,6 +89,8 @@ async def crawl(
         return [(url, child) for child in page.links]
 
     try:
+        for t in db.tables.values():  # write-back rows for the whole crawl
+            t.enter_bulk()
         depth = 0
         while queue and len(visited) < budget:
             log(f"Depth: {depth} - Queued: {len(queue)}")
@@ -112,9 +114,12 @@ async def crawl(
                 queue.extend(children)
             depth += 1
             stats.depths = depth
+            db.flush_bulk()  # durability checkpoint at each depth barrier
             db.flush()
     finally:
         indexer_pool.shutdown(wait=True)
+        for t in db.tables.values():
+            t.exit_bulk()
         if own_fetcher is not None:
             await own_fetcher.__aexit__(None, None, None)
 

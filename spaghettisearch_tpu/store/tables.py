@@ -64,37 +64,100 @@ TABLE_SPECS: tuple[TableSpec, ...] = (
 )
 
 
+_DELETED = object()  # bulk-cache tombstone
+
+
 class Table:
-    """Typed view over a KV backend: values are JSON-encoded via the spec."""
+    """Typed view over a KV backend: values are JSON-encoded via the spec.
+
+    Bulk mode (enter_bulk/exit_bulk, via Database.bulk()) keeps decoded
+    values in a write-back cache and serializes each dirty row ONCE at
+    flush. Per-page read-modify-write of hot posting rows is O(df) decodes
+    + encodes per row without it (quadratic in total postings per crawl —
+    the reference pays exactly this, indexer.go:357-402); with it, a bulk
+    crawl pays one decode and one encode per row per flush epoch."""
 
     def __init__(self, spec: TableSpec, backend: KVBackend) -> None:
         self.spec = spec
         self._kv = backend
+        self._cache: dict[str, Any] | None = None
+        self._dirty: set[str] | None = None
+
+    # --- bulk write-back mode ---
+    def enter_bulk(self) -> None:
+        if self._cache is None:
+            self._cache = {}
+            self._dirty = set()
+
+    def flush_bulk(self) -> None:
+        """Persist dirty rows; keep the read cache warm."""
+        if self._cache is None or not self._dirty:
+            return
+        enc = self.spec.encode
+        puts: list[tuple[str, str]] = []
+        for k in self._dirty:
+            v = self._cache[k]
+            if v is _DELETED:
+                self._kv.delete(k)
+            else:
+                puts.append((k, json.dumps(enc(v))))
+        if puts:
+            self._kv.set_many(puts)
+        self._dirty.clear()
+
+    def exit_bulk(self) -> None:
+        if self._cache is None:
+            return
+        self.flush_bulk()
+        self._cache = None
+        self._dirty = None
 
     def get(self, key: str) -> Any | None:
+        if self._cache is not None:
+            v = self._cache.get(key)
+            if v is _DELETED:
+                return None
+            if v is not None:
+                return v
         raw = self._kv.get(key)
         if raw is None:
             return None
-        return self.spec.decode(json.loads(raw))
+        val = self.spec.decode(json.loads(raw))
+        if self._cache is not None:
+            self._cache[key] = val
+        return val
 
     def __contains__(self, key: str) -> bool:
+        if self._cache is not None and key in self._cache:
+            return self._cache[key] is not _DELETED
         return self._kv.get(key) is not None
 
     def set(self, key: str, value: Any) -> None:
+        if self._cache is not None:
+            self._cache[key] = value
+            self._dirty.add(key)
+            return
         self._kv.set(key, json.dumps(self.spec.encode(value)))
 
     def delete(self, key: str) -> None:
+        if self._cache is not None:
+            self._cache[key] = _DELETED
+            self._dirty.add(key)
+            return
         self._kv.delete(key)
 
     def items(self) -> Iterator[tuple[str, Any]]:
+        self.flush_bulk()  # iteration sees every bulk write
         dec = self.spec.decode
         for k, raw in self._kv.items():
             yield k, dec(json.loads(raw))
 
     def keys(self) -> list[str]:
+        self.flush_bulk()
         return [k for k, _ in self._kv.items()]
 
     def __len__(self) -> int:
+        self.flush_bulk()
         return len(self._kv)
 
     def batch(self) -> "BatchWriter":
@@ -109,6 +172,10 @@ class BatchWriter:
         self._buf: list[tuple[str, str]] = []
 
     def set(self, key: str, value: Any) -> None:
+        if self._table._cache is not None:
+            # bulk mode: the write-back cache IS the batch
+            self._table.set(key, value)
+            return
         self._buf.append((key, json.dumps(self._table.spec.encode(value))))
 
     def flush(self) -> None:
@@ -232,6 +299,17 @@ class Database:
             if hasattr(kv, "maybe_compact"):
                 kv.maybe_compact()
 
+    # --- bulk indexing mode ---
+    def bulk(self) -> "_BulkSession":
+        """Write-back caching across all tables for crawl-scale indexing:
+        decoded rows stay in memory, each dirty row is serialized once per
+        flush_bulk() epoch instead of once per page touching it."""
+        return _BulkSession(self)
+
+    def flush_bulk(self) -> None:
+        for t in self.tables.values():
+            t.flush_bulk()
+
     def start_gc(self, interval_s: float = 7200.0) -> None:
         """Background compaction daemon (the analogue of the reference's
         BadgerDB value-log GC goroutine, database/database.go:20-25,315-332)."""
@@ -255,4 +333,19 @@ class Database:
 
     def close(self) -> None:
         for t in self.tables.values():
+            t.exit_bulk()
             t._kv.close()
+
+
+class _BulkSession:
+    def __init__(self, db: Database) -> None:
+        self._db = db
+
+    def __enter__(self) -> "Database":
+        for t in self._db.tables.values():
+            t.enter_bulk()
+        return self._db
+
+    def __exit__(self, *exc) -> None:
+        for t in self._db.tables.values():
+            t.exit_bulk()

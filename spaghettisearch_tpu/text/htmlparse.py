@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from urllib.parse import urlsplit
+from urllib.parse import urljoin
 
 from lxml import etree, html as lxml_html
 
@@ -61,13 +61,13 @@ def resolve_href(href: str, base_url: str) -> str | None:
         if low.endswith(ext):
             return None
     if len(href) < 4 or (href[:4] != "http" and href[:4] != "www."):
-        parts = urlsplit(base_url)
-        if href[0] != "/":
-            return clean_url(base_url + "/" + href)
-        # deliberate fix vs the reference: keep the port when resolving
-        # root-relative hrefs (crawler.go:78 uses Hostname(), which drops
-        # non-default ports and would break any crawl of a :port site)
-        return clean_url(parts.scheme + "://" + parts.netloc + href)
+        # deliberate fixes vs the reference: (a) RFC-3986 resolution — the
+        # reference appends base+"/"+href (crawler.go:82-83), which mangles
+        # any base URL carrying a file segment (http://h/a.html + b.html ->
+        # http://h/a.html/b.html); (b) keep the port (crawler.go:78 uses
+        # Hostname(), which drops non-default ports and would break any
+        # crawl of a :port site)
+        return clean_url(urljoin(base_url, href))
     if href == base_url:
         return None
     return clean_url(href)

@@ -12,6 +12,7 @@ position -100.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from ..config import META_POSITION
 from .porter2 import stem
@@ -20,13 +21,16 @@ from .stopwords import is_stopword
 _NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")
 _TOKEN = re.compile(r"\S+")
 
+# corpora are Zipf-distributed: the same words stem over and over
+_stem = lru_cache(maxsize=1 << 17)(stem)
+
 
 def laundry(text: str) -> list[str]:
     """Clean raw text into a list of stemmed, stopword-filtered tokens."""
     text = _NON_ALNUM.sub(" ", text)
     out: list[str] = []
     for raw in _TOKEN.findall(text):
-        cleaned = stem(raw.lower())
+        cleaned = _stem(raw.lower())
         if not is_stopword(cleaned):
             out.append(cleaned)
     return out

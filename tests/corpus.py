@@ -52,9 +52,10 @@ def build_corpus_db(n_pages: int = 20, seed: int = 0, root: str | None = None) -
     db.topic_meta.set("Arts", {"numPages": float(2 * n_pages), "wordCount": 80.0})
 
     ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
-    for i in range(n_pages):
-        url, html = make_page(rng, i, n_pages, base)
-        index_page(db, html, url, last_modified=ts)
+    with db.bulk():
+        for i in range(n_pages):
+            url, html = make_page(rng, i, n_pages, base)
+            index_page(db, html, url, last_modified=ts)
 
     update_pagerank(db)
     update_term_weights(db, "title")

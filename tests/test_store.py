@@ -79,3 +79,56 @@ def test_compaction(tmp_path):
     assert db2.word.get("k99") == "v99"
     assert len(db2.word) == 99
     db2.close()
+
+
+def test_bulk_mode_equivalent_and_durable(tmp_path):
+    """Bulk write-back indexing must produce byte-identical tables to the
+    per-page path, and survive close/reopen on the disk backend."""
+    import random
+    from datetime import datetime, timezone
+
+    from corpus import make_page
+    from spaghettisearch_tpu.index.indexer import index_page
+
+    rng = random.Random(11)
+    n = 12
+    pages = [make_page(rng, i, n, "http://b.local") for i in range(n)]
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    plain = Database(None)
+    for url, html in pages:
+        index_page(plain, html, url, last_modified=ts)
+
+    root = str(tmp_path / "bulkdb")
+    db = Database(root)
+    with db.bulk():
+        for url, html in pages:
+            index_page(db, html, url, last_modified=ts)
+        # reads inside bulk mode see the cached writes
+        assert len(db.doc_children) == n
+    db.close()
+
+    re = Database(root)
+    for name in plain.tables:
+        a = dict(plain.tables[name].items())
+        b = dict(re.tables[name].items())
+        if name == "doc_info":
+            a = {k: v.to_json() for k, v in a.items()}
+            b = {k: v.to_json() for k, v in b.items()}
+        assert a == b, name
+    re.close()
+
+
+def test_bulk_delete_tombstone(tmp_path):
+    db = Database(str(tmp_path / "tomb"))
+    db.word.set("k1", "v1")
+    with db.bulk():
+        db.word.delete("k1")
+        assert db.word.get("k1") is None
+        assert "k1" not in db.word
+        db.word.set("k2", "v2")
+    db.close()
+    re = Database(str(tmp_path / "tomb"))
+    assert re.word.get("k1") is None
+    assert re.word.get("k2") == "v2"
+    re.close()
