@@ -20,6 +20,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--snapshot", default=None,
                     help="load a saved columnar snapshot instead of walking the store")
     ap.add_argument("--noBatching", action="store_true")
+    ap.add_argument("--noWarmup", action="store_true",
+                    help="skip pre-compiling the query programs at startup")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
@@ -32,6 +34,13 @@ def main(argv: list[str] | None = None) -> None:
         snapshot = load_snapshot(args.snapshot)
     engine = QueryEngine(db, snapshot=snapshot, use_topic_model=args.topicModel)
     print(f"Loaded index: {engine.index.n_docs} docs, {engine.index.n_words} words")
+    if not args.noWarmup:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        print("Warming up query programs...", flush=True)
+        engine.warmup()
+        print(f"Warmup done in {_time.perf_counter() - t0:.1f}s")
     print(f"\nServer is running on port {args.port}")
     SearchServer(engine, batching=not args.noBatching).serve(port=args.port)
 

@@ -120,7 +120,13 @@ class QueryEngine:
         non-candidate slots have score -inf."""
         idx = self.index
         snap = self.snapshot
-        b = len(parsed)
+        b_real = len(parsed)
+        # bucket the batch axis to a power of two: the micro-batcher emits
+        # arbitrary coalesced sizes, and every distinct b would otherwise
+        # compile its own XLA program
+        b = 1
+        while b < b_real:
+            b *= 2
         q = _bucket(max((len(p.keyword_hashes) for p in parsed), default=1))
 
         term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
@@ -148,7 +154,7 @@ class QueryEngine:
                     jnp.asarray(term_ids), jnp.asarray(qlen),
                     jnp.asarray(topic_probs), topk=topk,
                 )
-                return np.asarray(scores), np.asarray(ids)
+                return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
         # phrase matches: device positional intersection, then host-compress
         # the sparse results so the fold-in scatter is tiny
@@ -179,7 +185,7 @@ class QueryEngine:
                 jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                 jnp.asarray(ph_fl), topk=topk,
             )
-            return np.asarray(scores), np.asarray(ids)
+            return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
     def _match_phrase(self, phrase_hashes: list[str]):
         idx = self.index
@@ -218,6 +224,20 @@ class QueryEngine:
     # ------------------------------------------------------------------ #
     # public API
     # ------------------------------------------------------------------ #
+
+    def warmup(self, batch_sizes: tuple[int, ...] = (1, 64)) -> None:
+        """Compile the hot query programs before serving traffic: the first
+        jit of each (batch, q) shape can take tens of seconds (especially
+        through a remote-TPU tunnel), which would otherwise be paid by the
+        first unlucky requests (and can exceed the micro-batcher's future
+        timeout)."""
+        if self.index.n_docs == 0:
+            return
+        kw = parse_query("warmup")
+        ph = parse_query('"warm up"')
+        for b in batch_sizes:
+            self.rank([kw] * b, topk=MAX_RESULTS)
+        self.rank([ph], topk=MAX_RESULTS)
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:
         return self.query_batch([text], max_results)[0]
