@@ -16,7 +16,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--db", default="./db_data")
     ap.add_argument("--port", type=int, default=int(os.environ.get("PORT") or 8080))
     ap.add_argument("--topicModel", action="store_true",
-                    help="enable the topic-sensitive PageRank blend")
+                    help="enable the topic-sensitive PageRank blend "
+                         "(repaired probability model)")
+    ap.add_argument("--topicQuirk", action="store_true",
+                    help="with --topicModel: reproduce the reference's "
+                         "zero-seeded probability product, which always "
+                         "yields 0 (retrieval/main_retrieve.go:142-145)")
     ap.add_argument("--snapshot", default=None,
                     help="load a saved columnar snapshot instead of walking the store")
     ap.add_argument("--noBatching", action="store_true")
@@ -32,7 +37,10 @@ def main(argv: list[str] | None = None) -> None:
         from ..index.persist import load_snapshot
 
         snapshot = load_snapshot(args.snapshot)
-    engine = QueryEngine(db, snapshot=snapshot, use_topic_model=args.topicModel)
+    engine = QueryEngine(
+        db, snapshot=snapshot, use_topic_model=args.topicModel,
+        topic_model_fixed=args.topicModel and not args.topicQuirk,
+    )
     print(f"Loaded index: {engine.index.n_docs} docs, {engine.index.n_words} words")
     if not args.noWarmup:
         import time as _time

@@ -65,13 +65,16 @@ def extract_subcategories(body: bytes, page_url: str, topic_path: str) -> list[s
     root = _dom(body)
     if root is None:
         return []
-    host = urlsplit(page_url).hostname
+    # netloc, not hostname: keep the port so :port directory sites
+    # distinguish their own pages from external resources (same deliberate
+    # fix as resolve_href; the reference uses Hostname(), ODP-scraper.go:169)
+    host = urlsplit(page_url).netloc
     out = []
     for a in root.xpath('//body//div[contains(@class,"container")]//ul[@id="triple"]//li//a[@href]'):
         link = a.get("href")
         if link and link.startswith(topic_path):
             u = urljoin(page_url, link)
-            if urlsplit(u).hostname == host:
+            if urlsplit(u).netloc == host:
                 out.append(u)
     return out
 
@@ -99,7 +102,7 @@ async def crawl_topic(
     parts = urlsplit(topic_url)
     category = parts.path.replace("/", "")
     data = TopicData(category=category)
-    host = parts.hostname
+    host = parts.netloc
     sem = asyncio.Semaphore(parallelism)
     visited: set[str] = set()
     lock = asyncio.Lock()
@@ -111,7 +114,7 @@ async def crawl_topic(
                 result = await fetcher(url)
             except Exception:
                 return
-        if urlsplit(url).hostname == host:
+        if urlsplit(url).netloc == host:
             children = []
             if data.num_pages <= max_pages:
                 children += extract_subcategories(result.body, url, parts.path)
