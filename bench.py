@@ -247,6 +247,9 @@ def bench_scale(n_docs: int = 1_000_000) -> dict:
 def main() -> None:
     import sys
 
+    from spaghettisearch_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
         if mode == "pagerank":

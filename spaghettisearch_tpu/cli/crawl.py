@@ -29,6 +29,7 @@ from ..crawl.odp import parse_odp
 from ..ops.pagerank import update_pagerank
 from ..ops.weighting import update_term_weights
 from ..store.tables import Database
+from ..utils.jaxcache import enable_persistent_cache
 from ..utils.timing import TRACER
 
 
@@ -37,6 +38,7 @@ def _bool(v: str) -> bool:
 
 
 def main(argv: list[str] | None = None) -> None:
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description="SpaghettiSearch-TPU crawler")
     ap.add_argument("--numPages", type=int, default=CRAWL_DEFAULT_PAGES)
     ap.add_argument("--startURL", default=CRAWL_DEFAULT_START)

@@ -9,9 +9,11 @@ import os
 from ..retrieval.engine import QueryEngine
 from ..serve.server import SearchServer
 from ..store.tables import Database
+from ..utils.jaxcache import enable_persistent_cache
 
 
 def main(argv: list[str] | None = None) -> None:
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description="SpaghettiSearch-TPU server")
     ap.add_argument("--db", default="./db_data")
     ap.add_argument("--port", type=int, default=int(os.environ.get("PORT") or 8080))

@@ -42,26 +42,36 @@ def pagerank_power(
     damping: float = PAGERANK_DAMPING,
     eps: float = PAGERANK_CONVERGENCE,
     max_iters: int = DEFAULT_MAX_ITERS,
+    valid: jax.Array | None = None,  # f [N_pad] 1/0; rows past n_nodes
 ) -> jax.Array:
     """Returns ranks [C, N]. Dtype follows `outdeg`/`n_pages` (f32 on TPU;
-    pass float64 arrays under jax_enable_x64 for bit-level parity tests)."""
+    pass float64 arrays under jax_enable_x64 for bit-level parity tests).
+
+    Arrays may be padded past n_nodes (pass `valid` to mask pad rows, and
+    point pad edges at dst >= N_pad so segment_sum drops them): padded
+    shapes bucket to powers of two so different crawl sizes reuse compiled
+    programs. Pad rows hold rank 0 and never touch totals or deltas."""
     dtype = outdeg.dtype
     c = n_pages.shape[0]
+    n_pad = outdeg.shape[0]
     teleport = jnp.asarray(1.0 - damping, dtype)
     n = jnp.asarray(n_nodes, dtype)
     inv_out = jnp.where(outdeg > 0, damping / jnp.maximum(outdeg, 1), 0.0).astype(dtype)
+    if valid is None:
+        valid = jnp.ones(n_pad, dtype)
+    valid = valid.astype(dtype)
 
-    r0 = jnp.broadcast_to((1.0 / n_pages)[:, None], (c, n_nodes)).astype(dtype)
+    r0 = jnp.broadcast_to((1.0 / n_pages)[:, None], (c, n_pad)).astype(dtype) * valid
 
     def step(state):
         r, it, _ = state
         contrib = r * inv_out[None, :]  # [C, N]
         inherited = jax.ops.segment_sum(
-            contrib[:, edge_src].T, edge_dst, num_segments=n_nodes
+            contrib[:, edge_src].T, edge_dst, num_segments=n_pad
         ).T  # [C, N]
         total = jnp.sum(contrib, axis=1, keepdims=True) + teleport * n
         base = jnp.where(it == 0, r, 0.0)
-        r_new = (base + inherited + teleport) / total
+        r_new = (base + inherited + teleport * valid[None, :]) / total
         delta = jnp.max(jnp.sum(jnp.abs(r_new - r), axis=1))
         return r_new, it + 1, delta
 
@@ -71,7 +81,7 @@ def pagerank_power(
 
     init = (r0, jnp.array(0, jnp.int32), jnp.asarray(jnp.inf, dtype))
     r_final, _, _ = jax.lax.while_loop(cond, step, init)
-    return r_final
+    return r_final[:, :n_nodes]
 
 
 def _load_graph(db: Database) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
@@ -119,16 +129,38 @@ def update_pagerank(
             [max(float((db.topic_meta.get(c) or {}).get("numPages", 0.0)), 1.0) for c in categories]
         )
         dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+        # bucket node/edge counts to powers of two so successive crawls of
+        # different sizes reuse the compiled while_loop (compiles through a
+        # remote-TPU tunnel can cost tens of seconds)
+        def _pow2(x: int, floor: int = 256) -> int:
+            p = floor
+            while p < x:
+                p *= 2
+            return p
+
+        n_pad = _pow2(n_nodes)
+        e_pad = _pow2(max(len(edge_src), 1))
+        src_p = np.zeros(e_pad, np.int32)
+        src_p[: len(edge_src)] = edge_src
+        dst_p = np.full(e_pad, n_pad, np.int32)  # pad edges -> dropped segment
+        dst_p[: len(edge_dst)] = edge_dst
+        out_p = np.zeros(n_pad, outdeg.dtype)
+        out_p[:n_nodes] = outdeg
+        valid = np.zeros(n_pad, np.float32)
+        valid[:n_nodes] = 1.0
+
         ranks = np.asarray(
             pagerank_power(
-                jnp.asarray(edge_src),
-                jnp.asarray(edge_dst),
-                jnp.asarray(outdeg, dtype=dtype),
+                jnp.asarray(src_p),
+                jnp.asarray(dst_p),
+                jnp.asarray(out_p, dtype=dtype),
                 jnp.asarray(n_pages, dtype=dtype),
                 n_nodes,
                 damping=damping,
                 eps=eps,
                 max_iters=max_iters,
+                valid=jnp.asarray(valid, dtype=dtype),
             )
         )
     else:
