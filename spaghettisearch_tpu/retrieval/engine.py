@@ -97,6 +97,9 @@ class QueryEngine:
             self.snapshot = build_snapshot(self.db)
         if self.index is None:
             self.index = DeviceIndex.from_snapshot(self.snapshot, self.device)
+        # the (snapshot, index) pair readers must see together: a single
+        # attribute store is atomic under the GIL, two separate ones are not
+        self._live = (self.snapshot, self.index)
         self._wordlist_cache: list[str] | None = None
 
     def refresh(self) -> None:
@@ -106,6 +109,7 @@ class QueryEngine:
         atomic swap). In-flight queries keep the old arrays alive."""
         snapshot = build_snapshot(self.db)
         index = DeviceIndex.from_snapshot(snapshot, self.device)
+        self._live = (snapshot, index)
         self.snapshot, self.index = snapshot, index
         self._wordlist_cache = None
 
@@ -114,12 +118,13 @@ class QueryEngine:
     # ------------------------------------------------------------------ #
 
     def rank(
-        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS
+        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Device-rank a batch. Returns (scores [B,K], doc_ids [B,K]);
         non-candidate slots have score -inf."""
-        idx = self.index
-        snap = self.snapshot
+        if live is None:
+            live = self._live
+        snap, idx = live
         b_real = len(parsed)
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
@@ -163,7 +168,7 @@ class QueryEngine:
             if not p.phrase_hashes:
                 matches.append((np.zeros(0, np.int32),) * 4)
                 continue
-            d, tw, bw, fl = self._match_phrase(p.phrase_hashes)
+            d, tw, bw, fl = self._match_phrase(p.phrase_hashes, live=live)
             real = d < idx.n_docs
             matches.append((d[real], tw[real], bw[real], fl[real]))
         e = _bucket(max((len(m[0]) for m in matches), default=1), 64)
@@ -187,9 +192,8 @@ class QueryEngine:
             )
             return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
-    def _match_phrase(self, phrase_hashes: list[str]):
-        idx = self.index
-        snap = self.snapshot
+    def _match_phrase(self, phrase_hashes: list[str], live=None):
+        snap, idx = live if live is not None else self._live
         p = _bucket(len(phrase_hashes))
         ids = np.full(p, snap.n_words, dtype=np.int32)
         ids[: len(phrase_hashes)] = snap.term_ids(phrase_hashes)
@@ -245,11 +249,12 @@ class QueryEngine:
     def query_batch(self, texts: list[str], max_results: int = MAX_RESULTS) -> list[list[dict]]:
         parsed = [parse_query(t) for t in texts]
         results: list[list[dict]] = [[] for _ in texts]
-        live = [i for i, p in enumerate(parsed) if not p.is_empty]
-        if not live or self.index.n_docs == 0:
+        rows = [i for i, p in enumerate(parsed) if not p.is_empty]
+        live = self._live  # one consistent (snapshot, index) for the request
+        if not rows or live[1].n_docs == 0:
             return results
-        scores, ids = self.rank([parsed[i] for i in live], topk=max_results)
-        for row, i in enumerate(live):
+        scores, ids = self.rank([parsed[i] for i in rows], topk=max_results, live=live)
+        for row, i in enumerate(rows):
             out = []
             for score, doc_id in zip(scores[row], ids[row]):
                 # -inf marks non-candidates; +inf is a legitimate score for a
@@ -257,14 +262,18 @@ class QueryEngine:
                 # the reference's IsNaN-only guard (get_metadata.go:61-66)
                 if score == -np.inf or np.isnan(score):
                     continue
-                out.append(self._hydrate(float(score), int(doc_id), parsed[i]))
+                out.append(
+                    self._hydrate(float(score), int(doc_id), parsed[i], live[0])
+                )
             results[i] = out
         return results
 
-    def _hydrate(self, score: float, doc_id: int, parsed: ParsedQuery) -> dict:
+    def _hydrate(
+        self, score: float, doc_id: int, parsed: ParsedQuery, snapshot=None
+    ) -> dict:
         """Result formatting + metadata hydration (reference:
         retrieval/util.go:56-149, get_metadata.go:211-411)."""
-        doc_hash = self.snapshot.doc_hashes[doc_id]
+        doc_hash = (snapshot or self.snapshot).doc_hashes[doc_id]
         info: DocInfo | None = self.db.doc_info.get(doc_hash)
         if info is None:
             info = DocInfo(url="")

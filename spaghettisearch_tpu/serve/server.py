@@ -80,6 +80,24 @@ class SearchServer:
     def handle_wordlist(self, prefix: str) -> list[str]:
         return self.engine.wordlist(prefix)
 
+    def handle_refresh(self) -> dict:
+        """Rebuild the snapshot + device index from the store and swap it in
+        (picks up a crawl that ran while serving). The swap is atomic;
+        in-flight queries finish on the old arrays."""
+        with TRACER.span("serve.refresh"):
+            t0 = time.perf_counter()
+            with self._rank_lock:
+                self.engine.db.reopen()  # pick up other processes' writes
+                self.engine.refresh()
+            dt = time.perf_counter() - t0
+            log.info("index refreshed in %.1f ms", 1e3 * dt)
+            return {
+                "ok": True,
+                "docs": self.engine.index.n_docs,
+                "words": self.engine.index.n_words,
+                "seconds": round(dt, 3),
+            }
+
     # ------------------------------------------------------------------ #
     def make_handler(self):
         server = self
@@ -143,6 +161,8 @@ class SearchServer:
                 elif parts.path == "/query_batch":
                     queries = [str(q) for q in payload.get("queries", [])]
                     self._send_json(server.handle_query_batch(queries))
+                elif parts.path == "/refresh":
+                    self._send_json(server.handle_refresh())
                 else:
                     self._send_json({"error": "not found"}, 404)
 

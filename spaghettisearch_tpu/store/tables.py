@@ -223,6 +223,8 @@ class Database:
         self.backend_kind = "mem" if use_mem else (
             "native" if make_kv is not LogBackend else "log"
         )
+        self._use_mem = use_mem
+        self._make_kv = make_kv
         self.tables: dict[str, Table] = {}
         for spec in TABLE_SPECS:
             if use_mem:
@@ -232,6 +234,19 @@ class Database:
             self.tables[spec.name] = Table(spec, kv)
         self._docs_dir = os.path.join(root, "docs") if root else None
         self._mem_docs: dict[str, bytes] = {}
+
+    def reopen(self) -> None:
+        """Re-read the on-disk state: backends load their WAL into RAM at
+        open, so writes made by ANOTHER process (e.g. a crawl while the
+        server runs) are invisible until reopened. No-op for in-memory
+        stores. Table objects stay valid; only their backends swap."""
+        if self._use_mem:
+            return
+        for spec in TABLE_SPECS:
+            t = self.tables[spec.name]
+            t.exit_bulk()
+            t._kv.close()
+            t._kv = self._make_kv(os.path.join(self.root, spec.name))
 
     # --- typed accessors ---
     @property

@@ -76,3 +76,45 @@ def test_static_ui(server):
 def test_healthz(server):
     status, payload = _get(server + "/healthz")
     assert status == 200 and payload["ok"]
+
+
+def test_refresh_picks_up_new_docs():
+    """POST /refresh swaps in a rebuilt snapshot: docs indexed after server
+    start become searchable without a restart."""
+    import random
+    from datetime import datetime, timezone
+
+    from corpus import make_page
+    from spaghettisearch_tpu.index.indexer import index_page
+    from spaghettisearch_tpu.ops.weighting import update_term_weights
+    from spaghettisearch_tpu.ops.pagerank import update_pagerank
+
+    db = build_corpus_db(n_pages=10, seed=7)
+    srv = SearchServer(QueryEngine(db), batching=False)
+    host, port = srv.start_background(port=0)
+    base = f"http://{host}:{port}"
+    try:
+        _, h0 = _get(base + "/healthz")
+        assert h0["docs"] == 10
+
+        html = (b"<html><head><title>zzuniquetitleword</title></head>"
+                b"<body>zzuniquetitleword appears in this body too</body></html>")
+        index_page(db, html, "http://test.local/new-doc",
+                   last_modified=datetime(2026, 2, 1, tzinfo=timezone.utc))
+        update_pagerank(db)
+        update_term_weights(db, "title")
+        update_term_weights(db, "body")
+
+        _, before = _post(base + "/query", {"query": "zzuniquetitleword"})
+        assert before == []  # old snapshot still live
+
+        _, ref = _post(base + "/refresh", {})
+        assert ref["ok"] and ref["docs"] == 11
+
+        _, h1 = _get(base + "/healthz")
+        assert h1["docs"] == 11
+        _, after = _post(base + "/query", {"query": "zzuniquetitleword"})
+        assert len(after) == 1
+        assert after[0]["Url"] == "http://test.local/new-doc"
+    finally:
+        srv.shutdown()
