@@ -244,6 +244,38 @@ def bench_scale(n_docs: int = 1_000_000) -> dict:
     }
 
 
+def bench_index(n_pages: int = 1000) -> dict:
+    """Host-side indexing throughput (bulk write-back mode, in-memory store;
+    the crawl path adds fetch + disk). The reference's per-word
+    get-merge-set hot loop (indexer.go:357-402) is the comparison point."""
+    import random
+    import sys
+    import time
+    from datetime import datetime, timezone
+
+    sys.path.insert(0, "tests")
+    from corpus import make_page
+
+    from spaghettisearch_tpu.index.indexer import index_page
+    from spaghettisearch_tpu.store.tables import Database
+
+    rng = random.Random(0)
+    pages = [make_page(rng, i, n_pages, "http://bench.local") for i in range(n_pages)]
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    db = Database(None)
+    t0 = time.perf_counter()
+    with db.bulk():
+        for url, html in pages:
+            index_page(db, html, url, last_modified=ts)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "bulk_index_pages_per_s",
+        "value": round(n_pages / dt, 1),
+        "unit": "pages/s",
+        "vs_baseline": round(n_pages / dt / 500.0, 3),  # target: 500 pages/s
+    }
+
+
 def main() -> None:
     import sys
 
@@ -260,6 +292,9 @@ def main() -> None:
             return
         if mode == "scale1m":
             print(json.dumps(bench_scale()))
+            return
+        if mode == "index":
+            print(json.dumps(bench_index()))
             return
         raise SystemExit(f"unknown mode {mode}")
 

@@ -27,10 +27,19 @@ class BatcherStats:
 
 
 class MicroBatcher:
-    def __init__(self, engine, max_batch: int = 64, max_wait_ms: float = 2.0) -> None:
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+        result_timeout_s: float = 300.0,
+    ) -> None:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # generous default: an unwarmed shape can compile for minutes on a
+        # remote-TPU tunnel; the future resolves the moment the batch does
+        self.result_timeout_s = result_timeout_s
         self.stats = BatcherStats()
         self._queue: list[tuple[str, Future]] = []
         self._cv = threading.Condition()
@@ -38,12 +47,12 @@ class MicroBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True, name="microbatcher")
         self._worker.start()
 
-    def query(self, text: str, timeout: float = 60.0) -> list[dict]:
+    def query(self, text: str, timeout: float | None = None) -> list[dict]:
         fut: Future = Future()
         with self._cv:
             self._queue.append((text, fut))
             self._cv.notify()
-        return fut.result(timeout=timeout)
+        return fut.result(timeout=timeout or self.result_timeout_s)
 
     def _run(self) -> None:
         while True:
