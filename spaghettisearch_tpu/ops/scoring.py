@@ -159,6 +159,38 @@ def _section_scores(fwd, term_ids, n_blocks: int, use_pallas: bool):
     return score[:b], count[:b]
 
 
+@partial(jax.jit, static_argnames=("topk", "interpret"))
+def score_queries_fused(
+    title_fwd,  # ForwardArrays
+    body_fwd,  # ForwardArrays
+    mag_title: jax.Array,  # f32 [D]
+    mag_body: jax.Array,  # f32 [D]
+    pagerankT: jax.Array,  # f32 [C, D]
+    term_ids: jax.Array,  # int32 [B, Q]
+    query_len: jax.Array,  # f32 [B]
+    topic_probs: jax.Array,  # f32 [B, C]
+    *,
+    topk: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Keyword-only fast path, single fused Pallas pass: membership scoring
+    for both sections + finalization in one kernel — the intermediate
+    [B, D] score/count arrays never exist in HBM."""
+    from .kernels.fused import pallas_fused_final_scores
+
+    b = term_ids.shape[0]
+    b_pad = -(-b // 8) * 8
+    pad = b_pad - b
+    tq = jnp.pad(term_ids, ((0, pad), (0, 0)), constant_values=jnp.iinfo(jnp.int32).max)
+    ql = jnp.pad(query_len, (0, pad), constant_values=1.0)
+    tp = jnp.pad(topic_probs, ((0, pad), (0, 0)))
+    final = pallas_fused_final_scores(
+        title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
+        mag_title, mag_body, pagerankT, tq, ql, tp, interpret=interpret,
+    )[:b]
+    return exact_top_k(final, topk)
+
+
 @partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas"))
 def score_queries_forward(
     title_fwd,  # ForwardArrays

@@ -87,6 +87,7 @@ class DeviceIndex:
     mag_title: jax.Array  # f32 [D_pad]
     mag_body: jax.Array  # f32 [D_pad]
     pagerank: jax.Array  # f32 [D_pad, C] (C >= 1; zeros when no topics)
+    pagerankT: jax.Array  # f32 [C, D_pad] (doc axis on lanes, fused kernel)
     n_docs: int  # true doc count (hydration bound)
     n_docs_padded: int
     n_words: int
@@ -115,6 +116,7 @@ class DeviceIndex:
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
+            pagerankT=put(np.ascontiguousarray(pad_docs(pr).T)),
             n_docs=snap.n_docs,
             n_docs_padded=d_pad,
             n_words=snap.n_words,

@@ -71,3 +71,35 @@ def test_exact_top_k_matches_lax():
     np.testing.assert_allclose(
         np.take_along_axis(np.asarray(x), np.asarray(got_i), 1), np.asarray(got_s)
     )
+
+
+def test_fused_kernel_matches_unfused(engine):
+    """The fused membership+finalize Pallas kernel (interpret mode on CPU)
+    must reproduce the unfused XLA path exactly."""
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.scoring import (
+        score_queries_forward,
+        score_queries_fused,
+    )
+
+    idx = engine.index
+    rng = np.random.default_rng(3)
+    b, q = 5, 4  # deliberately not a multiple of 8: exercises batch padding
+    term_ids = rng.integers(0, engine.snapshot.n_words + 1, (b, q)).astype(np.int32)
+    qlen = rng.uniform(1, 4, b).astype(np.float32)
+    tp = rng.uniform(0, 1, (b, idx.n_categories)).astype(np.float32)
+
+    want_s, want_i = score_queries_forward(
+        idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body, idx.pagerank,
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp), topk=20,
+    )
+    got_s, got_i = score_queries_fused(
+        idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body, idx.pagerankT,
+        jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp), topk=20,
+        interpret=True,
+    )
+    want_s, want_i, got_s, got_i = map(np.asarray, (want_s, want_i, got_s, got_i))
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
+    finite = np.isfinite(want_s)
+    np.testing.assert_array_equal(got_i[finite], want_i[finite])
