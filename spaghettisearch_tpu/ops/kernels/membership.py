@@ -65,6 +65,9 @@ def pallas_forward_scores(
     return pl.pallas_call(
         kernel,
         grid=grid,
+        # doc blocks are independent: lets Mosaic split the grid across the
+        # chip's TensorCores (megacore) — measured ~5% on the 100k bench
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         in_specs=[
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
