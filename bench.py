@@ -282,6 +282,17 @@ def main() -> None:
     from spaghettisearch_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
+    if "--profile" in sys.argv:
+        # wrap the whole run in a jax.profiler trace (TensorBoard/Perfetto)
+        import jax
+
+        trace_dir = sys.argv[sys.argv.index("--profile") + 1]
+        sys.argv.remove("--profile")
+        sys.argv.remove(trace_dir)
+        with jax.profiler.trace(trace_dir):
+            main()
+        print(f"# trace written to {trace_dir}", file=sys.stderr)
+        return
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
         if mode == "pagerank":

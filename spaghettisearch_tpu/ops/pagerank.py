@@ -67,7 +67,8 @@ def pagerank_power(
         r, it, _ = state
         contrib = r * inv_out[None, :]  # [C, N]
         inherited = jax.ops.segment_sum(
-            contrib[:, edge_src].T, edge_dst, num_segments=n_pad
+            contrib[:, edge_src].T, edge_dst, num_segments=n_pad,
+            indices_are_sorted=True,  # edges sorted by dst (pads at the end)
         ).T  # [C, N]
         total = jnp.sum(contrib, axis=1, keepdims=True) + teleport * n
         base = jnp.where(it == 0, r, 0.0)

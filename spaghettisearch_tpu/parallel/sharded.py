@@ -339,7 +339,8 @@ def sharded_pagerank(
             r, it, _ = state
             contrib = r * inv_out_b[None, :]
             local = jax.ops.segment_sum(
-                contrib[:, esrc_l].T, edst_l, num_segments=nl + 1
+                contrib[:, esrc_l].T, edst_l, num_segments=nl + 1,
+                indices_are_sorted=True,  # per-shard edges sorted by dst
             ).T[:, :nl]
             inherited = jax.lax.all_gather(local, axis, axis=1, tiled=True)
             total = jnp.sum(contrib, axis=1, keepdims=True) + teleport * n_nodes
