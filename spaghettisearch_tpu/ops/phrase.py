@@ -136,6 +136,35 @@ def match_phrase_fwd(
     return out_docs, out_tw, out_bw, keep.astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("posting_cap", "pos_cap", "n_docs"))
+def match_phrase_fwd_batch(
+    title_ft, title_fj, title_weights, title_pos_offsets, title_positions,
+    body_ft, body_fj, body_weights, body_pos_offsets, body_positions,
+    title_offsets, title_doc_ids, body_offsets, body_doc_ids,
+    term_ids,  # int32 [B, P]
+    term_valid,  # bool [B, P]
+    gen_idx,  # int32 [B]
+    *,
+    posting_cap: int,  # max over the batch's generator dfs
+    pos_cap: int,
+    n_docs: int,
+):
+    """Batched match_phrase_fwd: one device program for a whole batch of
+    phrase queries (the index arrays broadcast, the query axis vmaps)."""
+    fn = partial(
+        match_phrase_fwd,
+        posting_cap=posting_cap, pos_cap=pos_cap, n_docs=n_docs,
+    )
+    return jax.vmap(
+        lambda t, v, g: fn(
+            title_ft, title_fj, title_weights, title_pos_offsets, title_positions,
+            body_ft, body_fj, body_weights, body_pos_offsets, body_positions,
+            title_offsets, title_doc_ids, body_offsets, body_doc_ids,
+            t, v, g,
+        )
+    )(term_ids, term_valid, gen_idx)
+
+
 def _gather_term_windows(offsets, doc_ids, term_ids, posting_cap):
     """[P] term ids -> (docs [P,L] sorted w/ sentinel pad, start [P], valid [P,L])."""
     start = offsets[term_ids]

@@ -25,7 +25,7 @@ import numpy as np
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..models.blended import BlendedRanker
-from ..ops.phrase import match_phrase_fwd
+from ..ops.phrase import match_phrase_fwd, match_phrase_fwd_batch
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -161,16 +161,20 @@ class QueryEngine:
                 )
                 return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
-        # phrase matches: device positional intersection, then host-compress
-        # the sparse results so the fold-in scatter is tiny
-        matches: list[tuple[np.ndarray, ...]] = []
-        for p in parsed:
-            if not p.phrase_hashes:
-                matches.append((np.zeros(0, np.int32),) * 4)
-                continue
-            d, tw, bw, fl = self._match_phrase(p.phrase_hashes, live=live)
-            real = d < idx.n_docs
-            matches.append((d[real], tw[real], bw[real], fl[real]))
+        # phrase matches: ONE batched device positional intersection for all
+        # phrase queries in the batch, then host-compress the sparse results
+        # so the fold-in scatter is tiny
+        matches: list[tuple[np.ndarray, ...]] = [
+            (np.zeros(0, np.int32),) * 4 for _ in parsed
+        ]
+        ph_rows = [i for i, p in enumerate(parsed) if p.phrase_hashes]
+        if ph_rows:
+            batch = self._match_phrases_batch(
+                [parsed[i].phrase_hashes for i in ph_rows], live
+            )
+            for i, (d, tw, bw, fl) in zip(ph_rows, batch):
+                real = d < idx.n_docs
+                matches[i] = (d[real], tw[real], bw[real], fl[real])
         e = _bucket(max((len(m[0]) for m in matches), default=1), 64)
         # pad slot = n_docs_padded: lands past the real doc range in the
         # fold-in accumulator and is sliced away
@@ -191,6 +195,42 @@ class QueryEngine:
                 jnp.asarray(ph_fl), topk=topk,
             )
             return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
+
+    def _match_phrases_batch(self, phrase_sets: list[list[str]], live=None):
+        """Batch variant: one device program matches every phrase query.
+        Returns per input a host (docs, title_w, body_w, flag) tuple."""
+        snap, idx = live if live is not None else self._live
+        bp = len(phrase_sets)
+        p = _bucket(max(len(s) for s in phrase_sets))
+        ids = np.full((bp, p), snap.n_words, dtype=np.int32)
+        valid = np.zeros((bp, p), dtype=bool)
+        gens = np.zeros(bp, dtype=np.int32)
+        need = 1
+        for i, hashes in enumerate(phrase_sets):
+            row = snap.term_ids(hashes)
+            ids[i, : len(row)] = row
+            valid[i, : len(row)] = True
+            t_df = snap.title.df(row)
+            b_df = snap.body.df(row)
+            g = int(np.argmin(t_df + b_df))
+            gens[i] = g
+            need = max(need, int(t_df[g]), int(b_df[g]))
+        cap = 128
+        while cap < need:
+            cap *= 2
+        cap = min(cap, idx.posting_cap)
+        d, tw, bw, fl = match_phrase_fwd_batch(
+            idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
+            idx.title.pos_offsets, idx.title.positions,
+            idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
+            idx.body.pos_offsets, idx.body.positions,
+            idx.title.offsets, idx.title.doc_ids,
+            idx.body.offsets, idx.body.doc_ids,
+            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
+            posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+        )
+        d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
+        return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp)]
 
     def _match_phrase(self, phrase_hashes: list[str], live=None):
         snap, idx = live if live is not None else self._live

@@ -116,3 +116,28 @@ def test_top50_cut(db):
     res = eng.query("algorithm database retrieval ranking crawler "
                     "vector cosine matrix tensor gradient")
     assert len(res) <= 50
+
+
+def test_batched_phrase_queries_equal_single(engine, db):
+    """A batch mixing several phrase queries must reproduce per-query results
+    (the batched device matcher vs one query at a time)."""
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    phrases = []
+    for doc_hash in engine.snapshot.doc_hashes:
+        raw = db.cached_doc(doc_hash)
+        if not raw:
+            continue
+        body = raw.decode().split("<p>")[1].split("</p>")[0]
+        toks = laundry(" ".join(body.split()))
+        if len(toks) >= 2:
+            phrases.append(f'"{toks[0]} {toks[1]}"')
+        if len(phrases) == 3:
+            break
+    queries = phrases + ['"zzz yyy"', "keywordonly algorithm"]
+    batched = engine.query_batch(queries)
+    singles = [engine.query_batch([q])[0] for q in queries]
+    for q, got, want in zip(queries, batched, singles):
+        assert [r["Url"] for r in got] == [r["Url"] for r in want], q
+        assert [r["FinalRank"] for r in got] == [r["FinalRank"] for r in want], q
+    assert any(batched[i] for i in range(len(phrases)))  # real phrase hits
