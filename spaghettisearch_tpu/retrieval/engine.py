@@ -200,10 +200,13 @@ class QueryEngine:
         """Batch variant: one device program matches every phrase query.
         Returns per input a host (docs, title_w, body_w, flag) tuple."""
         snap, idx = live if live is not None else self._live
-        bp = len(phrase_sets)
+        bp_real = len(phrase_sets)
+        bp = 1  # power-of-two bucket: the vmap axis is a compile shape
+        while bp < bp_real:
+            bp *= 2
         p = _bucket(max(len(s) for s in phrase_sets))
         ids = np.full((bp, p), snap.n_words, dtype=np.int32)
-        valid = np.zeros((bp, p), dtype=bool)
+        valid = np.zeros((bp, p), dtype=bool)  # pad rows: no valid terms
         gens = np.zeros(bp, dtype=np.int32)
         need = 1
         for i, hashes in enumerate(phrase_sets):
@@ -230,7 +233,7 @@ class QueryEngine:
             posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
         )
         d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
-        return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp)]
+        return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
 
     def _match_phrase(self, phrase_hashes: list[str], live=None):
         snap, idx = live if live is not None else self._live
