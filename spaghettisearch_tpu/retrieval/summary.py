@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 import re
+from collections import OrderedDict
+from threading import Lock
 
 from ..store.tables import Database
 from ..text.htmlparse import extract_summary_text
@@ -22,16 +24,44 @@ def _clean(w: str) -> str:
     return _NON_ALNUM_RUN.sub("", w).lower()
 
 
-def get_summary(db: Database, doc_hash: str, query: str, phrases: list[str]) -> str:
+# doc text + cleaned tokens are query-independent; the lxml re-parse is the
+# expensive part of every summary (the reference re-parses per result,
+# get_metadata.go:85-115). LRU keyed by doc hash, invalidated by content
+# hash so a re-crawled doc re-extracts.
+_TEXT_CACHE: OrderedDict[str, tuple[int, list[str], list[str]]] = OrderedDict()
+_TEXT_CACHE_CAP = 20_000
+_TEXT_LOCK = Lock()
+
+
+def _doc_words(db: Database, doc_hash: str) -> tuple[list[str], list[str]] | None:
     raw = db.cached_doc(doc_hash)
     if raw is None:
-        return ""
+        return None
+    key = hash(raw)
+    with _TEXT_LOCK:
+        hit = _TEXT_CACHE.get(doc_hash)
+        if hit is not None and hit[0] == key:
+            _TEXT_CACHE.move_to_end(doc_hash)
+            return hit[1], hit[2]
     words = extract_summary_text(raw)
+    cleaned = [_clean(w) for w in words]
+    with _TEXT_LOCK:
+        _TEXT_CACHE[doc_hash] = (key, words, cleaned)
+        _TEXT_CACHE.move_to_end(doc_hash)
+        while len(_TEXT_CACHE) > _TEXT_CACHE_CAP:
+            _TEXT_CACHE.popitem(last=False)
+    return words, cleaned
+
+
+def get_summary(db: Database, doc_hash: str, query: str, phrases: list[str]) -> str:
+    got = _doc_words(db, doc_hash)
+    if got is None:
+        return ""
+    words, words_cleaned = got
 
     query_tokens = query.lower().replace('"', "").split()
     query_cleaned = [_clean(t) for t in query_tokens]
     phrase_cleaned = [[_clean(t) for t in ph.split()] for ph in phrases]
-    words_cleaned = [_clean(w) for w in words]
 
     match_at = -1
     for i, wc in enumerate(words_cleaned):
