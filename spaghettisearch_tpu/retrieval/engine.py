@@ -272,18 +272,21 @@ class QueryEngine:
     # public API
     # ------------------------------------------------------------------ #
 
-    def warmup(self, batch_sizes: tuple[int, ...] = (1, 64)) -> None:
+    def warmup(self, max_batch: int = 64) -> None:
         """Compile the hot query programs before serving traffic: the first
         jit of each (batch, q) shape can take tens of seconds (especially
         through a remote-TPU tunnel), which would otherwise be paid by the
-        first unlucky requests (and can exceed the micro-batcher's future
-        timeout)."""
+        first unlucky requests. The micro-batcher coalesces to arbitrary
+        sizes, so every power-of-two bucket up to max_batch gets compiled,
+        plus the single-phrase-query program."""
         if self.index.n_docs == 0:
             return
         kw = parse_query("warmup")
         ph = parse_query('"warm up"')
-        for b in batch_sizes:
+        b = 1
+        while b <= max_batch:
             self.rank([kw] * b, topk=MAX_RESULTS)
+            b *= 2
         self.rank([ph], topk=MAX_RESULTS)
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:

@@ -26,6 +26,14 @@ from urllib.parse import unquote, urlsplit
 from ..retrieval.engine import QueryEngine
 from ..utils.timing import TRACER
 
+
+class _HTTPServer(ThreadingHTTPServer):
+    # stdlib default backlog is 5: concurrent clients beyond it get
+    # connection resets under load
+    request_queue_size = 128
+    daemon_threads = True
+
+
 log = logging.getLogger("spaghettisearch.serve")
 
 STATIC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "static")
@@ -192,12 +200,12 @@ class SearchServer:
         return Handler
 
     def serve(self, port: int = 8080, host: str = "0.0.0.0") -> None:
-        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        self._httpd = _HTTPServer((host, port), self.make_handler())
         log.info("Server is running on port %d", port)
         self._httpd.serve_forever()
 
     def start_background(self, port: int = 8080, host: str = "127.0.0.1"):
-        self._httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        self._httpd = _HTTPServer((host, port), self.make_handler())
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return self._httpd.server_address
