@@ -19,6 +19,23 @@ _SECTION_FIELDS = ("post_offsets", "doc_ids", "weights", "pos_offsets", "positio
 
 
 def save_snapshot(snap: IndexSnapshot, path: str) -> None:
+    """Atomic: builds the snapshot in a temp sibling directory and renames
+    it into place, so a crash mid-write can never leave a half-written
+    snapshot where a server would load it."""
+    import shutil
+
+    final = os.path.abspath(path)
+    tmp = f"{final}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_snapshot(snap, tmp)
+    old = f"{final}.old-{os.getpid()}"
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _write_snapshot(snap: IndexSnapshot, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}
     for name in ("title", "body"):

@@ -54,3 +54,18 @@ def test_gc_daemon(tmp_path):
     db.stop_gc()
     assert db.word.get("k") == "v"
     db.close()
+
+
+def test_save_snapshot_overwrite_is_atomic(tmp_path):
+    """Re-saving over an existing snapshot swaps directories; the final dir
+    is always loadable (no half-written state left behind)."""
+    import os
+
+    snapshot = build_snapshot(build_corpus_db(n_pages=8, seed=6))
+    path = str(tmp_path / "snapdir")
+    save_snapshot(snapshot, path)
+    first = load_snapshot(path)
+    save_snapshot(snapshot, path)  # overwrite in place
+    again = load_snapshot(path)
+    assert again.n_docs == first.n_docs == snapshot.n_docs
+    assert not [d for d in os.listdir(tmp_path) if ".tmp-" in d or ".old-" in d]
