@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.snapshot import IndexSnapshot, SectionCSR
-from ..ops.phrase import match_phrase
+from ..ops.phrase import match_phrase_fwd
 from ..ops.scoring import finalize_scores, forward_section_scores
 
 
@@ -40,9 +40,11 @@ def _repeat_blocks(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _shard_csr(
-    csr: SectionCSR, n_shards: int, docs_per_shard: int
+    csr: SectionCSR, n_shards: int, docs_per_shard: int, t_pad: int
 ) -> dict[str, np.ndarray]:
-    """Split a global CSR into per-shard local CSRs (stacked, equal shapes)."""
+    """Split a global CSR into per-shard local CSRs (stacked, equal shapes),
+    plus per-shard doc-major forward views (ft global word ids, fw weights,
+    fj posting index into the shard-LOCAL padded posting arrays)."""
     n_words = csr.post_offsets.shape[0] - 1
     n_post = csr.n_postings
     word_of_post = np.repeat(
@@ -59,10 +61,11 @@ def _shard_csr(
         starts = csr.pos_offsets[sel]
         lens = (csr.pos_offsets[sel + 1] - starts).astype(np.int64)
         pos_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        local_doc = (doc[sel] - s * docs_per_shard).astype(np.int32)
         parts.append(
             dict(
                 offsets=offsets,
-                doc_ids=(doc[sel] - s * docs_per_shard).astype(np.int32),
+                doc_ids=local_doc,
                 weights=csr.weights[sel],
                 pos_offsets=pos_offsets,
                 positions=csr.positions[_repeat_blocks(starts, lens)],
@@ -82,6 +85,28 @@ def _shard_csr(
         return -(-(max(p[key].shape[0] for p in parts) + extra) // 128) * 128
 
     post_width = rounded("doc_ids")
+
+    # per-shard forward views over the padded slot space [S, dl, t_pad]
+    ft = np.full((n_shards, docs_per_shard, t_pad), -1, np.int32)
+    fw = np.zeros((n_shards, docs_per_shard, t_pad), np.float32)
+    fj = np.full((n_shards, docs_per_shard, t_pad), post_width - 1, np.int32)
+    for s, p in enumerate(parts):
+        n_local = p["doc_ids"].shape[0]
+        if n_local == 0:
+            continue
+        w_of = np.repeat(
+            np.arange(n_words, dtype=np.int32), np.diff(p["offsets"])
+        )
+        order = np.argsort(p["doc_ids"], kind="stable")
+        docs_s = p["doc_ids"][order]
+        row_off = np.zeros(docs_per_shard + 1, np.int64)
+        np.add.at(row_off, docs_s + 1, 1)
+        row_off = np.cumsum(row_off)
+        slot = np.arange(n_local, dtype=np.int64) - row_off[docs_s]
+        ft[s, docs_s, slot] = w_of[order]
+        fw[s, docs_s, slot] = p["weights"][order]
+        fj[s, docs_s, slot] = order.astype(np.int32)
+
     return dict(
         # +1 word row as the sentinel empty row; pad rows repeat the final
         # offset so their postings ranges are empty
@@ -92,6 +117,7 @@ def _shard_csr(
         # kernels index pos_offsets[j + 1] for j < post_width
         pos_offsets=stack("pos_offsets", 0, post_width + 1, tail_fill=True),
         positions=stack("positions", np.inf, rounded("positions")),
+        ft=ft, fw=fw, fj=fj,
     )
 
 
@@ -111,11 +137,14 @@ class ShardedIndex:
     mag_title: jax.Array  # [S, Dl]
     mag_body: jax.Array  # [S, Dl]
     pagerank: jax.Array  # [S, Dl, C]
-    # doc-major forward views (per-shard local docs)
+    # doc-major forward views (per-shard local docs); fj maps each doc-term
+    # slot to its posting in the shard-LOCAL padded posting arrays
     title_ft: jax.Array  # [S, Dl, Tt]
     title_fw: jax.Array
+    title_fj: jax.Array
     body_ft: jax.Array  # [S, Dl, Tb]
     body_fw: jax.Array
+    body_fj: jax.Array
 
     @classmethod
     def from_snapshot(
@@ -125,8 +154,17 @@ class ShardedIndex:
         dl = -(-max(snap.n_docs, 1) // n_shards)
         dl = -(-dl // 8) * 8  # lane-friendly local doc count
 
-        title_np = _shard_csr(snap.title, n_shards, dl)
-        body_np = _shard_csr(snap.body, n_shards, dl)
+        def t_pad_of(csr: SectionCSR) -> int:
+            n_post = csr.n_postings
+            if n_post == 0:
+                return 1
+            per_doc = np.bincount(
+                csr.doc_ids[:n_post], minlength=max(snap.n_docs, 1)
+            )
+            return max(int(per_doc.max()), 1)
+
+        title_np = _shard_csr(snap.title, n_shards, dl, t_pad_of(snap.title))
+        body_np = _shard_csr(snap.body, n_shards, dl, t_pad_of(snap.body))
 
         def pad_docs(arr: np.ndarray) -> np.ndarray:
             out = np.zeros((n_shards * dl,) + arr.shape[1:], dtype=arr.dtype)
@@ -145,13 +183,6 @@ class ShardedIndex:
             title_np["doc_ids"].shape[1],
         )
 
-        t_ft, t_fw = snap.title.forward(snap.n_docs)
-        b_ft, b_fw = snap.body.forward(snap.n_docs)
-
-        def pad_docs_fill(arr: np.ndarray, fill) -> np.ndarray:
-            out = np.full((n_shards * dl,) + arr.shape[1:], fill, dtype=arr.dtype)
-            out[: arr.shape[0]] = arr
-            return out.reshape((n_shards, dl) + arr.shape[1:])
 
         return cls(
             mesh=mesh,
@@ -162,15 +193,19 @@ class ShardedIndex:
             n_words=snap.n_words,
             posting_cap=posting_cap,
             pos_cap=-(-max(snap.title.max_positions, snap.body.max_positions, 1) // 8) * 8,
-            title={k: put(v) for k, v in title_np.items()},
-            body={k: put(v) for k, v in body_np.items()},
+            title={k: put(v) for k, v in title_np.items()
+                   if k not in ("ft", "fw", "fj")},
+            body={k: put(v) for k, v in body_np.items()
+                  if k not in ("ft", "fw", "fj")},
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
-            title_ft=put(pad_docs_fill(t_ft, -1)),
-            title_fw=put(pad_docs_fill(t_fw, 0.0)),
-            body_ft=put(pad_docs_fill(b_ft, -1)),
-            body_fw=put(pad_docs_fill(b_fw, 0.0)),
+            title_ft=put(title_np["ft"]),
+            title_fw=put(title_np["fw"]),
+            title_fj=put(title_np["fj"]),
+            body_ft=put(body_np["ft"]),
+            body_fw=put(body_np["fw"]),
+            body_fj=put(body_np["fj"]),
         )
 
 
@@ -199,23 +234,26 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = 
     def block(
         t_off, t_did, t_w, t_poff, t_pos,
         b_off, b_did, b_w, b_poff, b_pos,
-        mt, mb, pr, tft, tfw, bft, bfw,
+        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
         term_ids, qlen, topic_probs,
         ph_ids, ph_valid, gen_idx,
     ):
         (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-         mt, mb, pr, tft, tfw, bft, bfw) = jax.tree.map(
+         mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj) = jax.tree.map(
             lambda a: a[0],
             (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-             mt, mb, pr, tft, tfw, bft, bfw),
+             mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj),
         )
         b = term_ids.shape[0]
         e = 2 * cap
 
         def with_phrase(_):
-            d, tw, bw, fl = match_phrase(
-                t_off, t_did, t_w, t_poff, t_pos,
-                b_off, b_did, b_w, b_poff, b_pos,
+            # forward-index matcher, same formulation as the single-chip
+            # production path (ops/phrase.py match_phrase_fwd)
+            d, tw, bw, fl = match_phrase_fwd(
+                tft, tfj, t_w, t_poff, t_pos,
+                bft, bfj, b_w, b_poff, b_pos,
+                t_off, t_did, b_off, b_did,
                 ph_ids, ph_valid, gen_idx,
                 posting_cap=cap, pos_cap=pcap, n_docs=dl,
             )
@@ -266,7 +304,7 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = 
     sharded = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=tuple([P(ax)] * 17 + [bspec, bspec, bspec, P(), P(), P()]),
+        in_specs=tuple([P(ax)] * 19 + [bspec, bspec, bspec, P(), P(), P()]),
         out_specs=(bspec, bspec),
         check_vma=False,
     )
@@ -278,7 +316,8 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = 
             t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
             bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
             sidx.mag_title, sidx.mag_body, sidx.pagerank,
-            sidx.title_ft, sidx.title_fw, sidx.body_ft, sidx.body_fw,
+            sidx.title_ft, sidx.title_fw, sidx.title_fj,
+            sidx.body_ft, sidx.body_fw, sidx.body_fj,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
         )
 
