@@ -276,6 +276,50 @@ def bench_index(n_pages: int = 1000) -> dict:
     }
 
 
+def bench_parity(n_pages: int = 120, n_queries: int = 60) -> dict:
+    """recall@10 vs the reference-semantics oracle on a crawled-style corpus
+    (BASELINE.json: QPS is only meaningful AT recall parity). Mixed keyword +
+    phrase query workload; value is mean recall@10 (target 1.0)."""
+    import random
+    import sys
+
+    sys.path.insert(0, "tests")
+    from corpus import VOCAB, build_corpus_db
+    from oracle import retrieve as oracle_retrieve
+
+    from spaghettisearch_tpu.evaluation import recall_at_k
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine
+
+    db = build_corpus_db(n_pages=n_pages, seed=9)
+    eng = QueryEngine(db)
+    rng = random.Random(9)
+    queries = []
+    for i in range(n_queries):
+        words = rng.sample(VOCAB, rng.randint(1, 4))
+        q = " ".join(words)
+        if i % 3 == 0:  # every third query carries a quoted phrase
+            q = f'"{words[0]} {words[-1]}" ' + q
+        queries.append(q)
+
+    recalls = []
+    for q in queries:
+        want = [d for d, _ in oracle_retrieve(db, q)]
+        parsed_results = eng.query_batch([q])[0]
+        got = [r["Url"] for r in parsed_results]
+        want_urls = []
+        for d in want:
+            info = db.doc_info.get(d)
+            want_urls.append(info.url if info else "")
+        recalls.append(recall_at_k(got, want_urls, 10))
+    mean_recall = sum(recalls) / max(len(recalls), 1)
+    return {
+        "metric": "recall_at_10_vs_reference_oracle",
+        "value": round(mean_recall, 6),
+        "unit": "recall",
+        "vs_baseline": round(mean_recall / 1.0, 6),
+    }
+
+
 def main() -> None:
     import sys
 
@@ -306,6 +350,9 @@ def main() -> None:
             return
         if mode == "index":
             print(json.dumps(bench_index()))
+            return
+        if mode == "parity":
+            print(json.dumps(bench_parity()))
             return
         raise SystemExit(f"unknown mode {mode}")
 
