@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> None:
                          "yields 0 (retrieval/main_retrieve.go:142-145)")
     ap.add_argument("--snapshot", default=None,
                     help="load a saved columnar snapshot instead of walking the store")
+    ap.add_argument("--ranker", choices=("blended", "bm25"), default="blended",
+                    help="blended = the reference's TF-IDF/PageRank formula; "
+                         "bm25 = Okapi BM25 with field boosts")
     ap.add_argument("--noBatching", action="store_true")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
@@ -39,9 +42,15 @@ def main(argv: list[str] | None = None) -> None:
         from ..index.persist import load_snapshot
 
         snapshot = load_snapshot(args.snapshot)
+    kwargs = {}
+    if args.ranker == "bm25":
+        from ..models.bm25 import BM25Ranker
+
+        kwargs["model"] = BM25Ranker()
     engine = QueryEngine(
         db, snapshot=snapshot, use_topic_model=args.topicModel,
         topic_model_fixed=args.topicModel and not args.topicQuirk,
+        **kwargs,
     )
     print(f"Loaded index: {engine.index.n_docs} docs, {engine.index.n_words} words")
     if not args.noWarmup:

@@ -1,0 +1,143 @@
+"""BM25 ranking model — the second model family beyond the reference's
+TF-IDF/PageRank blend (reference has only the blend, get_metadata.go:69).
+
+Okapi BM25 maps perfectly onto the existing columnar index: the per-posting
+term frequency is the position-list length already stored in the CSR
+(indexer writes one position per occurrence, indexer.py `[normTF, pos...]`),
+doc length is the per-doc tf sum, so the full BM25 weight
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)
+    w   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+is PRECOMPUTED per posting at prepare time. Scoring then reuses the exact
+same forward-membership machinery as the blended model (dense compare +
+weighted reduce; Pallas kernel on TPU), and phrase matching reuses
+match_phrase_fwd with the BM25 weight arrays swapped in — the matcher just
+sums the weights of matched postings.
+
+Sections combine as weighted field scores (BM25F-lite):
+    final = title_boost * S_title + body_boost * S_body
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.snapshot import IndexSnapshot, SectionCSR
+from ..ops import scoring as _scoring
+
+
+def bm25_posting_weights(
+    csr: SectionCSR, n_docs: int, k1: float = 1.2, b: float = 0.75
+) -> np.ndarray:
+    """Per-posting BM25 weight array (padded slots stay 0)."""
+    n_post = csr.n_postings
+    p_pad = csr.doc_ids.shape[0]
+    out = np.zeros(p_pad, np.float32)
+    if n_post == 0 or n_docs == 0:
+        return out
+    tf = np.diff(csr.pos_offsets[: n_post + 1]).astype(np.float64)
+    df = np.diff(csr.post_offsets).astype(np.float64)
+    word_of_post = np.repeat(
+        np.arange(df.shape[0], dtype=np.int64), np.diff(csr.post_offsets)
+    )
+    doc_len = np.zeros(n_docs + 1, np.float64)
+    np.add.at(doc_len, csr.doc_ids[:n_post], tf)
+    avgdl = max(doc_len[:n_docs].sum() / n_docs, 1e-9)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    dl = doc_len[csr.doc_ids[:n_post]]
+    out[:n_post] = (
+        idf[word_of_post] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    ).astype(np.float32)
+    return out
+
+
+@jax.jit
+def _bm25_finalize(ts, tc, bs, bc, title_boost, body_boost):
+    final = title_boost * ts + body_boost * bs
+    return jnp.where(tc + bc > 0, final, -jnp.inf)
+
+
+@dataclass
+class BM25Ranker:
+    """Drop-in ranking model for QueryEngine(model=BM25Ranker()).
+
+    PageRank/topic blending is intentionally absent: BM25 is the pure
+    lexical alternative; use BlendedRanker for the reference formula."""
+
+    k1: float = 1.2
+    b: float = 0.75
+    title_boost: float = 2.0
+    body_boost: float = 1.0
+    topk: int = 50
+    _fwd: dict = field(default_factory=dict, repr=False)
+
+    # -- engine hooks -------------------------------------------------- #
+    def prepare(self, snapshot: IndexSnapshot, index, device=None) -> None:
+        """Build BM25 forward weight arrays aligned with the DeviceIndex's
+        ft layout (same snapshot => same doc/term slots)."""
+        from ..retrieval.device_index import ForwardArrays
+
+        put = lambda x: jax.device_put(x, device)  # noqa: E731
+        self._fwd = {}
+        for name in ("title", "body"):
+            csr: SectionCSR = getattr(snapshot, name)
+            w = bm25_posting_weights(csr, snapshot.n_docs, self.k1, self.b)
+            bm_csr = replace(csr, weights=w)
+            ft, fw, fj = bm_csr.forward_with_postings(snapshot.n_docs)
+            sec = getattr(index, name)
+            d_pad = sec.fwd.ft.shape[0]
+            pad_rows = d_pad - snapshot.n_docs
+            ft = np.concatenate([ft, np.full((pad_rows, ft.shape[1]), -1, np.int32)])
+            fw = np.concatenate([fw, np.zeros((pad_rows, fw.shape[1]), np.float32)])
+            fj = np.concatenate(
+                [fj, np.full((pad_rows, fj.shape[1]), csr.doc_ids.shape[0] - 1, np.int32)]
+            )
+            self._fwd[name] = ForwardArrays(
+                ft=put(ft), fw=put(fw), fj=put(fj),
+                ftT=put(np.ascontiguousarray(ft.T)),
+                fwT=put(np.ascontiguousarray(fw.T)),
+            )
+            # padded posting-weight vector for the phrase matcher
+            self._fwd[name + "_w"] = put(w)
+
+    def phrase_weights(self, index):
+        """Posting-weight arrays the phrase matcher should sum (ft/fj are
+        weight-independent, so the engine keeps using the index's)."""
+        return self._fwd["title_w"], self._fwd["body_w"]
+
+    # -- scoring ------------------------------------------------------- #
+    def _sections(self, term_ids):
+        use_pallas = _scoring.pallas_available()
+        ts, tc = _scoring._section_scores(self._fwd["title"], term_ids, 16, use_pallas)
+        bs, bc = _scoring._section_scores(self._fwd["body"], term_ids, 16, use_pallas)
+        return ts, tc, bs, bc
+
+    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None):
+        k = min(topk or self.topk, index.n_docs) or 1
+        ts, tc, bs, bc = self._sections(term_ids)
+        final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
+        return _scoring.exact_top_k(final, k)
+
+    def score_with_phrase(
+        self, index, term_ids, qlen, topic_probs,
+        ph_docs, ph_tw, ph_bw, ph_fl, topk=None,
+    ):
+        k = min(topk or self.topk, index.n_docs) or 1
+        ts, tc, bs, bc = self._sections(term_ids)
+        b = term_ids.shape[0]
+        dl = ts.shape[1]
+        brow = jnp.arange(b)[:, None]
+        pacc = jnp.zeros((b, index.n_docs_padded + 1, 3), dtype=ts.dtype)
+        pacc = pacc.at[brow, ph_docs].add(
+            jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
+        )
+        ts = ts + pacc[:, :dl, 0]
+        bs = bs + pacc[:, :dl, 1]
+        tc = tc + pacc[:, :dl, 2]
+        final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
+        return _scoring.exact_top_k(final, k)

@@ -101,6 +101,8 @@ class QueryEngine:
         # attribute store is atomic under the GIL, two separate ones are not
         self._live = (self.snapshot, self.index)
         self._wordlist_cache: list[str] | None = None
+        if hasattr(self.model, "prepare"):  # model-specific device arrays
+            self.model.prepare(self.snapshot, self.index, self.device)
 
     def refresh(self) -> None:
         """Rebuild the snapshot + device index from the store and swap
@@ -109,6 +111,8 @@ class QueryEngine:
         atomic swap). In-flight queries keep the old arrays alive."""
         snapshot = build_snapshot(self.db)
         index = DeviceIndex.from_snapshot(snapshot, self.device)
+        if hasattr(self.model, "prepare"):
+            self.model.prepare(snapshot, index, self.device)
         self._live = (snapshot, index)
         self.snapshot, self.index = snapshot, index
         self._wordlist_cache = None
@@ -196,6 +200,14 @@ class QueryEngine:
             )
             return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
+    def _phrase_weights(self, idx):
+        """Posting-weight arrays the phrase matcher sums: the ranking
+        model's own (e.g. BM25) when it provides them, else tf-idf."""
+        hook = getattr(self.model, "phrase_weights", None)
+        if hook is not None:
+            return hook(idx)
+        return idx.title.weights, idx.body.weights
+
     def _match_phrases_batch(self, phrase_sets: list[list[str]], live=None):
         """Batch variant: one device program matches every phrase query.
         Returns per input a host (docs, title_w, body_w, flag) tuple."""
@@ -222,10 +234,11 @@ class QueryEngine:
         while cap < need:
             cap *= 2
         cap = min(cap, idx.posting_cap)
+        t_w, b_w = self._phrase_weights(idx)
         d, tw, bw, fl = match_phrase_fwd_batch(
-            idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
+            idx.title.fwd.ft, idx.title.fwd.fj, t_w,
             idx.title.pos_offsets, idx.title.positions,
-            idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
+            idx.body.fwd.ft, idx.body.fwd.fj, b_w,
             idx.body.pos_offsets, idx.body.positions,
             idx.title.offsets, idx.title.doc_ids,
             idx.body.offsets, idx.body.doc_ids,
@@ -254,10 +267,11 @@ class QueryEngine:
         while cap < need:
             cap *= 2
         cap = min(cap, idx.posting_cap)
+        t_w, b_w = self._phrase_weights(idx)
         d, tw, bw, fl = match_phrase_fwd(
-            idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
+            idx.title.fwd.ft, idx.title.fwd.fj, t_w,
             idx.title.pos_offsets, idx.title.positions,
-            idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
+            idx.body.fwd.ft, idx.body.fwd.fj, b_w,
             idx.body.pos_offsets, idx.body.positions,
             idx.title.offsets, idx.title.doc_ids,
             idx.body.offsets, idx.body.doc_ids,
