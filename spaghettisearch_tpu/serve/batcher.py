@@ -33,6 +33,7 @@ class MicroBatcher:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         result_timeout_s: float = 300.0,
+        lock: "threading.Lock | None" = None,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -40,6 +41,11 @@ class MicroBatcher:
         # generous default: an unwarmed shape can compile for minutes on a
         # remote-TPU tunnel; the future resolves the moment the batch does
         self.result_timeout_s = result_timeout_s
+        # held while a batch executes: the server's refresh handler takes the
+        # same lock before reopening the store, since hydration reads the
+        # native KV through ctypes (GIL released) — closing those handles
+        # under a running batch is a use-after-free
+        self._exec_lock = lock or threading.Lock()
         self.stats = BatcherStats()
         self._queue: list[tuple[str, Future]] = []
         self._cv = threading.Condition()
@@ -70,7 +76,8 @@ class MicroBatcher:
                 self._queue = self._queue[self.max_batch:]
             texts = [t for t, _ in batch]
             try:
-                results = self.engine.query_batch(texts)
+                with self._exec_lock:
+                    results = self.engine.query_batch(texts)
             except Exception as e:  # noqa: BLE001 — fail the waiting requests
                 for _, fut in batch:
                     fut.set_exception(e)

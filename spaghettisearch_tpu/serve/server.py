@@ -66,7 +66,10 @@ class SearchServer:
         if batching:
             from .batcher import MicroBatcher
 
-            self.batcher = MicroBatcher(engine, max_batch=max_batch, max_wait_ms=max_wait_ms)
+            self.batcher = MicroBatcher(
+                engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                lock=self._rank_lock,
+            )
 
     # ------------------------------------------------------------------ #
     def handle_query(self, query: str) -> list[dict]:
@@ -86,7 +89,8 @@ class SearchServer:
             return self.engine.query_batch(queries)
 
     def handle_wordlist(self, prefix: str) -> list[str]:
-        return self.engine.wordlist(prefix)
+        with self._rank_lock:  # cache rebuild reads the store
+            return self.engine.wordlist(prefix)
 
     def handle_refresh(self) -> dict:
         """Rebuild the snapshot + device index from the store and swap it in

@@ -245,8 +245,12 @@ class Database:
         for spec in TABLE_SPECS:
             t = self.tables[spec.name]
             t.exit_bulk()
-            t._kv.close()
+            old = t._kv
+            # swap in the fresh backend before closing the old one: callers
+            # must still serialize reopen vs reads (the server holds its
+            # rank lock), this just shrinks the hazard window
             t._kv = self._make_kv(os.path.join(self.root, spec.name))
+            old.close()
 
     # --- typed accessors ---
     @property
