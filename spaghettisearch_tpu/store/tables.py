@@ -246,9 +246,14 @@ class Database:
             t = self.tables[spec.name]
             t.exit_bulk()
             old = t._kv
+            # flush FIRST: backends buffer appends (stdio in the native
+            # engine), and the fresh backend reads the file before the old
+            # one closes — unflushed tail rows would vanish from the re-read
+            if hasattr(old, "flush"):
+                old.flush()
             # swap in the fresh backend before closing the old one: callers
             # must still serialize reopen vs reads (the server holds its
-            # rank lock), this just shrinks the hazard window
+            # rank lock), this just shrinks the close hazard window
             t._kv = self._make_kv(os.path.join(self.root, spec.name))
             old.close()
 

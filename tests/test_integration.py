@@ -123,3 +123,45 @@ def test_concurrent_queries_and_refresh(site, tmp_path):
         t.join()
     assert not errors
     db.close()
+
+
+def test_refresh_under_load_native_backend(tmp_path):
+    """Regression: /refresh reopens the native C++ store while the batcher
+    hydrates results through it — without shared locking this segfaulted
+    the server (use-after-free through ctypes)."""
+    import threading
+    import time
+
+    from corpus import build_corpus_db
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine
+    from spaghettisearch_tpu.serve.server import SearchServer
+
+    db = build_corpus_db(n_pages=12, seed=3, root=str(tmp_path / "ndb"))
+    assert db.backend_kind in ("native", "log")
+    srv = SearchServer(QueryEngine(db), batching=True, max_wait_ms=0.5)
+    errors: list[str] = []
+    stop = time.time() + 4.0
+
+    def q():
+        while time.time() < stop:
+            try:
+                srv.handle_query("algorithm database")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    def refresh():
+        while time.time() < stop:
+            try:
+                srv.handle_refresh()
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+            time.sleep(0.05)
+
+    threads = [threading.Thread(target=q) for _ in range(4)] + [
+        threading.Thread(target=refresh)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert errors == []
+    assert srv.handle_query("algorithm")  # still serving, still correct
+    srv.batcher.shutdown()
