@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> None:
             q = input("query> ").strip()
         except (EOFError, KeyboardInterrupt):
             break
+        if q in ("exit", "quit", r"\q"):
+            break
         if q:
             run(q)
 
