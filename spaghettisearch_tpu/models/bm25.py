@@ -112,10 +112,10 @@ class BM25Ranker:
 
     # -- scoring ------------------------------------------------------- #
     def _sections(self, term_ids):
-        use_pallas = _scoring.pallas_available()
-        ts, tc = _scoring._section_scores(self._fwd["title"], term_ids, 16, use_pallas)
-        bs, bc = _scoring._section_scores(self._fwd["body"], term_ids, 16, use_pallas)
-        return ts, tc, bs, bc
+        return _scoring._both_section_scores(
+            self._fwd["title"], self._fwd["body"], term_ids, 16,
+            _scoring.pallas_available(),
+        )
 
     def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None):
         k = min(topk or self.topk, index.n_docs) or 1

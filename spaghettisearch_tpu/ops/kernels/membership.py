@@ -46,6 +46,75 @@ def _kernel(tq_ref, ft_ref, fw_ref, score_ref, count_ref, *, b_block: int, q: in
     jax.lax.fori_loop(0, b_total // b_block, b_body, 0)
 
 
+def _kernel2(
+    tq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
+    ts_ref, tc_ref, bs_ref, bc_ref, *, b_block: int, q: int,
+):
+    tft = tft_ref[:]
+    tfw = tfw_ref[:]
+    bft = bft_ref[:]
+    bfw = bfw_ref[:]
+
+    def section(ft, fw, tq):
+        mult = jnp.zeros((b_block,) + ft.shape, jnp.float32)
+        for qi in range(q):
+            t = tq[:, qi][:, None, None]
+            mult = mult + (ft[None, :, :] == t).astype(jnp.float32)
+        return jnp.sum(mult * fw[None, :, :], axis=1), jnp.sum(mult, axis=1)
+
+    def b_body(bi, _):
+        row = bi * b_block
+        tq = tq_ref[pl.ds(row, b_block), :]
+        s, c = section(tft, tfw, tq)
+        ts_ref[pl.ds(row, b_block), :] = s
+        tc_ref[pl.ds(row, b_block), :] = c
+        s, c = section(bft, bfw, tq)
+        bs_ref[pl.ds(row, b_block), :] = s
+        bc_ref[pl.ds(row, b_block), :] = c
+        return 0
+
+    jax.lax.fori_loop(0, tq_ref.shape[0] // b_block, b_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("doc_block", "b_block", "interpret"))
+def pallas_forward_scores_2sec(
+    title_ftT: jax.Array,  # int32 [Tt, D]
+    title_fwT: jax.Array,
+    body_ftT: jax.Array,  # int32 [Tb, D]
+    body_fwT: jax.Array,
+    term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
+    *,
+    doc_block: int = 512,
+    b_block: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Both sections in ONE kernel pass (shared tq tile, one grid sweep):
+    -> (title score, title count, body score, body count), each [B, D].
+    ~5% over two separate passes on the 100k headline shapes."""
+    tt, d = title_ftT.shape
+    tb = body_ftT.shape[0]
+    b, q = term_ids.shape
+    assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    kernel = functools.partial(_kernel2, b_block=b_block, q=q)
+    return pl.pallas_call(
+        kernel,
+        grid=(d // doc_block,),
+        in_specs=[
+            pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * 4,
+        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(term_ids, title_ftT, title_fwT, body_ftT, body_fwT)
+
+
 @functools.partial(jax.jit, static_argnames=("doc_block", "b_block", "interpret"))
 def pallas_forward_scores(
     ftT: jax.Array,  # int32 [T, D] (transposed forward index, -1 pad)

@@ -159,6 +159,26 @@ def _section_scores(fwd, term_ids, n_blocks: int, use_pallas: bool):
     return score[:b], count[:b]
 
 
+def _both_section_scores(title_fwd, body_fwd, term_ids, n_blocks: int, use_pallas: bool):
+    """Title and body in one Pallas pass on TPU (shared tq, one grid sweep);
+    falls back to per-section XLA elsewhere."""
+    if not use_pallas:
+        ts, tc = forward_section_scores(title_fwd.ft, title_fwd.fw, term_ids, n_blocks)
+        bs, bc = forward_section_scores(body_fwd.ft, body_fwd.fw, term_ids, n_blocks)
+        return ts, tc, bs, bc
+    from .kernels.membership import pallas_forward_scores_2sec
+
+    b = term_ids.shape[0]
+    b_pad = -(-b // 8) * 8
+    tq = jnp.pad(
+        term_ids, ((0, b_pad - b), (0, 0)), constant_values=jnp.iinfo(jnp.int32).max
+    )
+    ts, tc, bs, bc = pallas_forward_scores_2sec(
+        title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT, tq, doc_block=512
+    )
+    return ts[:b], tc[:b], bs[:b], bc[:b]
+
+
 @partial(jax.jit, static_argnames=("topk", "interpret"))
 def score_queries_fused(
     title_fwd,  # ForwardArrays
@@ -207,8 +227,9 @@ def score_queries_forward(
     use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
-    ts, tc = _section_scores(title_fwd, term_ids, n_blocks, use_pallas)
-    bs, bc = _section_scores(body_fwd, term_ids, n_blocks, use_pallas)
+    ts, tc, bs, bc = _both_section_scores(
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas
+    )
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
@@ -243,8 +264,9 @@ def score_queries_forward_phrase(
     b = term_ids.shape[0]
     brow = jnp.arange(b)[:, None]
 
-    ts, tc = _section_scores(title_fwd, term_ids, n_blocks, use_pallas)
-    bs, bc = _section_scores(body_fwd, term_ids, n_blocks, use_pallas)
+    ts, tc, bs, bc = _both_section_scores(
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas
+    )
 
     pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
     pacc = pacc.at[brow, phrase_doc_ids].add(
