@@ -230,9 +230,10 @@ class QueryEngine:
             g = int(np.argmin(t_df + b_df))
             gens[i] = g
             need = max(need, int(t_df[g]), int(b_df[g]))
-        cap = 128
-        while cap < need:
-            cap *= 2
+        # two cap levels only (rare-term fast path / full), so warmup can
+        # pre-compile every phrase program instead of stalling a live query
+        # on a fresh cap bucket
+        cap = 128 if need <= 128 else idx.posting_cap
         cap = min(cap, idx.posting_cap)
         t_w, b_w = self._phrase_weights(idx)
         d, tw, bw, fl = match_phrase_fwd_batch(
@@ -261,11 +262,10 @@ class QueryEngine:
         t_df = snap.title.df(real_ids)
         b_df = snap.body.df(real_ids)
         gen = int(np.argmin(t_df + b_df))
-        # cap only needs the generator's windows — bucket to a power of two
-        cap = 128
+        # cap only needs the generator's windows — two levels (see
+        # _match_phrases_batch)
         need = int(max(t_df[gen], b_df[gen], 1))
-        while cap < need:
-            cap *= 2
+        cap = 128 if need <= 128 else idx.posting_cap
         cap = min(cap, idx.posting_cap)
         t_w, b_w = self._phrase_weights(idx)
         d, tw, bw, fl = match_phrase_fwd(
@@ -301,6 +301,29 @@ class QueryEngine:
         while b <= max_batch:
             self.rank([kw] * b, topk=MAX_RESULTS)
             b *= 2
+        # phrase programs: both cap levels x every phrase sub-batch bucket
+        idx = self.index
+        caps = sorted({min(128, idx.posting_cap), idx.posting_cap})
+        ids = np.full((1, 4), self.snapshot.n_words, np.int32)
+        valid = np.zeros((1, 4), bool)
+        gens = np.zeros(1, np.int32)
+        t_w, b_w = self._phrase_weights(idx)
+        bp = 1
+        while bp <= max_batch:
+            for cap in caps:
+                match_phrase_fwd_batch(
+                    idx.title.fwd.ft, idx.title.fwd.fj, t_w,
+                    idx.title.pos_offsets, idx.title.positions,
+                    idx.body.fwd.ft, idx.body.fwd.fj, b_w,
+                    idx.body.pos_offsets, idx.body.positions,
+                    idx.title.offsets, idx.title.doc_ids,
+                    idx.body.offsets, idx.body.doc_ids,
+                    jnp.asarray(np.repeat(ids, bp, 0)),
+                    jnp.asarray(np.repeat(valid, bp, 0)),
+                    jnp.asarray(np.repeat(gens, bp)),
+                    posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+                )
+            bp *= 2
         self.rank([ph], topk=MAX_RESULTS)
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:

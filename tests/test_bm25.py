@@ -99,3 +99,14 @@ def test_bm25_phrase_query(db, engine):
 def test_bm25_survives_refresh(db, engine):
     engine.refresh()
     assert engine.query("algorithm")  # prepare() re-ran, arrays consistent
+
+
+def test_bm25_with_loaded_snapshot(tmp_path, db):
+    """BM25 prepare() must work when the engine starts from a persisted
+    snapshot (the server's --snapshot --ranker bm25 path)."""
+    from spaghettisearch_tpu.index.persist import load_snapshot, save_snapshot
+    from spaghettisearch_tpu.index.snapshot import build_snapshot
+
+    save_snapshot(build_snapshot(db), str(tmp_path / "s"))
+    eng = QueryEngine(db, snapshot=load_snapshot(str(tmp_path / "s")), model=BM25Ranker())
+    assert eng.query("algorithm")
