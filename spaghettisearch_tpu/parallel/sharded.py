@@ -148,8 +148,28 @@ class ShardedIndex:
 
     @classmethod
     def from_snapshot(
-        cls, snap: IndexSnapshot, mesh: Mesh, axis: str = "d"
+        cls,
+        snap: IndexSnapshot,
+        mesh: Mesh,
+        axis: str = "d",
+        weights: str = "tfidf",  # "bm25": per-posting Okapi weights instead
     ) -> "ShardedIndex":
+        if weights == "bm25":
+            from dataclasses import replace as _replace
+
+            from ..models.bm25 import bm25_posting_weights
+
+            snap = _replace(
+                snap,
+                title=_replace(
+                    snap.title,
+                    weights=bm25_posting_weights(snap.title, snap.n_docs),
+                ),
+                body=_replace(
+                    snap.body,
+                    weights=bm25_posting_weights(snap.body, snap.n_docs),
+                ),
+            )
         n_shards = mesh.shape[axis]
         dl = -(-max(snap.n_docs, 1) // n_shards)
         dl = -(-dl // 8) * 8  # lane-friendly local doc count
@@ -209,7 +229,14 @@ class ShardedIndex:
         )
 
 
-def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = None):
+def make_sharded_scorer(
+    sidx: ShardedIndex,
+    topk: int,
+    batch_axis: str | None = None,
+    scoring: str = "blended",  # "bm25": boosted field sums, no cosine/PR
+    title_boost: float = 2.0,
+    body_boost: float = 1.0,
+):
     """Build the jit'd multi-chip query step.
 
     Returns run(term_ids [B,Q], qlen [B], topic_probs [B,C],
@@ -287,7 +314,11 @@ def make_sharded_scorer(sidx: ShardedIndex, topk: int, batch_axis: str | None = 
         ts = ts + pacc[:, :dl, 0]
         bs = bs + pacc[:, :dl, 1]
         tc = tc + pacc[:, :dl, 2]
-        final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
+        if scoring == "bm25":
+            final = title_boost * ts + body_boost * bs
+            final = jnp.where(tc + bc > 0, final, -jnp.inf)
+        else:
+            final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
 
         scores, ids = jax.lax.top_k(final, min(k, dl))
         ids = ids + jax.lax.axis_index(ax) * dl

@@ -164,3 +164,26 @@ def test_2d_mesh_batch_dp_matches_1d(engine):
     s2, i2 = map(np.asarray, scorer2(*args))
     np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i2, i1)
+
+
+def test_sharded_bm25_matches_single_chip(engine):
+    """BM25 over the doc-sharded mesh equals the single-chip BM25Ranker."""
+    from spaghettisearch_tpu.models.bm25 import BM25Ranker
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    eng25 = QueryEngine(engine.db, model=BM25Ranker())
+    mesh = make_mesh(4)
+    sidx = ShardedIndex.from_snapshot(eng25.snapshot, mesh, weights="bm25")
+    scorer = make_sharded_scorer(sidx, topk=50, scoring="bm25")
+
+    for query in ("algorithm database", "quantum", '"algorithm"'):
+        parsed = parse_query(query)
+        want_s, want_i = eng25.rank([parsed], topk=50)
+        got_s, got_i = _run_sharded(eng25, scorer, sidx, query)
+        want = {int(i): float(s) for s, i in zip(want_s[0], want_i[0]) if np.isfinite(s)}
+        got = {int(i): float(s) for s, i in zip(got_s, got_i) if np.isfinite(s)}
+        assert got.keys() == want.keys(), query
+        for k, v in got.items():
+            assert v == pytest.approx(want[k], rel=1e-5), (query, k)
