@@ -119,3 +119,77 @@ def test_parent_url_recorded():
     index_page(db, PAGE, BASE + "/index", last_modified=T1, parent_url=BASE + "/root")
     info = db.doc_info.get(md5_hex(BASE + "/index"))
     assert md5_hex(BASE + "/root") in info.parents
+
+
+def test_randomized_reindex_matches_fresh_build():
+    """Property test for the incremental purge/re-index path: mutate random
+    pages of a crawled corpus, re-index them, and the store must equal a
+    from-scratch index of the final corpus state (reference semantics:
+    checkAndUpdate purge + rewrite, indexer.go:420-641)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from corpus import make_page
+    from spaghettisearch_tpu.store.tables import Database
+
+    rng = random.Random(99)
+    n = 18
+    base = "http://mut.local"
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    pages = {}
+    for i in range(n):
+        url, html = make_page(rng, i, n, base)
+        pages[url] = html
+
+    # incremental store: index v1, then mutate 6 pages and re-index them
+    inc = Database(None)
+    with inc.bulk():
+        for url, html in pages.items():
+            index_page(inc, html, url, last_modified=t0)
+        mutated = rng.sample(sorted(pages), 6)
+        rng2 = random.Random(7)
+        for url in mutated:
+            i = int(url.rsplit("page", 1)[1])
+            _, html = make_page(rng2, i, n, base)
+            pages[url] = html
+            index_page(inc, html, url, last_modified=t0 + timedelta(days=1))
+
+    # fresh store: index the FINAL state once
+    fresh = Database(None)
+    with fresh.bulk():
+        for url, html in pages.items():
+            ts = t0 + timedelta(days=1) if url in mutated else t0
+            index_page(fresh, html, url, last_modified=ts)
+
+    # reference quirk: anchor writes are last-writer-wins per (word, child)
+    # and can also overwrite the child's OWN title entry with merged
+    # anchor+title positions (indexer.go:240-291 `value[kid] = ...`), so any
+    # doc that has ever been anchored is order-dependent between incremental
+    # and fresh builds. Title rows are compared only for never-anchored docs;
+    # body/children/word/doc_info are deterministic and compared in full.
+    anchored = {
+        d for store in (inc, fresh)
+        for d, info in store.doc_info.items() if info.parents
+    }
+
+    def strip_anchored(row):
+        return {d: v for d, v in row.items() if d not in anchored}
+
+    for name in ("inv_title", "inv_body", "word", "doc_children"):
+        a = dict(inc.tables[name].items())
+        b = dict(fresh.tables[name].items())
+        if name == "inv_title":
+            a = {k: v for k, v in ((k, strip_anchored(v)) for k, v in a.items()) if v}
+            b = {k: v for k, v in ((k, strip_anchored(v)) for k, v in b.items()) if v}
+        assert a.keys() == b.keys(), name
+        for k in a:
+            if name.startswith("inv"):
+                assert a[k].keys() == b[k].keys(), (name, k)
+                for doc in a[k]:
+                    assert a[k][doc] == b[k][doc], (name, k, doc)
+            else:
+                assert a[k] == b[k], (name, k)
+    # DocInfos: equal up to mod dates
+    ai = {k: v.to_json() for k, v in inc.doc_info.items()}
+    bi = {k: v.to_json() for k, v in fresh.doc_info.items()}
+    assert ai == bi
