@@ -112,13 +112,19 @@ def match_phrase_fwd(
 
     def intersect(pos_pec):
         """True where some shifted position of term 0 appears in every valid
-        term's list — pairwise compares, no searches."""
+        term's list. Pairwise compares for short position lists; the
+        [P,E,C,C'] intermediate grows quadratically in pos_cap, so long
+        lists (repetitive documents) use sorted-membership searches
+        instead — positions are stored sorted, and the shift preserves
+        order."""
         p0 = pos_pec[0]  # [E, C]
-        member = p0[None, :, :, None] == pos_pec[:, :, None, :]  # [P,E,C,C']
-        hit = jnp.any(member, axis=-1)  # [P, E, C]
-        hit = jnp.where(tv[:, None, None], hit, True)
-        all_terms = jnp.all(hit, axis=0)  # [E, C]
-        return jnp.any(all_terms & jnp.isfinite(p0), axis=-1)
+        if pos_cap <= 16:
+            member = p0[None, :, :, None] == pos_pec[:, :, None, :]  # [P,E,C,C']
+            hit = jnp.any(member, axis=-1)  # [P, E, C]
+            hit = jnp.where(tv[:, None, None], hit, True)
+            all_terms = jnp.all(hit, axis=0)  # [E, C]
+            return jnp.any(all_terms & jnp.isfinite(p0), axis=-1)
+        return _intersect_all(pos_pec, tv)
 
     t_match = intersect(t_pos)
     b_match = intersect(b_pos)

@@ -109,3 +109,67 @@ def test_fwd_with_tight_generator_cap():
     full = _collect(*match_phrase_fwd(*args, posting_cap=idx.posting_cap, **common), idx.n_docs)
     tight = _collect(*match_phrase_fwd(*args, posting_cap=cap, **common), idx.n_docs)
     assert full == tight
+
+
+def test_fwd_matches_csr_long_position_lists():
+    """Repetitive documents push pos_cap past the pairwise-intersect branch:
+    the searchsorted path must agree with the CSR matcher."""
+    import random
+    from datetime import datetime, timezone
+
+    from spaghettisearch_tpu.index.indexer import index_page
+    from spaghettisearch_tpu.index.snapshot import build_snapshot
+    from spaghettisearch_tpu.ops.weighting import update_term_weights
+    from spaghettisearch_tpu.store.tables import Database
+    from spaghettisearch_tpu.utils.hashing import md5_hex
+
+    rng = random.Random(4)
+    db = Database(None)
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    words = ["alpha", "bravo", "charlie", "delta"]
+    for i in range(10):
+        # bodies dominated by repeated bigrams: positions lists length ~30
+        body = []
+        for _ in range(30):
+            body += [words[i % 4], words[(i + 1) % 4]]
+        body += [rng.choice(words) for _ in range(rng.randint(0, 10))]
+        html = f"<html><head><title>page {i}</title></head><body><p>{' '.join(body)}</p></body></html>"
+        index_page(db, html.encode(), f"http://rep.local/{i}", last_modified=ts)
+    update_term_weights(db, "title")
+    update_term_weights(db, "body")
+    snap = build_snapshot(db)
+    idx = DeviceIndex.from_snapshot(snap)
+    assert idx.pos_cap > 16, idx.pos_cap  # exercises the searchsorted branch
+
+    from spaghettisearch_tpu.ops.phrase import match_phrase
+
+    ids = snap.term_ids([md5_hex("alpha"), md5_hex("bravo")])
+    term_ids = np.full(4, snap.n_words, np.int32)
+    term_ids[:2] = ids
+    valid = np.array([True, True, False, False])
+    t_df = snap.title.df(term_ids[:2]); b_df = snap.body.df(term_ids[:2])
+    gen = int(np.argmin(t_df + b_df))
+    common = dict(posting_cap=idx.posting_cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs)
+    a = match_phrase(
+        idx.title.offsets, idx.title.doc_ids, idx.title.weights,
+        idx.title.pos_offsets, idx.title.positions,
+        idx.body.offsets, idx.body.doc_ids, idx.body.weights,
+        idx.body.pos_offsets, idx.body.positions,
+        jnp.asarray(term_ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
+        **common,
+    )
+    b = match_phrase_fwd(
+        idx.title.fwd.ft, idx.title.fwd.fj, idx.title.weights,
+        idx.title.pos_offsets, idx.title.positions,
+        idx.body.fwd.ft, idx.body.fwd.fj, idx.body.weights,
+        idx.body.pos_offsets, idx.body.positions,
+        idx.title.offsets, idx.title.doc_ids,
+        idx.body.offsets, idx.body.doc_ids,
+        jnp.asarray(term_ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
+        **common,
+    )
+    got_a = _collect(*a, idx.n_docs)
+    got_b = _collect(*b, idx.n_docs)
+    assert got_a and set(got_a) == set(got_b)
+    for doc in got_a:
+        np.testing.assert_allclose(got_a[doc], got_b[doc], rtol=1e-6)
