@@ -118,24 +118,52 @@ class SectionCSR:
         return ft, fw
 
     def forward_with_postings(
-        self, n_docs: int
+        self, n_docs: int, doc_term_cap: int | None = 4096
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """forward() plus fj int32 [D, T_pad]: each doc-term's global posting
         index into this CSR (pad slots point at the CSR's always-empty final
         pad posting), used by the phrase kernel to jump from a matched
-        doc-term straight to its position list."""
+        doc-term straight to its position list.
+
+        doc_term_cap bounds T_pad: forward-array memory scales with the
+        LONGEST document's distinct-term count, so one pathological page
+        (tens of thousands of distinct words) would otherwise multiply HBM
+        use for the whole corpus. Docs past the cap keep only their
+        top-cap terms by weight in the DENSE view (logged); the CSR stays
+        complete, so the parity-oracle scatter path remains exact. Pass
+        None for the exact (unbounded) dense view."""
         n_words = self.post_offsets.shape[0] - 1
         n_post = self.n_postings
         word_of_post = np.repeat(
             np.arange(n_words, dtype=np.int32), np.diff(self.post_offsets)
         )
         docs = self.doc_ids[:n_post]
-        order = np.argsort(docs, kind="stable")
-        docs_s = docs[order]
-        counts = np.bincount(docs_s, minlength=n_docs)
+        post_idx = np.arange(n_post, dtype=np.int64)
+        counts = np.bincount(docs, minlength=n_docs) if n_post else np.zeros(n_docs, np.int64)
+        if doc_term_cap is not None and n_post and counts.max(initial=0) > doc_term_cap:
+            import logging
+
+            n_over = int((counts > doc_term_cap).sum())
+            logging.getLogger("spaghettisearch.index").warning(
+                "dense forward view truncating %d doc(s) with >%d distinct "
+                "terms to their top-%d by weight (max was %d); CSR paths "
+                "stay exact",
+                n_over, doc_term_cap, doc_term_cap, int(counts.max()),
+            )
+            # rank each doc's postings by descending weight, keep top-cap
+            rank_order = np.lexsort((-self.weights[:n_post], docs))
+            docs_r = docs[rank_order]
+            off = np.concatenate([[0], np.cumsum(np.bincount(docs_r, minlength=n_docs))])
+            rank_in_doc = np.arange(n_post, dtype=np.int64) - off[docs_r]
+            keep = rank_in_doc < doc_term_cap
+            post_idx = rank_order[keep]
+            docs = docs[post_idx]
+            counts = np.bincount(docs, minlength=n_docs)
+        order = post_idx[np.argsort(docs, kind="stable")]
+        docs_s = self.doc_ids[order]
         t_pad = max(-(-int(counts.max(initial=0)) // 8) * 8, 8)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        slot = np.arange(n_post, dtype=np.int64) - offsets[docs_s]
+        slot = np.arange(len(order), dtype=np.int64) - offsets[docs_s]
         ft = np.full((n_docs, t_pad), -1, np.int32)
         fw = np.zeros((n_docs, t_pad), np.float32)
         fj = np.full((n_docs, t_pad), self.doc_ids.shape[0] - 1, np.int32)

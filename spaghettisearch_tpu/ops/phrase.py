@@ -171,6 +171,35 @@ def match_phrase_fwd_batch(
     )(term_ids, term_valid, gen_idx)
 
 
+@partial(jax.jit, static_argnames=("posting_cap", "pos_cap", "n_docs"))
+def match_phrase_batch(
+    title_offsets, title_doc_ids, title_weights, title_pos_offsets, title_positions,
+    body_offsets, body_doc_ids, body_weights, body_pos_offsets, body_positions,
+    term_ids,  # int32 [B, P]
+    term_valid,  # bool [B, P]
+    gen_idx,  # int32 [B]
+    *,
+    posting_cap: int,
+    pos_cap: int,
+    n_docs: int,
+):
+    """Batched exact CSR matcher (vmap over queries): the fallback when a
+    dense forward row was truncated (doc_term_cap) and the forward matcher
+    could under-match."""
+    fn = partial(
+        match_phrase, posting_cap=posting_cap, pos_cap=pos_cap, n_docs=n_docs
+    )
+    return jax.vmap(
+        lambda t, v, g: fn(
+            title_offsets, title_doc_ids, title_weights,
+            title_pos_offsets, title_positions,
+            body_offsets, body_doc_ids, body_weights,
+            body_pos_offsets, body_positions,
+            t, v, g,
+        )
+    )(term_ids, term_valid, gen_idx)
+
+
 def _gather_term_windows(offsets, doc_ids, term_ids, posting_cap):
     """[P] term ids -> (docs [P,L] sorted w/ sentinel pad, start [P], valid [P,L])."""
     start = offsets[term_ids]

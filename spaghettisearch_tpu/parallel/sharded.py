@@ -26,7 +26,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.snapshot import IndexSnapshot, SectionCSR
-from ..ops.phrase import match_phrase_fwd
+
+#: bound on per-doc dense forward terms (matches DeviceSection's default)
+DOC_TERM_CAP = 4096
+from ..ops.phrase import match_phrase, match_phrase_fwd
 from ..ops.scoring import finalize_scores, forward_section_scores
 
 
@@ -86,7 +89,12 @@ def _shard_csr(
 
     post_width = rounded("doc_ids")
 
-    # per-shard forward views over the padded slot space [S, dl, t_pad]
+    # per-shard forward views over the padded slot space [S, dl, t_pad];
+    # t_pad is bounded (DOC_TERM_CAP): docs past it keep only their
+    # top-weight terms in the dense view (same policy as DeviceSection),
+    # and the scorer falls back to the exact CSR phrase matcher
+    truncated = t_pad > DOC_TERM_CAP
+    t_pad = min(t_pad, DOC_TERM_CAP)
     ft = np.full((n_shards, docs_per_shard, t_pad), -1, np.int32)
     fw = np.zeros((n_shards, docs_per_shard, t_pad), np.float32)
     fj = np.full((n_shards, docs_per_shard, t_pad), post_width - 1, np.int32)
@@ -97,12 +105,21 @@ def _shard_csr(
         w_of = np.repeat(
             np.arange(n_words, dtype=np.int32), np.diff(p["offsets"])
         )
-        order = np.argsort(p["doc_ids"], kind="stable")
+        keep = np.arange(n_local, dtype=np.int64)
+        if truncated:
+            rank_order = np.lexsort((-p["weights"], p["doc_ids"]))
+            docs_r = p["doc_ids"][rank_order]
+            off = np.concatenate(
+                [[0], np.cumsum(np.bincount(docs_r, minlength=docs_per_shard))]
+            )
+            rank_in_doc = np.arange(n_local, dtype=np.int64) - off[docs_r]
+            keep = rank_order[rank_in_doc < DOC_TERM_CAP]
+        order = keep[np.argsort(p["doc_ids"][keep], kind="stable")]
         docs_s = p["doc_ids"][order]
         row_off = np.zeros(docs_per_shard + 1, np.int64)
         np.add.at(row_off, docs_s + 1, 1)
         row_off = np.cumsum(row_off)
-        slot = np.arange(n_local, dtype=np.int64) - row_off[docs_s]
+        slot = np.arange(len(order), dtype=np.int64) - row_off[docs_s]
         ft[s, docs_s, slot] = w_of[order]
         fw[s, docs_s, slot] = p["weights"][order]
         fj[s, docs_s, slot] = order.astype(np.int32)
@@ -117,7 +134,7 @@ def _shard_csr(
         # kernels index pos_offsets[j + 1] for j < post_width
         pos_offsets=stack("pos_offsets", 0, post_width + 1, tail_fill=True),
         positions=stack("positions", np.inf, rounded("positions")),
-        ft=ft, fw=fw, fj=fj,
+        ft=ft, fw=fw, fj=fj, truncated=truncated,
     )
 
 
@@ -145,6 +162,7 @@ class ShardedIndex:
     body_ft: jax.Array  # [S, Dl, Tb]
     body_fw: jax.Array
     body_fj: jax.Array
+    dense_truncated: bool = False  # some doc's dense row was capped
 
     @classmethod
     def from_snapshot(
@@ -214,9 +232,9 @@ class ShardedIndex:
             posting_cap=posting_cap,
             pos_cap=-(-max(snap.title.max_positions, snap.body.max_positions, 1) // 8) * 8,
             title={k: put(v) for k, v in title_np.items()
-                   if k not in ("ft", "fw", "fj")},
+                   if k not in ("ft", "fw", "fj", "truncated")},
             body={k: put(v) for k, v in body_np.items()
-                  if k not in ("ft", "fw", "fj")},
+                  if k not in ("ft", "fw", "fj", "truncated")},
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
@@ -226,6 +244,7 @@ class ShardedIndex:
             body_ft=put(body_np["ft"]),
             body_fw=put(body_np["fw"]),
             body_fj=put(body_np["fj"]),
+            dense_truncated=bool(title_np["truncated"] or body_np["truncated"]),
         )
 
 
@@ -275,15 +294,24 @@ def make_sharded_scorer(
         e = 2 * cap
 
         def with_phrase(_):
-            # forward-index matcher, same formulation as the single-chip
-            # production path (ops/phrase.py match_phrase_fwd)
-            d, tw, bw, fl = match_phrase_fwd(
-                tft, tfj, t_w, t_poff, t_pos,
-                bft, bfj, b_w, b_poff, b_pos,
-                t_off, t_did, b_off, b_did,
-                ph_ids, ph_valid, gen_idx,
-                posting_cap=cap, pos_cap=pcap, n_docs=dl,
-            )
+            if sidx.dense_truncated:
+                # capped dense rows would under-match: exact CSR matcher
+                d, tw, bw, fl = match_phrase(
+                    t_off, t_did, t_w, t_poff, t_pos,
+                    b_off, b_did, b_w, b_poff, b_pos,
+                    ph_ids, ph_valid, gen_idx,
+                    posting_cap=cap, pos_cap=pcap, n_docs=dl,
+                )
+            else:
+                # forward-index matcher, same formulation as the single-chip
+                # production path (ops/phrase.py match_phrase_fwd)
+                d, tw, bw, fl = match_phrase_fwd(
+                    tft, tfj, t_w, t_poff, t_pos,
+                    bft, bfj, b_w, b_poff, b_pos,
+                    t_off, t_did, b_off, b_did,
+                    ph_ids, ph_valid, gen_idx,
+                    posting_cap=cap, pos_cap=pcap, n_docs=dl,
+                )
             return (
                 jnp.broadcast_to(d, (b,) + d.shape),
                 jnp.broadcast_to(tw, (b,) + tw.shape),

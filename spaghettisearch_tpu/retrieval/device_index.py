@@ -39,15 +39,25 @@ class DeviceSection:
     pos_offsets: jax.Array  # int32 [P_pad+1]
     positions: jax.Array  # f32 [L_pad]
     fwd: ForwardArrays
+    # True when some doc's dense forward row was truncated (doc_term_cap):
+    # the forward phrase matcher would then under-match, so the engine
+    # routes phrase queries through the exact CSR matcher instead
+    dense_truncated: bool = False
 
     @classmethod
     def from_csr(
-        cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None
+        cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None,
+        doc_term_cap: int | None = 4096,
     ) -> "DeviceSection":
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])
-        ft, fw, fj = csr.forward_with_postings(n_docs)
+        n_post = csr.n_postings
+        max_terms = int(np.bincount(
+            csr.doc_ids[:n_post], minlength=max(n_docs, 1)
+        ).max(initial=0)) if n_post else 0
+        truncated = doc_term_cap is not None and max_terms > doc_term_cap
+        ft, fw, fj = csr.forward_with_postings(n_docs, doc_term_cap=doc_term_cap)
         pad_rows = d_pad - n_docs
         ft = np.concatenate([ft, np.full((pad_rows, ft.shape[1]), -1, np.int32)])
         fw = np.concatenate([fw, np.zeros((pad_rows, fw.shape[1]), np.float32)])
@@ -68,6 +78,7 @@ class DeviceSection:
             pos_offsets=put(csr.pos_offsets),
             positions=put(csr.positions),
             fwd=fwd,
+            dense_truncated=truncated,
         )
 
     # convenience aliases used by the XLA formulation and tests
@@ -127,3 +138,7 @@ class DeviceIndex:
     @property
     def n_categories(self) -> int:
         return int(self.pagerank.shape[1])
+
+    @property
+    def dense_truncated(self) -> bool:
+        return self.title.dense_truncated or self.body.dense_truncated

@@ -25,7 +25,7 @@ import numpy as np
 from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..models.blended import BlendedRanker
-from ..ops.phrase import match_phrase_fwd, match_phrase_fwd_batch
+from ..ops.phrase import match_phrase_batch, match_phrase_fwd_batch
 from ..store.docinfo import DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
@@ -235,6 +235,22 @@ class QueryEngine:
         # on a fresh cap bucket
         cap = 128 if need <= 128 else idx.posting_cap
         cap = min(cap, idx.posting_cap)
+        if idx.dense_truncated:
+            # a pathological doc's dense row was capped: the forward matcher
+            # could under-match it, so use the exact CSR formulation (full
+            # posting_cap — its membership searches every term's window)
+            t_w, b_w = self._phrase_weights(idx)
+            d, tw, bw, fl = match_phrase_batch(
+                idx.title.offsets, idx.title.doc_ids, t_w,
+                idx.title.pos_offsets, idx.title.positions,
+                idx.body.offsets, idx.body.doc_ids, b_w,
+                idx.body.pos_offsets, idx.body.positions,
+                jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
+                posting_cap=idx.posting_cap, pos_cap=idx.pos_cap,
+                n_docs=idx.n_docs,
+            )
+            d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
+            return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
         t_w, b_w = self._phrase_weights(idx)
         d, tw, bw, fl = match_phrase_fwd_batch(
             idx.title.fwd.ft, idx.title.fwd.fj, t_w,
@@ -248,39 +264,6 @@ class QueryEngine:
         )
         d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
         return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
-
-    def _match_phrase(self, phrase_hashes: list[str], live=None):
-        snap, idx = live if live is not None else self._live
-        p = _bucket(len(phrase_hashes))
-        ids = np.full(p, snap.n_words, dtype=np.int32)
-        ids[: len(phrase_hashes)] = snap.term_ids(phrase_hashes)
-        valid = np.zeros(p, dtype=bool)
-        valid[: len(phrase_hashes)] = True
-        # generator term = rarest (smallest title+body df); every true match
-        # must contain it, so its postings cover the candidate set
-        real_ids = ids[: len(phrase_hashes)]
-        t_df = snap.title.df(real_ids)
-        b_df = snap.body.df(real_ids)
-        gen = int(np.argmin(t_df + b_df))
-        # cap only needs the generator's windows — two levels (see
-        # _match_phrases_batch)
-        need = int(max(t_df[gen], b_df[gen], 1))
-        cap = 128 if need <= 128 else idx.posting_cap
-        cap = min(cap, idx.posting_cap)
-        t_w, b_w = self._phrase_weights(idx)
-        d, tw, bw, fl = match_phrase_fwd(
-            idx.title.fwd.ft, idx.title.fwd.fj, t_w,
-            idx.title.pos_offsets, idx.title.positions,
-            idx.body.fwd.ft, idx.body.fwd.fj, b_w,
-            idx.body.pos_offsets, idx.body.positions,
-            idx.title.offsets, idx.title.doc_ids,
-            idx.body.offsets, idx.body.doc_ids,
-            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gen, jnp.int32),
-            posting_cap=cap,
-            pos_cap=idx.pos_cap,
-            n_docs=idx.n_docs,
-        )
-        return np.asarray(d), np.asarray(tw), np.asarray(bw), np.asarray(fl)
 
     # ------------------------------------------------------------------ #
     # public API

@@ -103,3 +103,36 @@ def test_fused_kernel_matches_unfused(engine):
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
     finite = np.isfinite(want_s)
     np.testing.assert_array_equal(got_i[finite], want_i[finite])
+
+
+def test_forward_doc_term_cap_bounds_memory():
+    """A pathological doc with a huge vocabulary must not inflate T_pad for
+    the whole corpus; its dense row keeps the top-weight terms, and docs
+    under the cap stay exact."""
+    from spaghettisearch_tpu.index.snapshot import SectionCSR
+
+    n_docs, n_words = 8, 600
+    rows = {}
+    # normal docs: 5 distinct words each; doc 0: 500 distinct words
+    for w in range(500):
+        rows[f"w{w:04d}"] = {"d0": [float(500 - w), -100.0]}
+    for d in range(1, n_docs):
+        for w in range(5):
+            rows.setdefault(f"x{d}_{w}", {})[f"d{d}"] = [1.0, float(w)]
+    word_id = {h: i for i, h in enumerate(sorted(rows))}
+    doc_id = {f"d{d}": d for d in range(n_docs)}
+    csr = SectionCSR.build(rows, word_id, doc_id, len(word_id), n_docs)
+
+    ft, fw, fj = csr.forward_with_postings(n_docs, doc_term_cap=64)
+    assert ft.shape[1] == 64  # bounded, not 500-padded
+    # doc 0 keeps exactly its 64 highest-weight terms
+    kept = fw[0][ft[0] >= 0]
+    assert len(kept) == 64 and kept.min() == 500 - 64 + 1
+    # normal docs keep everything
+    for d in range(1, n_docs):
+        assert (ft[d] >= 0).sum() == 5
+
+    exact_ft, exact_fw, _ = csr.forward_with_postings(n_docs, doc_term_cap=None)
+    assert exact_ft.shape[1] >= 500
+    for d in range(1, n_docs):
+        assert set(exact_ft[d][exact_ft[d] >= 0]) == set(ft[d][ft[d] >= 0])

@@ -187,3 +187,45 @@ def test_sharded_bm25_matches_single_chip(engine):
         assert got.keys() == want.keys(), query
         for k, v in got.items():
             assert v == pytest.approx(want[k], rel=1e-5), (query, k)
+
+
+def test_sharded_phrase_with_truncated_dense_rows():
+    """A pathological doc (capped dense row) must still phrase-match on the
+    sharded path via the exact CSR fallback."""
+    import random
+    from datetime import datetime, timezone
+
+    import spaghettisearch_tpu.parallel.sharded as sh
+    from corpus import make_page
+    from spaghettisearch_tpu.index.indexer import index_page
+    from spaghettisearch_tpu.ops.pagerank import update_pagerank
+    from spaghettisearch_tpu.ops.weighting import update_term_weights
+    from spaghettisearch_tpu.store.tables import Database
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    old_cap = sh.DOC_TERM_CAP
+    sh.DOC_TERM_CAP = 16  # force truncation without a giant fixture
+    try:
+        rng = random.Random(0)
+        db = Database(None)
+        db.topic_meta.set("G", {"numPages": 10.0, "wordCount": 1.0})
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        for i in range(8):
+            url, html = make_page(rng, i, 8, "http://tr.local")
+            index_page(db, html, url, last_modified=ts)
+        body = " ".join(f"uw{j}" for j in range(40)) + " zzmk quantum"
+        index_page(db, f"<html><head><title>big</title></head><body><p>{body}</p></body></html>".encode(),
+                   "http://tr.local/big", last_modified=ts)
+        update_pagerank(db); update_term_weights(db, "title"); update_term_weights(db, "body")
+        eng = QueryEngine(db)
+        mesh = make_mesh(2)
+        sidx = ShardedIndex.from_snapshot(eng.snapshot, mesh)
+        assert sidx.dense_truncated
+        scorer = make_sharded_scorer(sidx, topk=20)
+        got_s, got_i = _run_sharded(eng, scorer, sidx, '"zzmk quantum"')
+        hits = [eng.snapshot.doc_hashes[int(i)] for s, i in zip(got_s, got_i) if np.isfinite(s)]
+        urls = [db.doc_info.get(h).url for h in hits]
+        assert urls == ["http://tr.local/big"]
+    finally:
+        sh.DOC_TERM_CAP = old_cap
