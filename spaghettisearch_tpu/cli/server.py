@@ -29,6 +29,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--ranker", choices=("blended", "bm25"), default="blended",
                     help="blended = the reference's TF-IDF/PageRank formula; "
                          "bm25 = Okapi BM25 with field boosts")
+    ap.add_argument("--meshShards", type=int, default=0,
+                    help="serve with the doc-sharded multi-chip scorer over "
+                         "N mesh shards (0 = single-chip engine)")
+    ap.add_argument("--meshBatch", type=int, default=1,
+                    help="with --meshShards: query-data-parallel rows of a "
+                         "2-D mesh")
     ap.add_argument("--noBatching", action="store_true")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
@@ -47,7 +53,14 @@ def main(argv: list[str] | None = None) -> None:
         from ..models.bm25 import BM25Ranker
 
         kwargs["model"] = BM25Ranker()
-    engine = QueryEngine(
+    cls = QueryEngine
+    if args.meshShards:
+        from ..retrieval.sharded_engine import ShardedQueryEngine
+
+        cls = ShardedQueryEngine
+        kwargs["n_shards"] = args.meshShards
+        kwargs["n_query_rows"] = args.meshBatch
+    engine = cls(
         db, snapshot=snapshot, use_topic_model=args.topicModel,
         topic_model_fixed=args.topicModel and not args.topicQuirk,
         **kwargs,

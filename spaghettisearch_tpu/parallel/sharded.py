@@ -255,6 +255,7 @@ def make_sharded_scorer(
     scoring: str = "blended",  # "bm25": boosted field sums, no cosine/PR
     title_boost: float = 2.0,
     body_boost: float = 1.0,
+    per_row_phrases: bool = False,  # phrase args are [B, P]/[B] (else [P] bcast)
 ):
     """Build the jit'd multi-chip query step.
 
@@ -293,31 +294,35 @@ def make_sharded_scorer(
         b = term_ids.shape[0]
         e = 2 * cap
 
+        # phrase sets are PER ROW ([B, P]); a 1-D [P] input broadcasts to
+        # every row (legacy callers)
+        if ph_ids.ndim == 1:
+            ph_ids_b = jnp.broadcast_to(ph_ids, (b,) + ph_ids.shape)
+            ph_valid_b = jnp.broadcast_to(ph_valid, (b,) + ph_valid.shape)
+            gen_b = jnp.broadcast_to(jnp.atleast_1d(gen_idx), (b,))
+        else:
+            ph_ids_b, ph_valid_b, gen_b = ph_ids, ph_valid, gen_idx
+
         def with_phrase(_):
             if sidx.dense_truncated:
                 # capped dense rows would under-match: exact CSR matcher
-                d, tw, bw, fl = match_phrase(
+                fn = lambda t, v, g: match_phrase(
                     t_off, t_did, t_w, t_poff, t_pos,
                     b_off, b_did, b_w, b_poff, b_pos,
-                    ph_ids, ph_valid, gen_idx,
+                    t, v, g,
                     posting_cap=cap, pos_cap=pcap, n_docs=dl,
                 )
             else:
                 # forward-index matcher, same formulation as the single-chip
                 # production path (ops/phrase.py match_phrase_fwd)
-                d, tw, bw, fl = match_phrase_fwd(
+                fn = lambda t, v, g: match_phrase_fwd(
                     tft, tfj, t_w, t_poff, t_pos,
                     bft, bfj, b_w, b_poff, b_pos,
                     t_off, t_did, b_off, b_did,
-                    ph_ids, ph_valid, gen_idx,
+                    t, v, g,
                     posting_cap=cap, pos_cap=pcap, n_docs=dl,
                 )
-            return (
-                jnp.broadcast_to(d, (b,) + d.shape),
-                jnp.broadcast_to(tw, (b,) + tw.shape),
-                jnp.broadcast_to(bw, (b,) + bw.shape),
-                jnp.broadcast_to(fl, (b,) + fl.shape),
-            )
+            return jax.vmap(fn)(ph_ids_b, ph_valid_b, gen_b)
 
         def without_phrase(_):
             return (
@@ -328,7 +333,7 @@ def make_sharded_scorer(
             )
 
         ph_docs, ph_tw, ph_bw, ph_fl = jax.lax.cond(
-            jnp.any(ph_valid), with_phrase, without_phrase, None
+            jnp.any(ph_valid_b), with_phrase, without_phrase, None
         )
 
         # local keyword scores via the forward formulation + phrase fold
@@ -363,7 +368,11 @@ def make_sharded_scorer(
     sharded = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=tuple([P(ax)] * 19 + [bspec, bspec, bspec, P(), P(), P()]),
+        in_specs=tuple(
+            [P(ax)] * 19
+            + [bspec, bspec, bspec]
+            + ([bspec, bspec, bspec] if per_row_phrases else [P(), P(), P()])
+        ),
         out_specs=(bspec, bspec),
         check_vma=False,
     )

@@ -1,0 +1,121 @@
+"""Multi-chip serving: a QueryEngine whose device program is the
+doc-sharded shard_map scorer (parallel/sharded.py) instead of the
+single-chip DeviceIndex path.
+
+Everything host-side (parsing, hydration, summaries, wordlist, refresh) is
+inherited; only `rank` changes — the batch is scored per shard with a local
+top-k and an all-gather merge over ICI. Phrase sets are per row (the block
+vmaps the forward matcher over the batch).
+
+Use `cli.server --meshShards N` (and optionally `--meshBatch Q` for a 2-D
+query-data-parallel x doc mesh) to serve this way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_RESULTS
+from ..parallel.mesh import make_mesh, make_mesh2d
+from ..parallel.sharded import ShardedIndex, make_sharded_scorer
+from ..utils.timing import TRACER
+from .engine import ParsedQuery, QueryEngine, _bucket, parse_query
+
+
+@dataclass
+class ShardedQueryEngine(QueryEngine):
+    n_shards: int = 1
+    n_query_rows: int = 1  # >1: 2-D mesh, query batch data-parallel
+
+    def __post_init__(self) -> None:
+        super().__post_init__()
+        self._build_sharded()
+
+    def _build_sharded(self) -> None:
+        if self.n_query_rows > 1:
+            mesh = make_mesh2d(self.n_query_rows, self.n_shards)
+        else:
+            mesh = make_mesh(self.n_shards)
+        self._mesh = mesh
+        self._sidx = ShardedIndex.from_snapshot(self.snapshot, mesh)
+        self._scorers: dict[int, object] = {}
+
+    def refresh(self) -> None:
+        super().refresh()
+        self._build_sharded()
+
+    def _scorer(self, topk: int):
+        s = self._scorers.get(topk)
+        if s is None:
+            s = make_sharded_scorer(self._sidx, topk=topk, per_row_phrases=True)
+            self._scorers[topk] = s
+        return s
+
+    def rank(
+        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        snap = self.snapshot
+        sidx = self._sidx
+        b_real = len(parsed)
+        # batch bucket must also divide by the query-row mesh axis
+        b = max(self.n_query_rows, 1)
+        while b < b_real:
+            b *= 2
+        q = _bucket(max((len(p.keyword_hashes) for p in parsed), default=1))
+
+        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
+        qlen = np.zeros(b, dtype=np.float32)
+        p_max = _bucket(max((len(p.phrase_hashes) for p in parsed), default=1))
+        ph_ids = np.full((b, p_max), snap.n_words, dtype=np.int32)
+        ph_valid = np.zeros((b, p_max), dtype=bool)
+        gens = np.zeros(b, dtype=np.int32)
+        for i, p in enumerate(parsed):
+            ids = snap.term_ids(p.keyword_hashes)[:q]
+            term_ids[i, : len(ids)] = ids
+            qlen[i] = float(p.query_len)
+            if p.phrase_hashes:
+                row = snap.term_ids(p.phrase_hashes)[:p_max]
+                ph_ids[i, : len(row)] = row
+                ph_valid[i, : len(row)] = True
+                t_df = snap.title.df(row)
+                b_df = snap.body.df(row)
+                gens[i] = int(np.argmin(t_df + b_df))
+
+        topic_probs = np.zeros((b, sidx.pagerank.shape[-1]), dtype=np.float32)
+        if self.use_topic_model:
+            from .topics import compute_topic_probs
+
+            for i, p in enumerate(parsed):
+                probs = compute_topic_probs(
+                    self.db, p.keyword_hashes, fixed=self.topic_model_fixed
+                )
+                for j, c in enumerate(snap.categories):
+                    topic_probs[i, j] = probs.get(c, 0.0)
+
+        with TRACER.span("rank.sharded"):
+            scores, ids = self._scorer(topk)(
+                jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
+                jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
+            )
+            scores = np.asarray(scores)[:b_real]
+            ids = np.asarray(ids)[:b_real]
+        # sharded ids are global doc slots over padded shards; slots past the
+        # real doc range only appear with -inf scores, mask them for hydration
+        pad_mask = ids >= snap.n_docs
+        scores = np.where(pad_mask, -np.inf, scores)
+        ids = np.where(pad_mask, 0, ids)
+        return scores, ids
+
+    def warmup(self, max_batch: int = 64) -> None:  # pragma: no cover - timing
+        if self.index.n_docs == 0:
+            return
+        kw = parse_query("warmup")
+        ph = parse_query('"warm up"')
+        b = max(self.n_query_rows, 1)
+        while b <= max_batch:
+            self.rank([kw] * b, topk=MAX_RESULTS)
+            self.rank([ph] * b, topk=MAX_RESULTS)
+            b *= 2

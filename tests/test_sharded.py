@@ -229,3 +229,32 @@ def test_sharded_phrase_with_truncated_dense_rows():
         assert urls == ["http://tr.local/big"]
     finally:
         sh.DOC_TERM_CAP = old_cap
+
+
+def test_sharded_engine_matches_single_chip(db):
+    """ShardedQueryEngine end to end (mixed keyword/phrase batch) equals the
+    single-chip engine result-for-result."""
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = QueryEngine(db)
+    sharded_eng = ShardedQueryEngine(db, n_shards=4, n_query_rows=2)
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    phrase = None
+    for h in single.snapshot.doc_hashes:
+        raw = db.cached_doc(h)
+        if raw:
+            toks = laundry(" ".join(raw.decode().split("<p>")[1].split("</p>")[0].split()))
+            if len(toks) >= 2:
+                phrase = f'"{toks[0]} {toks[1]}"'
+                break
+    queries = ["algorithm database", phrase, "quantum physics galaxy",
+               f"{phrase} ranking", "nonexistentzz", ""]
+    want = single.query_batch(queries)
+    got = sharded_eng.query_batch(queries)
+    for q, w, g in zip(queries, want, got):
+        assert [r["Url"] for r in g] == [r["Url"] for r in w], q
+        for rw, rg in zip(w, g):
+            assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q
