@@ -40,7 +40,14 @@ class ShardedQueryEngine(QueryEngine):
         else:
             mesh = make_mesh(self.n_shards)
         self._mesh = mesh
-        self._sidx = ShardedIndex.from_snapshot(self.snapshot, mesh)
+        # honor the ranking model: BM25 swaps per-posting weights and the
+        # finalize flavor; anything else uses the reference blend
+        from ..models.bm25 import BM25Ranker
+
+        self._bm25 = isinstance(self.model, BM25Ranker)
+        self._sidx = ShardedIndex.from_snapshot(
+            self.snapshot, mesh, weights="bm25" if self._bm25 else "tfidf"
+        )
         self._scorers: dict[int, object] = {}
 
     def refresh(self) -> None:
@@ -50,7 +57,16 @@ class ShardedQueryEngine(QueryEngine):
     def _scorer(self, topk: int):
         s = self._scorers.get(topk)
         if s is None:
-            s = make_sharded_scorer(self._sidx, topk=topk, per_row_phrases=True)
+            kwargs = {}
+            if self._bm25:
+                kwargs = dict(
+                    scoring="bm25",
+                    title_boost=self.model.title_boost,
+                    body_boost=self.model.body_boost,
+                )
+            s = make_sharded_scorer(
+                self._sidx, topk=topk, per_row_phrases=True, **kwargs
+            )
             self._scorers[topk] = s
         return s
 

@@ -258,3 +258,20 @@ def test_sharded_engine_matches_single_chip(db):
         assert [r["Url"] for r in g] == [r["Url"] for r in w], q
         for rw, rg in zip(w, g):
             assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q
+
+
+def test_sharded_engine_bm25_matches_single_chip(db):
+    from spaghettisearch_tpu.models.bm25 import BM25Ranker
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = QueryEngine(db, model=BM25Ranker())
+    sharded_eng = ShardedQueryEngine(db, model=BM25Ranker(), n_shards=4)
+    queries = ["algorithm database", "quantum physics galaxy", '"algorithm"', ""]
+    want = single.query_batch(queries)
+    got = sharded_eng.query_batch(queries)
+    for q, w, g in zip(queries, want, got):
+        assert [r["Url"] for r in g] == [r["Url"] for r in w], q
+        for rw, rg in zip(w, g):
+            assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q
