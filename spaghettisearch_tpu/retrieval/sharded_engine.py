@@ -25,13 +25,35 @@ from ..utils.timing import TRACER
 from .engine import ParsedQuery, QueryEngine, _bucket, parse_query
 
 
+class _IndexFacts:
+    """The DeviceIndex fields generic engine/server code reads (healthz,
+    emptiness checks) without the single-chip HBM arrays — the sharded
+    engine holds the postings in the ShardedIndex instead."""
+
+    def __init__(self, snap) -> None:
+        self.n_docs = snap.n_docs
+        self.n_words = snap.n_words
+        self.n_categories = max(
+            snap.pagerank.shape[1] if snap.pagerank is not None else 1, 1
+        )
+
+
 @dataclass
 class ShardedQueryEngine(QueryEngine):
     n_shards: int = 1
     n_query_rows: int = 1  # >1: 2-D mesh, query batch data-parallel
 
     def __post_init__(self) -> None:
-        super().__post_init__()
+        # skip the single-chip DeviceIndex: postings live once, in the
+        # ShardedIndex (at 1M docs the dense forward arrays are GBs)
+        if self.snapshot is None:
+            from ..index.snapshot import build_snapshot
+
+            self.snapshot = build_snapshot(self.db)
+        if self.index is None:
+            self.index = _IndexFacts(self.snapshot)
+        self._live = (self.snapshot, self.index)
+        self._wordlist_cache = None
         self._build_sharded()
 
     def _build_sharded(self) -> None:
@@ -51,7 +73,13 @@ class ShardedQueryEngine(QueryEngine):
         self._scorers: dict[int, object] = {}
 
     def refresh(self) -> None:
-        super().refresh()
+        from ..index.snapshot import build_snapshot
+
+        snapshot = build_snapshot(self.db)
+        index = _IndexFacts(snapshot)
+        self._live = (snapshot, index)
+        self.snapshot, self.index = snapshot, index
+        self._wordlist_cache = None
         self._build_sharded()
 
     def _scorer(self, topk: int):
