@@ -171,7 +171,11 @@ class SearchServer:
                 if parts.path == "/query":
                     self._send_json(server.handle_query(str(payload.get("query", ""))))
                 elif parts.path == "/query_batch":
-                    queries = [str(q) for q in payload.get("queries", [])]
+                    raw_queries = payload.get("queries", [])
+                    if not isinstance(raw_queries, list):
+                        self._send_json({"error": "queries must be a list"}, 400)
+                        return
+                    queries = [str(q) for q in raw_queries]
                     self._send_json(server.handle_query_batch(queries))
                 elif parts.path == "/refresh":
                     self._send_json(server.handle_refresh())
