@@ -135,8 +135,8 @@ def test_fwd_matches_csr_long_position_lists():
         body += [rng.choice(words) for _ in range(rng.randint(0, 10))]
         html = f"<html><head><title>page {i}</title></head><body><p>{' '.join(body)}</p></body></html>"
         index_page(db, html.encode(), f"http://rep.local/{i}", last_modified=ts)
-    update_term_weights(db, "title")
-    update_term_weights(db, "body")
+    update_term_weights(db, "title", total_docs=10)
+    update_term_weights(db, "body", total_docs=10)
     snap = build_snapshot(db)
     idx = DeviceIndex.from_snapshot(snap)
     assert idx.pos_cap > 16, idx.pos_cap  # exercises the searchsorted branch
