@@ -30,7 +30,7 @@ from ..index.snapshot import IndexSnapshot, SectionCSR
 #: bound on per-doc dense forward terms (matches DeviceSection's default)
 DOC_TERM_CAP = 4096
 from ..ops.phrase import match_phrase, match_phrase_fwd
-from ..ops.scoring import finalize_scores, forward_section_scores
+from ..ops.scoring import finalize_scores, forward_section_scores, pallas_available
 
 
 def _repeat_blocks(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -162,6 +162,11 @@ class ShardedIndex:
     body_ft: jax.Array  # [S, Dl, Tb]
     body_fw: jax.Array
     body_fj: jax.Array
+    # transposed tiles [S, T, Dl] (doc axis on lanes) for the Pallas kernel
+    title_ftT: jax.Array = None
+    title_fwT: jax.Array = None
+    body_ftT: jax.Array = None
+    body_fwT: jax.Array = None
     dense_truncated: bool = False  # some doc's dense row was capped
 
     @classmethod
@@ -190,7 +195,7 @@ class ShardedIndex:
             )
         n_shards = mesh.shape[axis]
         dl = -(-max(snap.n_docs, 1) // n_shards)
-        dl = -(-dl // 8) * 8  # lane-friendly local doc count
+        dl = -(-dl // 512) * 512  # Pallas doc-block aligned local doc count
 
         def t_pad_of(csr: SectionCSR) -> int:
             n_post = csr.n_postings
@@ -244,6 +249,10 @@ class ShardedIndex:
             body_ft=put(body_np["ft"]),
             body_fw=put(body_np["fw"]),
             body_fj=put(body_np["fj"]),
+            title_ftT=put(np.ascontiguousarray(title_np["ft"].transpose(0, 2, 1))),
+            title_fwT=put(np.ascontiguousarray(title_np["fw"].transpose(0, 2, 1))),
+            body_ftT=put(np.ascontiguousarray(body_np["ft"].transpose(0, 2, 1))),
+            body_fwT=put(np.ascontiguousarray(body_np["fw"].transpose(0, 2, 1))),
             dense_truncated=bool(title_np["truncated"] or body_np["truncated"]),
         )
 
@@ -255,7 +264,6 @@ def make_sharded_scorer(
     scoring: str = "blended",  # "bm25": boosted field sums, no cosine/PR
     title_boost: float = 2.0,
     body_boost: float = 1.0,
-    per_row_phrases: bool = False,  # phrase args are [B, P]/[B] (else [P] bcast)
 ):
     """Build the jit'd multi-chip query step.
 
@@ -281,27 +289,42 @@ def make_sharded_scorer(
     def block(
         t_off, t_did, t_w, t_poff, t_pos,
         b_off, b_did, b_w, b_poff, b_pos,
-        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
+        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj, tftT, tfwT, bftT, bfwT,
         term_ids, qlen, topic_probs,
-        ph_ids, ph_valid, gen_idx,
+        ph_ids, ph_valid, gen_idx, phrase_rows,
     ):
         (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-         mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj) = jax.tree.map(
+         mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
+         tftT, tfwT, bftT, bfwT) = jax.tree.map(
             lambda a: a[0],
             (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-             mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj),
+             mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
+             tftT, tfwT, bftT, bfwT),
         )
         b = term_ids.shape[0]
         e = 2 * cap
 
-        # phrase sets are PER ROW ([B, P]); a 1-D [P] input broadcasts to
-        # every row (legacy callers)
+        # phrase sets ride a COMPRESSED axis [BP, P] plus a row map [BP]
+        # (bp << b in real traffic — matching the full batch axis would
+        # multiply the matcher's [BP, E, T] temporaries by the batch size).
+        # A 1-D [P] input broadcasts to every row (legacy callers).
         if ph_ids.ndim == 1:
             ph_ids_b = jnp.broadcast_to(ph_ids, (b,) + ph_ids.shape)
             ph_valid_b = jnp.broadcast_to(ph_valid, (b,) + ph_valid.shape)
             gen_b = jnp.broadcast_to(jnp.atleast_1d(gen_idx), (b,))
+            ph_row = jnp.arange(b, dtype=jnp.int32)
         else:
-            ph_ids_b, ph_valid_b, gen_b = ph_ids, ph_valid, gen_idx
+            ph_ids_b, ph_valid_b = ph_ids, ph_valid
+            gen_b = gen_idx
+            # phrase_rows are GLOBAL batch indices; this q-row holds the
+            # local slice [qi*b, (qi+1)*b) — localize and drop the rest
+            if batch_axis:
+                qi = jax.lax.axis_index(batch_axis)
+            else:
+                qi = 0
+            local = phrase_rows - qi * b
+            ph_row = jnp.where((local >= 0) & (local < b), local, b)
+        bp = ph_ids_b.shape[0]
 
         def with_phrase(_):
             if sidx.dense_truncated:
@@ -326,27 +349,53 @@ def make_sharded_scorer(
 
         def without_phrase(_):
             return (
-                jnp.full((b, e), dl, jnp.int32),
-                jnp.zeros((b, e), jnp.float32),
-                jnp.zeros((b, e), jnp.float32),
-                jnp.zeros((b, e), jnp.float32),
+                jnp.full((bp, e), dl, jnp.int32),
+                jnp.zeros((bp, e), jnp.float32),
+                jnp.zeros((bp, e), jnp.float32),
+                jnp.zeros((bp, e), jnp.float32),
             )
 
         ph_docs, ph_tw, ph_bw, ph_fl = jax.lax.cond(
             jnp.any(ph_valid_b), with_phrase, without_phrase, None
         )
 
-        # local keyword scores via the forward formulation + phrase fold
-        ts, tc = forward_section_scores(tft, tfw, term_ids, n_blocks=4)
-        bs, bc = forward_section_scores(bft, bfw, term_ids, n_blocks=4)
-        brow = jnp.arange(b)[:, None]
-        pacc = jnp.zeros((b, dl + 1, 3), dtype=ts.dtype)
-        pacc = pacc.at[brow, ph_docs].add(
-            jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
+        # local keyword scores: Pallas kernel on TPU, XLA formulation on
+        # emulated meshes (+ phrase fold below)
+        if pallas_available():
+            from ..ops.kernels.membership import pallas_forward_scores_2sec
+
+            bq = term_ids.shape[0]
+            b_pad = -(-bq // 8) * 8
+            tq_p = jnp.pad(
+                term_ids, ((0, b_pad - bq), (0, 0)),
+                constant_values=jnp.iinfo(jnp.int32).max,
+            )
+            ts, tc, bs, bc = pallas_forward_scores_2sec(
+                tftT, tfwT, bftT, bfwT, tq_p, doc_block=512
+            )
+            ts, tc, bs, bc = ts[:bq], tc[:bq], bs[:bq], bc[:bq]
+        else:
+            ts, tc = forward_section_scores(tft, tfw, term_ids, n_blocks=4)
+            bs, bc = forward_section_scores(bft, bfw, term_ids, n_blocks=4)
+        # fold the compressed phrase rows onto their batch rows (pad rows of
+        # the map point past b and drop); the scatter serializes on TPU, so
+        # keyword-only batches skip it entirely
+        def fold(args):
+            ts_, bs_, tc_ = args
+            pacc = jnp.zeros((b + 1, dl + 1, 3), dtype=ts_.dtype)
+            pacc = pacc.at[
+                jnp.minimum(ph_row, b)[:, None], ph_docs
+            ].add(jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop")
+            pacc = pacc[:b]
+            return (
+                ts_ + pacc[:, :dl, 0],
+                bs_ + pacc[:, :dl, 1],
+                tc_ + pacc[:, :dl, 2],
+            )
+
+        ts, bs, tc = jax.lax.cond(
+            jnp.any(ph_valid_b), fold, lambda a: a, (ts, bs, tc)
         )
-        ts = ts + pacc[:, :dl, 0]
-        bs = bs + pacc[:, :dl, 1]
-        tc = tc + pacc[:, :dl, 2]
         if scoring == "bm25":
             final = title_boost * ts + body_boost * bs
             final = jnp.where(tc + bc > 0, final, -jnp.inf)
@@ -369,16 +418,14 @@ def make_sharded_scorer(
         block,
         mesh=mesh,
         in_specs=tuple(
-            [P(ax)] * 19
-            + [bspec, bspec, bspec]
-            + ([bspec, bspec, bspec] if per_row_phrases else [P(), P(), P()])
+            [P(ax)] * 23 + [bspec, bspec, bspec] + [P(), P(), P(), P()]
         ),
         out_specs=(bspec, bspec),
         check_vma=False,
     )
 
-    @jax.jit
-    def run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx):
+    @partial(jax.jit, static_argnames=())
+    def _run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows):
         t, bd = sidx.title, sidx.body
         return sharded(
             t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
@@ -386,8 +433,14 @@ def make_sharded_scorer(
             sidx.mag_title, sidx.mag_body, sidx.pagerank,
             sidx.title_ft, sidx.title_fw, sidx.title_fj,
             sidx.body_ft, sidx.body_fw, sidx.body_fj,
-            term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
+            sidx.title_ftT, sidx.title_fwT, sidx.body_ftT, sidx.body_fwT,
+            term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows,
         )
+
+    def run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows=None):
+        if phrase_rows is None:  # legacy broadcast callers ([P] phrase set)
+            phrase_rows = jnp.arange(term_ids.shape[0], dtype=jnp.int32)
+        return _run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows)
 
     return run
 

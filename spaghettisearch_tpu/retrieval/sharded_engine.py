@@ -92,9 +92,7 @@ class ShardedQueryEngine(QueryEngine):
                     title_boost=self.model.title_boost,
                     body_boost=self.model.body_boost,
                 )
-            s = make_sharded_scorer(
-                self._sidx, topk=topk, per_row_phrases=True, **kwargs
-            )
+            s = make_sharded_scorer(self._sidx, topk=topk, **kwargs)
             self._scorers[topk] = s
         return s
 
@@ -113,20 +111,31 @@ class ShardedQueryEngine(QueryEngine):
         term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
         qlen = np.zeros(b, dtype=np.float32)
         p_max = _bucket(max((len(p.phrase_hashes) for p in parsed), default=1))
-        ph_ids = np.full((b, p_max), snap.n_words, dtype=np.int32)
-        ph_valid = np.zeros((b, p_max), dtype=bool)
-        gens = np.zeros(b, dtype=np.int32)
+        # phrase sets ride a COMPRESSED axis (bp rows) + a batch-row map, so
+        # the in-block matcher's temporaries scale with the number of phrase
+        # queries, not the whole batch
+        n_ph = sum(1 for p in parsed if p.phrase_hashes)
+        bp = 1
+        while bp < max(n_ph, 1):
+            bp *= 2
+        ph_ids = np.full((bp, p_max), snap.n_words, dtype=np.int32)
+        ph_valid = np.zeros((bp, p_max), dtype=bool)
+        gens = np.zeros(bp, dtype=np.int32)
+        ph_rows = np.full(bp, b, dtype=np.int32)  # pad rows drop in the fold
+        ph_i = 0
         for i, p in enumerate(parsed):
             ids = snap.term_ids(p.keyword_hashes)[:q]
             term_ids[i, : len(ids)] = ids
             qlen[i] = float(p.query_len)
             if p.phrase_hashes:
                 row = snap.term_ids(p.phrase_hashes)[:p_max]
-                ph_ids[i, : len(row)] = row
-                ph_valid[i, : len(row)] = True
+                ph_ids[ph_i, : len(row)] = row
+                ph_valid[ph_i, : len(row)] = True
                 t_df = snap.title.df(row)
                 b_df = snap.body.df(row)
-                gens[i] = int(np.argmin(t_df + b_df))
+                gens[ph_i] = int(np.argmin(t_df + b_df))
+                ph_rows[ph_i] = i
+                ph_i += 1
 
         topic_probs = np.zeros((b, sidx.pagerank.shape[-1]), dtype=np.float32)
         if self.use_topic_model:
@@ -143,6 +152,7 @@ class ShardedQueryEngine(QueryEngine):
             scores, ids = self._scorer(topk)(
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
+                jnp.asarray(ph_rows),
             )
             scores = np.asarray(scores)[:b_real]
             ids = np.asarray(ids)[:b_real]

@@ -275,3 +275,35 @@ def test_sharded_engine_bm25_matches_single_chip(db):
         assert [r["Url"] for r in g] == [r["Url"] for r in w], q
         for rw, rg in zip(w, g):
             assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q
+
+
+def test_sharded_engine_phrase_rows_cross_query_axis(db):
+    """Regression: with a 2-D mesh, phrase-row indices are GLOBAL batch
+    positions and must be localized per query-axis slice — pre-fix, a
+    phrase query on one q-row folded its matches into another q-row's
+    batch slot."""
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = QueryEngine(db)
+    phrase = None
+    for h in single.snapshot.doc_hashes:
+        raw = db.cached_doc(h)
+        if raw:
+            toks = laundry(" ".join(raw.decode().split("<p>")[1].split("</p>")[0].split()))
+            if len(toks) >= 2:
+                phrase = f'"{toks[0]} {toks[1]}"'
+                break
+    # 4 live queries, phrases at rows 0 and 2: with n_query_rows=2 the local
+    # slice is 2 rows, so row 2's phrase must land on q-row 1 slot 0
+    queries = [f"{phrase} algorithm", "galaxy", phrase, "database ranking"]
+    for shards, rows in [(4, 2), (2, 4)]:
+        mesh_eng = ShardedQueryEngine(db, n_shards=shards, n_query_rows=rows)
+        want = single.query_batch(queries)
+        got = mesh_eng.query_batch(queries)
+        for q, a, b_ in zip(queries, want, got):
+            assert [r["Url"] for r in b_] == [r["Url"] for r in a], (shards, rows, q)
+            for x, y in zip(a, b_):
+                assert y["FinalRank"] == pytest.approx(x["FinalRank"], rel=1e-5)
