@@ -122,7 +122,8 @@ def _set_section_postings(db: Database, section: str, stats, doc_hash: str) -> N
     if max_freq == 0:
         return
     inv = db.inverted(section)
-    with db.word.batch() as bw_word, inv.batch() as bw_inv:
+    raw = db.inverted_raw(section)
+    with db.word.batch() as bw_word, inv.batch() as bw_inv, raw.batch() as bw_raw:
         for word, positions in stats.pos.items():
             word_hash = md5_hex(word)
             if word_hash not in db.word:
@@ -131,6 +132,9 @@ def _set_section_postings(db: Database, section: str, stats, doc_hash: str) -> N
             row = inv.get(word_hash) or {}
             row[doc_hash] = _round_f32([norm_tf] + sorted(positions))
             bw_inv.set(word_hash, row)
+            rrow = raw.get(word_hash) or {}
+            rrow[doc_hash] = _round_f32([norm_tf])[0]
+            bw_raw.set(word_hash, rrow)
 
 
 def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str]) -> None:
@@ -141,10 +145,13 @@ def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str
     # flushes its anchor batch once per kid (indexer.go:293) so later kids
     # observe earlier kids' rows
     pending_rows: dict[str, dict] = {}
+    pending_raw: dict[str, dict] = {}  # same read-your-writes for raw rows
+    raw = db.inverted_raw("title")
     with (
         db.doc_info.batch() as bw_child,
         db.inv_title.batch() as bw_anchor,
         db.word.batch() as bw_word,
+        raw.batch() as bw_raw,
     ):
         for kid in kids:
             anchor_tokens = page.clean_fancy.get(kid, [])
@@ -193,6 +200,12 @@ def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str
                 row[kid] = _round_f32([norm_tf] + sorted(positions[w]))
                 pending_rows[word_hash] = row
                 bw_anchor.set(word_hash, row)
+                rrow = pending_raw.get(word_hash)
+                if rrow is None:
+                    rrow = raw.get(word_hash) or {}
+                rrow[kid] = _round_f32([norm_tf])[0]
+                pending_raw[word_hash] = rrow
+                bw_raw.set(word_hash, rrow)
 
 
 def _purge_old(db: Database, doc_hash: str, old: DocInfo) -> None:
@@ -209,10 +222,14 @@ def _purge_old(db: Database, doc_hash: str, old: DocInfo) -> None:
         else:
             inv.delete(word_hash)
 
+    def drop(section: str, word_hash: str, victim: str) -> None:
+        drop_from_row(db.inverted(section), word_hash, victim)
+        drop_from_row(db.inverted_raw(section), word_hash, victim)
+
     for word in laundry(" ".join(old.page_title)):
-        drop_from_row(db.inv_title, md5_hex(word), doc_hash)
+        drop("title", md5_hex(word), doc_hash)
     for word_hash in old.words_mapping:
-        drop_from_row(db.inv_body, word_hash, doc_hash)
+        drop("body", word_hash, doc_hash)
 
     for child_hash in old.children:
         child: DocInfo | None = db.doc_info.get(child_hash)
@@ -221,4 +238,4 @@ def _purge_old(db: Database, doc_hash: str, old: DocInfo) -> None:
         anchor_tokens = child.parents.pop(doc_hash, [])
         db.doc_info.set(child_hash, child)
         for w in anchor_tokens:
-            drop_from_row(db.inv_title, md5_hex(w), child_hash)
+            drop("title", md5_hex(w), child_hash)

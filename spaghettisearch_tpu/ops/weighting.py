@@ -23,15 +23,22 @@ from ..store.tables import Database
 def update_term_weights(db: Database, section: str, total_docs: int | None = None) -> None:
     n = float(total_docs if total_docs is not None else len(db.doc_rank))
     inv = db.inverted(section)
+    raw = db.inverted_raw(section)
 
     # weights multiply in float32; squared weights accumulate in float64,
-    # matching the reference's mixed precision (term_weighting.go:37-44)
+    # matching the reference's mixed precision (term_weighting.go:37-44).
+    # Unlike the reference (which multiplies the stored value in place and
+    # therefore corrupts weights when run more than once per store,
+    # term_weighting.go:42), the weight derives from the RAW normTF shadow
+    # row — this pass is idempotent and re-crawl safe.
     page_sq_sum: dict[str, float] = {}
     with inv.batch() as bw:
         for word_hash, row in inv.items():
             idf = np.float32(np.log2(np.float64(n) / np.float64(len(row))))
+            rrow = raw.get(word_hash) or {}
             for doc_hash, vals in row.items():
-                w = np.float32(vals[0]) * idf
+                base = np.float32(rrow.get(doc_hash, vals[0]))
+                w = base * idf
                 vals[0] = float(w)
                 page_sq_sum[doc_hash] = page_sq_sum.get(doc_hash, 0.0) + float(w) * float(w)
             bw.set(word_hash, row)

@@ -55,6 +55,14 @@ TABLE_SPECS: tuple[TableSpec, ...] = (
     TableSpec("inv_title", "invKeyword_title"),
     TableSpec("inv_body", "invKeyword_body"),
     TableSpec("inv_topic", "invTopic_PR"),
+    # shadow rows of RAW normTF per (word, doc): makes term weighting a pure
+    # function of raw data, i.e. idempotent across re-crawls — the reference
+    # multiplies idf into the stored value in place, so its repeated crawls
+    # silently inflate every weight (term_weighting.go:42, run per crawl by
+    # start_crawl.go:176-177). Additive table; the 9 reference tables keep
+    # their exact contract.
+    TableSpec("inv_title_raw", "invKeyword_title_rawTF"),
+    TableSpec("inv_body_raw", "invKeyword_body_rawTF"),
     TableSpec("word", "WordHash_word"),
     TableSpec("doc_info", "DocHash_docInfo", _enc_docinfo, _dec_docinfo),
     TableSpec("doc_children", "DocHash_children"),
@@ -296,6 +304,12 @@ class Database:
 
     def inverted(self, section: str) -> Table:
         return self.tables["inv_title" if section == "title" else "inv_body"]
+
+    def inverted_raw(self, section: str) -> Table:
+        """Shadow raw-normTF rows: {wordHash: {docHash: rawNormTF}}."""
+        return self.tables[
+            "inv_title_raw" if section == "title" else "inv_body_raw"
+        ]
 
     # --- raw HTML cache (reference DocsDir) ---
     def cache_doc(self, doc_hash: str, raw: bytes) -> None:

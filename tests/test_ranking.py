@@ -143,3 +143,24 @@ def test_term_weighting_and_magnitude():
     m1 = db.doc_magnitude.get("d1")["body"]
     assert math.isclose(m1, math.sqrt(0.5**2 + 2.0**2), rel_tol=1e-6)
     assert math.isclose(db.doc_magnitude.get("d2")["body"], 1.0, rel_tol=1e-6)
+
+
+def test_term_weighting_idempotent_across_recrawls():
+    """Weighting derives from the raw-normTF shadow rows, so re-running it
+    (as every re-crawl does, start_crawl.go:176-177) must not change the
+    stored weights — the reference's in-place multiply corrupts them."""
+    from corpus import build_corpus_db
+    from spaghettisearch_tpu.ops.weighting import update_term_weights
+
+    db = build_corpus_db(n_pages=12, seed=13)
+    before = {k: {d: v[0] for d, v in row.items()} for k, row in db.inv_body.items()}
+    # simulate two more crawl cycles' post-crawl jobs
+    update_term_weights(db, "title")
+    update_term_weights(db, "body")
+    update_term_weights(db, "title")
+    update_term_weights(db, "body")
+    after = {k: {d: v[0] for d, v in row.items()} for k, row in db.inv_body.items()}
+    assert before == after
+    mags_a = dict(db.doc_magnitude.items())
+    update_term_weights(db, "body")
+    assert dict(db.doc_magnitude.items()) == mags_a
