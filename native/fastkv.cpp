@@ -89,11 +89,21 @@ struct Store {
     log_bytes += 9 + k.size();
   }
 
-  void compact() {
+  // Rewrites data.log from the live map. Returns 1 on success, 0 when
+  // compaction was REFUSED because the on-disk log no longer matches this
+  // handle's view (another process appended or rewrote it since open):
+  // rewriting from our in-RAM map would silently revert the foreign rows,
+  // and the foreign writer's future appends would land on the unlinked
+  // inode. Compaction is a single-writer operation by contract.
+  int compact() {
     std::unique_lock lock(mu);
+    fflush(log);
+    struct stat st;
+    if (stat(log_path().c_str(), &st) != 0) return 0;
+    if ((uint64_t)st.st_size != log_bytes) return 0;
     std::string tmp = log_path() + ".tmp";
     FILE* f = fopen(tmp.c_str(), "wb");
-    if (!f) return;
+    if (!f) return 0;
     for (const auto& [k, v] : map)
       append_record(f, 0, k, v.data(), (uint32_t)v.size());
     fclose(f);
@@ -102,6 +112,7 @@ struct Store {
     log = fopen(log_path().c_str(), "ab");
     log_bytes = 0;
     for (const auto& [k, v] : map) log_bytes += 9 + k.size() + v.size();
+    return 1;
   }
 
   void flush() {
@@ -194,7 +205,8 @@ uint64_t fastkv_log_bytes(void* h) { return ((Store*)h)->log_bytes; }
 
 void fastkv_flush(void* h) { ((Store*)h)->flush(); }
 
-void fastkv_compact(void* h) { ((Store*)h)->compact(); }
+// 1 = compacted, 0 = refused (foreign writer appended since open) or failed
+int fastkv_compact(void* h) { return ((Store*)h)->compact(); }
 
 // iteration over a point-in-time snapshot
 void* fastkv_iter_new(void* h) {

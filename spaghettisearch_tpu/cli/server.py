@@ -41,8 +41,12 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    # NOTE: the serving process must NOT run the store GC daemon — compaction
+    # rewrites data.log from this process's in-RAM map, and the documented
+    # crawl-subprocess-then-/refresh workflow appends from ANOTHER process;
+    # compaction belongs to the single writer (the crawl CLI). The backends
+    # also refuse foreign-append compaction as defense in depth.
     db = Database(args.db)
-    db.start_gc()
     snapshot = None
     if args.snapshot:
         from ..index.persist import load_snapshot

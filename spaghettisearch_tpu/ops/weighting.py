@@ -6,9 +6,14 @@ census; the stored normalized TF is multiplied in place, and each document
 accumulates sum-of-squared weights whose square root is stored per section in
 the magnitude table.
 
-Like the reference, this job is NOT idempotent (running it twice re-multiplies
-idf); the crawl driver runs it exactly once per crawl, after PageRank (which
-populates the census), cf. cmd/crawl/start_crawl.go:174-177.
+Unlike the reference (which multiplies idf into the stored value in place and
+therefore corrupts weights when run more than once per store,
+term_weighting.go:42), this pass derives each weight from the RAW normTF
+shadow tables (inv_title_raw / inv_body_raw) written by the indexer, so it is
+idempotent and re-crawl safe. Stores predating the shadow tables fall back to
+the stored vals[0] per row — one run behaves exactly like the reference. The
+crawl driver still runs it after PageRank (which populates the census),
+cf. cmd/crawl/start_crawl.go:174-177.
 
 All arithmetic is float32, matching the reference and the device arrays.
 """

@@ -76,6 +76,12 @@ class LogBackend:
         self._lock = threading.Lock()
         self._load()
         self._wal = open(self._wal_path, "a", encoding="utf-8")
+        # this handle's view of the WAL size; compaction refuses to run when
+        # the on-disk file has diverged (a foreign process appended)
+        try:
+            self._wal_bytes = os.path.getsize(self._wal_path)
+        except OSError:
+            self._wal_bytes = 0
 
     def _load(self) -> None:
         if os.path.exists(self._snap_path):
@@ -101,12 +107,12 @@ class LogBackend:
     def set(self, key: str, value: str) -> None:
         with self._lock:
             self._data[key] = value
-            self._wal.write(json.dumps(["s", key, value]) + "\n")
+            self._wal_bytes += self._wal.write(json.dumps(["s", key, value]) + "\n")
 
     def delete(self, key: str) -> None:
         with self._lock:
             self._data.pop(key, None)
-            self._wal.write(json.dumps(["d", key]) + "\n")
+            self._wal_bytes += self._wal.write(json.dumps(["d", key]) + "\n")
 
     def set_many(self, items: list[tuple[str, str]]) -> None:
         with self._lock:
@@ -115,7 +121,7 @@ class LogBackend:
                 self._data[k] = v
                 lines.append(json.dumps(["s", k, v]))
             if lines:
-                self._wal.write("\n".join(lines) + "\n")
+                self._wal_bytes += self._wal.write("\n".join(lines) + "\n")
 
     def items(self) -> Iterator[tuple[str, str]]:
         with self._lock:
@@ -128,8 +134,25 @@ class LogBackend:
         with self._lock:
             self._wal.flush()
 
-    def compact(self) -> None:
+    def compact(self) -> bool:
+        """Rewrite snapshot + truncate WAL. Refuses (returns False) when the
+        on-disk WAL no longer matches this handle's view — another process
+        appended since open, and rewriting from our in-RAM map would silently
+        revert its rows. Compaction is a single-writer operation."""
         with self._lock:
+            self._wal.flush()
+            try:
+                disk = os.path.getsize(self._wal_path)
+            except OSError:
+                disk = -1
+            if disk != self._wal_bytes:
+                import logging
+
+                logging.getLogger("spaghettisearch.store").warning(
+                    "skipping compaction of %s: WAL was modified by another "
+                    "process since open", self.path,
+                )
+                return False
             tmp = self._snap_path + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 for k, v in self._data.items():
@@ -137,6 +160,8 @@ class LogBackend:
             os.replace(tmp, self._snap_path)
             self._wal.close()
             self._wal = open(self._wal_path, "w", encoding="utf-8")
+            self._wal_bytes = 0
+            return True
 
     def maybe_compact(self) -> None:
         try:

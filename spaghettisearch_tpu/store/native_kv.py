@@ -64,6 +64,7 @@ def _load_lib():
         lib.fastkv_log_bytes.restype = ctypes.c_uint64
         lib.fastkv_log_bytes.argtypes = [ctypes.c_void_p]
         lib.fastkv_flush.argtypes = [ctypes.c_void_p]
+        lib.fastkv_compact.restype = ctypes.c_int
         lib.fastkv_compact.argtypes = [ctypes.c_void_p]
         lib.fastkv_iter_new.restype = ctypes.c_void_p
         lib.fastkv_iter_new.argtypes = [ctypes.c_void_p]
@@ -154,8 +155,21 @@ class NativeBackend:
     def flush(self) -> None:
         self._lib.fastkv_flush(self._h)
 
-    def compact(self) -> None:
-        self._lib.fastkv_compact(self._h)
+    def compact(self) -> bool:
+        """Rewrite the WAL from the live map. Returns False when the engine
+        refused: another process appended to data.log since this handle
+        opened, and rewriting would silently drop its rows (the crawl-
+        subprocess-then-/refresh workflow). Compact only from the single
+        writer process."""
+        ok = bool(self._lib.fastkv_compact(self._h))
+        if not ok:
+            import logging
+
+            logging.getLogger("spaghettisearch.store").warning(
+                "skipping compaction of %s: data.log was modified by "
+                "another process since open", self.path,
+            )
+        return ok
 
     def maybe_compact(self) -> None:
         if self._lib.fastkv_log_bytes(self._h) > self.WAL_COMPACT_BYTES:

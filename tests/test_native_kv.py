@@ -68,6 +68,38 @@ def test_database_native_backend(tmp_path):
     db2.close()
 
 
+def test_compact_refuses_foreign_appends(tmp_path):
+    """A reader/server handle must never compact away rows appended by a
+    second process (crawl-subprocess-then-/refresh workflow): compaction
+    rewrites data.log from the handle's in-RAM map, which is stale."""
+    path = str(tmp_path / "t")
+    server = native.NativeBackend(path)
+    server.set("base", "row")
+    server.flush()
+
+    # a second handle plays the crawler subprocess appending new rows
+    crawler = native.NativeBackend(path)
+    crawler.set("crawled", "fresh-row")
+    crawler.flush()
+
+    assert server.compact() is False  # refused: foreign append detected
+    crawler.set("crawled2", "fresh-row-2")
+    crawler.flush()
+    crawler.close()
+    server.close()
+
+    b = native.NativeBackend(path)
+    assert b.get("base") == "row"
+    assert b.get("crawled") == "fresh-row"
+    assert b.get("crawled2") == "fresh-row-2"
+    # the single remaining writer may compact
+    assert b.compact() is True
+    b.close()
+    b2 = native.NativeBackend(path)
+    assert len(b2) == 3
+    b2.close()
+
+
 def test_torn_tail_record_recovered(tmp_path):
     path = str(tmp_path / "t")
     b = native.NativeBackend(path)

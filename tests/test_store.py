@@ -81,6 +81,26 @@ def test_compaction(tmp_path):
     db2.close()
 
 
+def test_log_backend_compact_refuses_foreign_appends(tmp_path):
+    from spaghettisearch_tpu.store.kv import LogBackend
+
+    path = str(tmp_path / "t")
+    a = LogBackend(path)
+    a.set("base", "row")
+    a.flush()
+    b = LogBackend(path)  # second process appends
+    b.set("foreign", "row2")
+    b.flush()
+    assert a.compact() is False  # refused
+    b.close()
+    a.close()
+    c = LogBackend(path)
+    assert c.get("base") == "row"
+    assert c.get("foreign") == "row2"
+    assert c.compact() is True
+    c.close()
+
+
 def test_bulk_mode_equivalent_and_durable(tmp_path):
     """Bulk write-back indexing must produce byte-identical tables to the
     per-page path, and survive close/reopen on the disk backend."""
