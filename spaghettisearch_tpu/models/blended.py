@@ -90,6 +90,37 @@ class BlendedRanker:
             index, term_ids, qlen, topic_probs, k, (ph_docs, ph_tw, ph_bw, ph_fl)
         )
 
+    def score_csr(
+        self, index, term_ids, qlen, topic_probs,
+        ph_docs=None, ph_tw=None, ph_bw=None, ph_fl=None, topk=None,
+    ):
+        """Exact CSR gather/scatter scoring (with optional phrase fold).
+
+        Production route whenever the dense forward view was truncated
+        (index.dense_truncated): the CSR holds every posting, so scores and
+        candidacy for pathological >doc_term_cap documents stay exact."""
+        k = min(topk or self.topk, index.n_docs) or 1
+        b = term_ids.shape[0]
+        if ph_docs is None:
+            e = 8
+            ph_docs = jnp.full((b, e), index.n_docs, jnp.int32)
+            ph_tw = jnp.zeros((b, e), jnp.float32)
+            ph_bw = jnp.zeros((b, e), jnp.float32)
+            ph_fl = jnp.zeros((b, e), jnp.float32)
+        blend = None
+        if not self.is_reference_blend():
+            blend = jnp.array(
+                [self.w_pagerank, self.w_title, self.w_body, self.scale], jnp.float32
+            )
+        return _scoring.score_queries(
+            index.title.offsets, index.title.doc_ids, index.title.weights,
+            index.body.offsets, index.body.doc_ids, index.body.weights,
+            index.mag_title, index.mag_body, index.pagerank,
+            term_ids, qlen, topic_probs,
+            ph_docs, ph_tw, ph_bw, ph_fl, blend,
+            posting_cap=index.posting_cap, topk=k, n_docs=index.n_docs,
+        )
+
     def _custom_forward(self, index, term_ids, qlen, topic_probs, k, phrase=None):
         weights = jnp.array(
             [self.w_pagerank, self.w_title, self.w_body, self.scale], jnp.float32

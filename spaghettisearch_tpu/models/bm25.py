@@ -123,6 +123,28 @@ class BM25Ranker:
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
         return _scoring.exact_top_k(final, k)
 
+    def score_csr(
+        self, index, term_ids, qlen, topic_probs,
+        ph_docs=None, ph_tw=None, ph_bw=None, ph_fl=None, topk=None,
+    ):
+        """Exact CSR scoring with BM25 posting weights (production route when
+        the dense forward view was truncated by doc_term_cap)."""
+        k = min(topk or self.topk, index.n_docs) or 1
+        b = term_ids.shape[0]
+        if ph_docs is None:
+            e = 8
+            ph_docs = jnp.full((b, e), index.n_docs, jnp.int32)
+            ph_tw = jnp.zeros((b, e), jnp.float32)
+            ph_bw = jnp.zeros((b, e), jnp.float32)
+            ph_fl = jnp.zeros((b, e), jnp.float32)
+        return _bm25_score_csr(
+            index.title.offsets, index.title.doc_ids, self._fwd["title_w"],
+            index.body.offsets, index.body.doc_ids, self._fwd["body_w"],
+            term_ids, ph_docs, ph_tw, ph_bw, ph_fl,
+            jnp.float32(self.title_boost), jnp.float32(self.body_boost),
+            posting_cap=index.posting_cap, topk=k, n_docs=index.n_docs,
+        )
+
     def score_with_phrase(
         self, index, term_ids, qlen, topic_probs,
         ph_docs, ph_tw, ph_bw, ph_fl, topk=None,
@@ -141,3 +163,39 @@ class BM25Ranker:
         tc = tc + pacc[:, :dl, 2]
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
         return _scoring.exact_top_k(final, k)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("posting_cap", "topk", "n_docs"))
+def _bm25_score_csr(
+    title_offsets, title_doc_ids, title_w,
+    body_offsets, body_doc_ids, body_w,
+    term_ids, ph_docs, ph_tw, ph_bw, ph_fl,
+    title_boost, body_boost,
+    *,
+    posting_cap: int,
+    topk: int,
+    n_docs: int,
+):
+    """CSR gather/scatter BM25 scoring (exact; phrase contributions folded)."""
+    b = term_ids.shape[0]
+    brow = jnp.arange(b)[:, None]
+    td, tw, tv = _scoring._gather_section(
+        title_offsets, title_doc_ids, title_w, term_ids, posting_cap
+    )
+    ts, tc = _scoring._scatter_scores(td, tw, tv, n_docs)
+    bd, bw_, bv = _scoring._gather_section(
+        body_offsets, body_doc_ids, body_w, term_ids, posting_cap
+    )
+    bs, bc = _scoring._scatter_scores(bd, bw_, bv, n_docs)
+    pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
+    pacc = pacc.at[brow, ph_docs].add(
+        jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
+    )
+    ts = ts + pacc[:, :n_docs, 0]
+    bs = bs + pacc[:, :n_docs, 1]
+    tc = tc + pacc[:, :n_docs, 2]
+    final = _bm25_finalize(ts, tc, bs, bc, title_boost, body_boost)
+    return _scoring.exact_top_k(final, topk)

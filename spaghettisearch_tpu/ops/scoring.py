@@ -341,6 +341,7 @@ def score_dense(
     *,
     posting_cap: int,
     n_docs: int,
+    blend: jax.Array | None = None,  # f32 [4] custom (w_pr, w_title, w_body, scale)
 ) -> jax.Array:
     """Dense final scores [B, D] via the CSR formulation; folds sparse phrase
     contributions (weights + candidacy) before normalization."""
@@ -366,11 +367,20 @@ def score_dense(
     title_count = title_count + pacc[:, :n_docs, 2]
 
     # doc-level arrays may be padded beyond n_docs (Pallas layout); slice
-    return finalize_scores(
-        title_score, title_count, body_score, body_count,
-        mag_title[:n_docs], mag_body[:n_docs], pagerank[:n_docs],
-        query_len, topic_probs,
-    )
+    if blend is None:
+        return finalize_scores(
+            title_score, title_count, body_score, body_count,
+            mag_title[:n_docs], mag_body[:n_docs], pagerank[:n_docs],
+            query_len, topic_probs,
+        )
+    qmag = jnp.sqrt(query_len)[:, None]
+    tn = title_score / (mag_title[None, :n_docs] * qmag)
+    bn = body_score / (mag_body[None, :n_docs] * qmag)
+    tn = jnp.where(jnp.isnan(tn), 0.0, tn)
+    bn = jnp.where(jnp.isnan(bn), 0.0, bn)
+    sqd = jnp.dot(topic_probs, pagerank[:n_docs].T, preferred_element_type=jnp.float32)
+    final = (blend[0] * sqd + blend[1] * tn + blend[2] * bn) * blend[3]
+    return jnp.where(title_count + body_count > 0, final, -jnp.inf)
 
 
 @partial(jax.jit, static_argnames=("posting_cap", "topk", "n_docs"))
@@ -391,12 +401,17 @@ def score_queries(
     phrase_title_w: jax.Array,
     phrase_body_w: jax.Array,
     phrase_flag: jax.Array,
+    blend: jax.Array | None = None,
     *,
     posting_cap: int,
     topk: int,
     n_docs: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """CSR path with phrase folding. -> (top scores [B,K], doc ids [B,K])."""
+    """CSR path with phrase folding. -> (top scores [B,K], doc ids [B,K]).
+
+    The production keyword scorer routes here when the dense forward view
+    was truncated (doc_term_cap) — the CSR stays complete, so scores and
+    candidacy remain exact for pathological documents."""
     final = score_dense(
         title_offsets, title_doc_ids, title_weights,
         body_offsets, body_doc_ids, body_weights,
@@ -405,5 +420,6 @@ def score_queries(
         phrase_doc_ids, phrase_title_w, phrase_body_w, phrase_flag,
         posting_cap=posting_cap,
         n_docs=n_docs,
+        blend=blend,
     )
     return exact_top_k(final, topk)

@@ -257,8 +257,32 @@ class ShardedIndex:
         )
 
 
+def scorer_meta(sidx: ShardedIndex) -> tuple:
+    """The static facts a compiled sharded scorer depends on. Two snapshots
+    with equal meta (same mesh geometry + padded dims) can share compiled
+    programs — the index arrays are call-time jit ARGUMENTS, so a /refresh
+    that doesn't change padded shapes reuses every compile."""
+    return (
+        sidx.mesh, sidx.axis, sidx.docs_per_shard,
+        sidx.posting_cap, sidx.pos_cap, sidx.dense_truncated,
+    )
+
+
+def index_args(sidx: ShardedIndex) -> tuple:
+    """The 23 sharded arrays a scorer takes, in block order."""
+    t, bd = sidx.title, sidx.body
+    return (
+        t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
+        bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
+        sidx.mag_title, sidx.mag_body, sidx.pagerank,
+        sidx.title_ft, sidx.title_fw, sidx.title_fj,
+        sidx.body_ft, sidx.body_fw, sidx.body_fj,
+        sidx.title_ftT, sidx.title_fwT, sidx.body_ftT, sidx.body_fwT,
+    )
+
+
 def make_sharded_scorer(
-    sidx: ShardedIndex,
+    sidx_or_meta,
     topk: int,
     batch_axis: str | None = None,
     scoring: str = "blended",  # "bm25": boosted field sums, no cosine/PR
@@ -267,23 +291,25 @@ def make_sharded_scorer(
 ):
     """Build the jit'd multi-chip query step.
 
-    Returns run(term_ids [B,Q], qlen [B], topic_probs [B,C],
-                phrase_term_ids [P], phrase_valid [P], gen_idx) ->
+    Accepts a ShardedIndex or its scorer_meta(). Returns
+    run(sidx, term_ids [B,Q], qlen [B], topic_probs [B,C],
+        phrase_term_ids [P], phrase_valid [P], gen_idx, phrase_rows) ->
     (scores [B,K], global doc ids [B,K]). Pass phrase_valid all-False for
-    keyword-only batches.
+    keyword-only batches. The index arrays are call-time arguments: any
+    ShardedIndex whose scorer_meta() (and array shapes) match can be passed,
+    so a refreshed index reuses the compiled programs.
 
     On a 2-D mesh (make_mesh2d), the query batch is additionally split
     data-parallel over `batch_axis` (auto-detected: any mesh axis other than
     the doc axis): each q-row scores B/n_q queries against the full
     doc-sharded index, and no data crosses the q axis. B must divide by n_q.
     """
-    mesh, ax = sidx.mesh, sidx.axis
+    meta = scorer_meta(sidx_or_meta) if isinstance(sidx_or_meta, ShardedIndex) else sidx_or_meta
+    mesh, ax, dl, cap, pcap, dense_truncated = meta
     if batch_axis is None:
         others = [a for a in mesh.axis_names if a != ax and mesh.shape[a] > 1]
         batch_axis = others[0] if others else None
     bspec = P(batch_axis) if batch_axis else P()
-    dl = sidx.docs_per_shard
-    cap, pcap = sidx.posting_cap, sidx.pos_cap
     k = topk
 
     def block(
@@ -327,7 +353,7 @@ def make_sharded_scorer(
         bp = ph_ids_b.shape[0]
 
         def with_phrase(_):
-            if sidx.dense_truncated:
+            if dense_truncated:
                 # capped dense rows would under-match: exact CSR matcher
                 fn = lambda t, v, g: match_phrase(
                     t_off, t_did, t_w, t_poff, t_pos,
@@ -424,24 +450,18 @@ def make_sharded_scorer(
         check_vma=False,
     )
 
-    @partial(jax.jit, static_argnames=())
-    def _run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows):
-        t, bd = sidx.title, sidx.body
-        return sharded(
-            t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
-            bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
-            sidx.mag_title, sidx.mag_body, sidx.pagerank,
-            sidx.title_ft, sidx.title_fw, sidx.title_fj,
-            sidx.body_ft, sidx.body_fw, sidx.body_fj,
-            sidx.title_ftT, sidx.title_fwT, sidx.body_ftT, sidx.body_fwT,
+    _run = jax.jit(sharded)
+
+    def run(sidx, term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
+            phrase_rows=None):
+        if phrase_rows is None:  # legacy broadcast callers ([P] phrase set)
+            phrase_rows = jnp.arange(term_ids.shape[0], dtype=jnp.int32)
+        return _run(
+            *index_args(sidx),
             term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows,
         )
 
-    def run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows=None):
-        if phrase_rows is None:  # legacy broadcast callers ([P] phrase set)
-            phrase_rows = jnp.arange(term_ids.shape[0], dtype=jnp.int32)
-        return _run(term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows)
-
+    run._jit = _run  # compile-count introspection (tests, /stats)
     return run
 
 

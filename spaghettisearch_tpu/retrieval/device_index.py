@@ -14,6 +14,10 @@ from ..index.snapshot import IndexSnapshot, SectionCSR
 #: doc-axis padding granularity; also the Pallas scorer's doc block
 DOC_BLOCK = 512
 
+#: bound on per-doc dense forward terms (memory guard; docs beyond it are
+#: scored through the exact CSR path — engine.rank routes on dense_truncated)
+DOC_TERM_CAP = 4096
+
 
 def _round_up(n: int, m: int = 128) -> int:
     return max(((n + m - 1) // m) * m, m)
@@ -47,8 +51,10 @@ class DeviceSection:
     @classmethod
     def from_csr(
         cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None,
-        doc_term_cap: int | None = 4096,
+        doc_term_cap: int | None = None,
     ) -> "DeviceSection":
+        if doc_term_cap is None:
+            doc_term_cap = DOC_TERM_CAP
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])

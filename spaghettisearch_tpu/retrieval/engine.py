@@ -79,6 +79,54 @@ def _bucket(n: int, step: int = 4) -> int:
     return max(((n + step - 1) // step) * step, step)
 
 
+def _pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+# --------------------------------------------------------------------- #
+# Compile-shape policy.
+#
+# Every jit axis a live query can reach must come from a FINITE set that
+# warmup() pre-compiles — a fresh XLA compile takes 20-130 s through a
+# remote-TPU tunnel while the micro-batcher holds the rank lock, stalling
+# all traffic. Common shapes get fine-grained buckets; rare shapes all
+# collapse onto one padded catch-all program (padding costs ~ms, a fresh
+# compile costs ~minutes):
+#
+#   batch b : powers of two up to WARM_B_MAX (micro-batcher cap); any rare
+#             axis below forces b to WARM_B_MAX so only ONE catch-all
+#             program exists per rare family
+#   keywords q : Q_BASE (covers almost all queries) or Q_CATCHALL; terms
+#             beyond Q_CATCHALL are dropped (a >32-stemmed-keyword query is
+#             degenerate; divergence from the reference documented here)
+#   phrase terms p : 4 (batched) | 8 | 16 (matched one query at a time);
+#             phrase tokens beyond 16 are dropped likewise
+#   phrase fold width e : E_BASE, then per-index levels up to pow2(n_docs)
+# --------------------------------------------------------------------- #
+WARM_B_MAX = 64
+Q_BASE = 4
+Q_CATCHALL = 32
+P_BASE = 4
+P_LEVELS = (P_BASE, 8, 16)
+E_BASE = 64
+E_MID = 4096
+
+
+def _p_level(n: int) -> int:
+    for lvl in P_LEVELS:
+        if n <= lvl:
+            return lvl
+    return P_LEVELS[-1]
+
+
+def _e_levels(n_docs: int) -> tuple[int, ...]:
+    full = _pow2(max(n_docs, E_BASE))
+    return tuple(sorted({E_BASE, min(E_MID, full), full}))
+
+
 @dataclass
 class QueryEngine:
     db: Database
@@ -133,10 +181,45 @@ class QueryEngine:
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
         # compile its own XLA program
-        b = 1
-        while b < b_real:
-            b *= 2
-        q = _bucket(max((len(p.keyword_hashes) for p in parsed), default=1))
+        b = _pow2(b_real)
+        q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
+        if q_real <= Q_BASE:
+            q = Q_BASE
+        else:
+            # rare long-keyword shape -> the single warmed catch-all program
+            q = Q_CATCHALL
+            if b < WARM_B_MAX:
+                b = WARM_B_MAX
+            if q_real > Q_CATCHALL:
+                import logging
+
+                logging.getLogger("spaghettisearch.engine").warning(
+                    "query has %d keyword terms; scoring the first %d",
+                    q_real, Q_CATCHALL,
+                )
+
+        has_phrase = any(p.phrase_hashes for p in parsed)
+        matches: list[tuple[np.ndarray, ...]] = []
+        e = E_BASE
+        if has_phrase:
+            # phrase matches: batched device positional intersection, then
+            # host-compress the sparse results so the fold-in scatter is tiny
+            matches = [(np.zeros(0, np.int32),) * 4 for _ in parsed]
+            ph_rows = [i for i, p in enumerate(parsed) if p.phrase_hashes]
+            batch = self._match_phrases_batch(
+                [parsed[i].phrase_hashes for i in ph_rows], live
+            )
+            for i, (d, tw, bw, fl) in zip(ph_rows, batch):
+                real = d < idx.n_docs
+                matches[i] = (d[real], tw[real], bw[real], fl[real])
+            e_real = max((len(m[0]) for m in matches), default=1)
+            levels = _e_levels(idx.n_docs)
+            e = next(lvl for lvl in levels if e_real <= lvl)
+            if e > E_BASE:
+                # rare wide-fold shape -> catch-all program (one per level)
+                q = Q_CATCHALL
+                if b < WARM_B_MAX:
+                    b = WARM_B_MAX
 
         term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
         qlen = np.zeros(b, dtype=np.float32)
@@ -154,35 +237,31 @@ class QueryEngine:
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
-        has_phrase = any(p.phrase_hashes for p in parsed)
+        # a truncated dense forward view would mis-score (and can even drop
+        # candidacy for) docs with >doc_term_cap distinct terms; the CSR is
+        # always complete, so production scoring routes through it then
+        use_csr = idx.dense_truncated
+
         if not has_phrase:
             # fast path: forward-membership scorer (no scatter/gather)
             with TRACER.span("rank.device"):
-                scores, ids = self.model.score_keywords(
-                    idx,
-                    jnp.asarray(term_ids), jnp.asarray(qlen),
-                    jnp.asarray(topic_probs), topk=topk,
-                )
+                if use_csr:
+                    scores, ids = self.model.score_csr(
+                        idx, jnp.asarray(term_ids), jnp.asarray(qlen),
+                        jnp.asarray(topic_probs), topk=topk,
+                    )
+                else:
+                    scores, ids = self.model.score_keywords(
+                        idx,
+                        jnp.asarray(term_ids), jnp.asarray(qlen),
+                        jnp.asarray(topic_probs), topk=topk,
+                    )
                 return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
-        # phrase matches: ONE batched device positional intersection for all
-        # phrase queries in the batch, then host-compress the sparse results
-        # so the fold-in scatter is tiny
-        matches: list[tuple[np.ndarray, ...]] = [
-            (np.zeros(0, np.int32),) * 4 for _ in parsed
-        ]
-        ph_rows = [i for i, p in enumerate(parsed) if p.phrase_hashes]
-        if ph_rows:
-            batch = self._match_phrases_batch(
-                [parsed[i].phrase_hashes for i in ph_rows], live
-            )
-            for i, (d, tw, bw, fl) in zip(ph_rows, batch):
-                real = d < idx.n_docs
-                matches[i] = (d[real], tw[real], bw[real], fl[real])
-        e = _bucket(max((len(m[0]) for m in matches), default=1), 64)
-        # pad slot = n_docs_padded: lands past the real doc range in the
-        # fold-in accumulator and is sliced away
-        ph_docs = np.full((b, e), idx.n_docs_padded, dtype=np.int32)
+        # pad slot lands past the real doc range in the fold-in accumulator
+        # and is dropped/sliced away
+        pad_doc = idx.n_docs if use_csr else idx.n_docs_padded
+        ph_docs = np.full((b, e), pad_doc, dtype=np.int32)
         ph_tw = np.zeros((b, e), dtype=np.float32)
         ph_bw = np.zeros((b, e), dtype=np.float32)
         ph_fl = np.zeros((b, e), dtype=np.float32)
@@ -192,12 +271,20 @@ class QueryEngine:
             ph_bw[i, :n], ph_fl[i, :n] = bw, fl
 
         with TRACER.span("rank.device"):
-            scores, ids = self.model.score_with_phrase(
-                idx,
-                jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
-                jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
-                jnp.asarray(ph_fl), topk=topk,
-            )
+            if use_csr:
+                scores, ids = self.model.score_csr(
+                    idx,
+                    jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
+                    jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
+                    jnp.asarray(ph_fl), topk=topk,
+                )
+            else:
+                scores, ids = self.model.score_with_phrase(
+                    idx,
+                    jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
+                    jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
+                    jnp.asarray(ph_fl), topk=topk,
+                )
             return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
     def _phrase_weights(self, idx):
@@ -209,14 +296,40 @@ class QueryEngine:
         return idx.title.weights, idx.body.weights
 
     def _match_phrases_batch(self, phrase_sets: list[list[str]], live=None):
-        """Batch variant: one device program matches every phrase query.
-        Returns per input a host (docs, title_w, body_w, flag) tuple."""
+        """Match every phrase query of a batch. Short phrases (<= P_BASE
+        terms, the overwhelmingly common case) run as ONE batched device
+        program; longer ones run one at a time at the next P_LEVELS bucket so
+        the warmed compile-shape set stays finite. Returns per input a host
+        (docs, title_w, body_w, flag) tuple."""
+        short = [i for i, s in enumerate(phrase_sets) if len(s) <= P_BASE]
+        out: list[tuple[np.ndarray, ...] | None] = [None] * len(phrase_sets)
+        if short:
+            res = self._match_phrases_fixed(
+                [phrase_sets[i] for i in short], P_BASE, live
+            )
+            for i, r in zip(short, res):
+                out[i] = r
+        for i, s in enumerate(phrase_sets):
+            if len(s) <= P_BASE:
+                continue
+            p = _p_level(len(s))
+            if len(s) > p:
+                import logging
+
+                logging.getLogger("spaghettisearch.engine").warning(
+                    "phrase has %d terms; matching the first %d", len(s), p
+                )
+            out[i] = self._match_phrases_fixed([s[:p]], p, live)[0]
+        return out
+
+    def _match_phrases_fixed(
+        self, phrase_sets: list[list[str]], p: int, live=None
+    ):
+        """One device program matches `phrase_sets`, all padded to exactly
+        `p` terms (a warmed compile shape)."""
         snap, idx = live if live is not None else self._live
         bp_real = len(phrase_sets)
-        bp = 1  # power-of-two bucket: the vmap axis is a compile shape
-        while bp < bp_real:
-            bp *= 2
-        p = _bucket(max(len(s) for s in phrase_sets))
+        bp = _pow2(bp_real)  # the vmap axis is a compile shape
         ids = np.full((bp, p), snap.n_words, dtype=np.int32)
         valid = np.zeros((bp, p), dtype=bool)  # pad rows: no valid terms
         gens = np.zeros(bp, dtype=np.int32)
@@ -269,45 +382,112 @@ class QueryEngine:
     # public API
     # ------------------------------------------------------------------ #
 
-    def warmup(self, max_batch: int = 64) -> None:
-        """Compile the hot query programs before serving traffic: the first
-        jit of each (batch, q) shape can take tens of seconds (especially
-        through a remote-TPU tunnel), which would otherwise be paid by the
-        first unlucky requests. The micro-batcher coalesces to arbitrary
-        sizes, so every power-of-two bucket up to max_batch gets compiled,
-        plus the single-phrase-query program."""
+    def warmup(self, max_batch: int = WARM_B_MAX) -> None:
+        """Compile EVERY query program a live query can reach before serving
+        traffic: a fresh jit can take tens of seconds (especially through a
+        remote-TPU tunnel), which would otherwise stall the micro-batcher —
+        and all traffic behind it — mid-request. The compile-shape policy
+        (see module header) keeps the reachable set finite; this walks it:
+
+        - keyword scorer at every batch bucket (q=Q_BASE) + the long-keyword
+          catch-all (WARM_B_MAX, Q_CATCHALL);
+        - phrase scorer at every batch bucket (e=E_BASE) + the wide-fold
+          catch-alls (WARM_B_MAX, Q_CATCHALL, each e level);
+        - the phrase matcher at every sub-batch bucket (p=P_BASE, both cap
+          levels) + the long-phrase buckets (bp=1, p=8/16);
+        - the exact-CSR variants instead when the index is dense-truncated
+          (rank() routes there automatically).
+        """
         if self.index.n_docs == 0:
             return
         kw = parse_query("warmup")
+        kw_long = ParsedQuery(
+            raw="", stripped="", phrases=[],
+            keyword_hashes=["0" * 32] * (Q_BASE + 1), phrase_hashes=[],
+        )
         ph = parse_query('"warm up"')
+
+        def ph_n(n: int) -> ParsedQuery:  # n-term phrase (p-level warm)
+            return ParsedQuery(
+                raw="", stripped="", phrases=["w " * n],
+                keyword_hashes=[], phrase_hashes=["0" * 32] * n,
+            )
+
         b = 1
         while b <= max_batch:
-            self.rank([kw] * b, topk=MAX_RESULTS)
+            self.rank([kw] * b, topk=MAX_RESULTS)  # keyword (b, Q_BASE)
+            self.rank([ph] * b, topk=MAX_RESULTS)  # matcher bp=b + scorer (b, Q_BASE, E_BASE)
             b *= 2
-        # phrase programs: both cap levels x every phrase sub-batch bucket
+        self.rank([kw_long], topk=MAX_RESULTS)  # keyword catch-all
+        for n in (P_BASE + 1, P_LEVELS[-1]):  # long-phrase buckets (bp=1)
+            self.rank([ph_n(n)], topk=MAX_RESULTS)
+
         idx = self.index
+        snap = self.snapshot
+        # matcher cap levels can't be reached with sentinel (df=0) terms;
+        # compile them directly at every sub-batch bucket
         caps = sorted({min(128, idx.posting_cap), idx.posting_cap})
-        ids = np.full((1, 4), self.snapshot.n_words, np.int32)
-        valid = np.zeros((1, 4), bool)
-        gens = np.zeros(1, np.int32)
         t_w, b_w = self._phrase_weights(idx)
+
+        def warm_matcher(bp: int, p: int, cap: int) -> None:
+            ids = jnp.asarray(np.full((bp, p), snap.n_words, np.int32))
+            valid = jnp.asarray(np.zeros((bp, p), bool))
+            gens = jnp.asarray(np.zeros(bp, np.int32))
+            if idx.dense_truncated:
+                match_phrase_batch(
+                    idx.title.offsets, idx.title.doc_ids, t_w,
+                    idx.title.pos_offsets, idx.title.positions,
+                    idx.body.offsets, idx.body.doc_ids, b_w,
+                    idx.body.pos_offsets, idx.body.positions,
+                    ids, valid, gens,
+                    posting_cap=idx.posting_cap, pos_cap=idx.pos_cap,
+                    n_docs=idx.n_docs,
+                )
+                return
+            match_phrase_fwd_batch(
+                idx.title.fwd.ft, idx.title.fwd.fj, t_w,
+                idx.title.pos_offsets, idx.title.positions,
+                idx.body.fwd.ft, idx.body.fwd.fj, b_w,
+                idx.body.pos_offsets, idx.body.positions,
+                idx.title.offsets, idx.title.doc_ids,
+                idx.body.offsets, idx.body.doc_ids,
+                ids, valid, gens,
+                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+            )
+
         bp = 1
         while bp <= max_batch:
             for cap in caps:
-                match_phrase_fwd_batch(
-                    idx.title.fwd.ft, idx.title.fwd.fj, t_w,
-                    idx.title.pos_offsets, idx.title.positions,
-                    idx.body.fwd.ft, idx.body.fwd.fj, b_w,
-                    idx.body.pos_offsets, idx.body.positions,
-                    idx.title.offsets, idx.title.doc_ids,
-                    idx.body.offsets, idx.body.doc_ids,
-                    jnp.asarray(np.repeat(ids, bp, 0)),
-                    jnp.asarray(np.repeat(valid, bp, 0)),
-                    jnp.asarray(np.repeat(gens, bp)),
-                    posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
-                )
+                warm_matcher(bp, P_BASE, cap)
             bp *= 2
-        self.rank([ph], topk=MAX_RESULTS)
+        for p in P_LEVELS[1:]:
+            for cap in caps:
+                warm_matcher(1, p, cap)
+
+        # wide-fold catch-alls: a phrase matching >E_BASE docs folds at the
+        # next level with (WARM_B_MAX, Q_CATCHALL); zero-filled arrays have
+        # the right shapes
+        pad_doc = idx.n_docs if idx.dense_truncated else idx.n_docs_padded
+        for e in _e_levels(idx.n_docs):
+            if e == E_BASE:
+                continue
+            term_ids = jnp.asarray(
+                np.full((WARM_B_MAX, Q_CATCHALL), snap.n_words, np.int32)
+            )
+            qlen = jnp.asarray(np.ones(WARM_B_MAX, np.float32))
+            tp = jnp.asarray(np.zeros((WARM_B_MAX, idx.n_categories), np.float32))
+            ph_docs = jnp.asarray(np.full((WARM_B_MAX, e), pad_doc, np.int32))
+            zeros = jnp.asarray(np.zeros((WARM_B_MAX, e), np.float32))
+            if idx.dense_truncated:
+                self.model.score_csr(
+                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                    topk=MAX_RESULTS,
+                )
+            else:
+                self.model.score_with_phrase(
+                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                    topk=MAX_RESULTS,
+                )
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:
         return self.query_batch([text], max_results)[0]

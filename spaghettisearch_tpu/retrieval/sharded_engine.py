@@ -2,10 +2,17 @@
 doc-sharded shard_map scorer (parallel/sharded.py) instead of the
 single-chip DeviceIndex path.
 
-Everything host-side (parsing, hydration, summaries, wordlist, refresh) is
-inherited; only `rank` changes — the batch is scored per shard with a local
-top-k and an all-gather merge over ICI. Phrase sets are per row (the block
-vmaps the forward matcher over the batch).
+Everything host-side (parsing, hydration, summaries, wordlist) is inherited;
+only `rank` changes — the batch is scored per shard with a local top-k and
+an all-gather merge over ICI. Phrase sets are per row (the block vmaps the
+forward matcher over the batch).
+
+Request consistency: everything a query touches — snapshot, sharded index,
+compiled scorers — is bundled into ONE atomically-swapped `_live` tuple, so
+a /refresh concurrent with a query can never mix the new index with the old
+snapshot's doc-id space. Compiled scorers are reused across refreshes when
+the padded index geometry is unchanged (the index arrays are call-time jit
+arguments, parallel/sharded.py scorer_meta).
 
 Use `cli.server --meshShards N` (and optionally `--meshBatch Q` for a 2-D
 query-data-parallel x doc mesh) to serve this way.
@@ -20,22 +27,36 @@ import numpy as np
 
 from ..config import MAX_RESULTS
 from ..parallel.mesh import make_mesh, make_mesh2d
-from ..parallel.sharded import ShardedIndex, make_sharded_scorer
+from ..parallel.sharded import ShardedIndex, make_sharded_scorer, scorer_meta
 from ..utils.timing import TRACER
-from .engine import ParsedQuery, QueryEngine, _bucket, parse_query
+from .engine import (
+    P_LEVELS,
+    Q_BASE,
+    Q_CATCHALL,
+    WARM_B_MAX,
+    ParsedQuery,
+    QueryEngine,
+    _pow2,
+    parse_query,
+)
+
+#: sharded phrase-term buckets: P_BASE batched (common), one catch-all
+_P_SHARD_MAX = P_LEVELS[-1]
 
 
-class _IndexFacts:
-    """The DeviceIndex fields generic engine/server code reads (healthz,
-    emptiness checks) without the single-chip HBM arrays — the sharded
-    engine holds the postings in the ShardedIndex instead."""
+class _ShardedLive:
+    """Everything a request resolves through, swapped atomically as one
+    object: snapshot-level facts for generic engine/server code (healthz,
+    emptiness checks) plus the sharded index and its compiled scorers."""
 
-    def __init__(self, snap) -> None:
+    def __init__(self, snap, sidx: ShardedIndex, scorers: dict) -> None:
         self.n_docs = snap.n_docs
         self.n_words = snap.n_words
         self.n_categories = max(
             snap.pagerank.shape[1] if snap.pagerank is not None else 1, 1
         )
+        self.sidx = sidx
+        self.scorers = scorers  # topk -> run(sidx, ...) fn
 
 
 @dataclass
@@ -50,74 +71,97 @@ class ShardedQueryEngine(QueryEngine):
             from ..index.snapshot import build_snapshot
 
             self.snapshot = build_snapshot(self.db)
-        if self.index is None:
-            self.index = _IndexFacts(self.snapshot)
-        self._live = (self.snapshot, self.index)
-        self._wordlist_cache = None
-        self._build_sharded()
-
-    def _build_sharded(self) -> None:
         if self.n_query_rows > 1:
-            mesh = make_mesh2d(self.n_query_rows, self.n_shards)
+            self._mesh = make_mesh2d(self.n_query_rows, self.n_shards)
         else:
-            mesh = make_mesh(self.n_shards)
-        self._mesh = mesh
-        # honor the ranking model: BM25 swaps per-posting weights and the
-        # finalize flavor; anything else uses the reference blend
+            self._mesh = make_mesh(self.n_shards)
         from ..models.bm25 import BM25Ranker
 
         self._bm25 = isinstance(self.model, BM25Ranker)
-        self._sidx = ShardedIndex.from_snapshot(
-            self.snapshot, mesh, weights="bm25" if self._bm25 else "tfidf"
+        # compiled scorers survive refresh while the padded geometry is
+        # unchanged: keyed by (meta, topk), arrays passed per call
+        self._scorer_cache: dict[tuple, object] = {}
+        self._live = (self.snapshot, self._build_sharded(self.snapshot))
+        self.snapshot, self.index = self._live
+        self._wordlist_cache = None
+
+    def _build_sharded(self, snapshot) -> _ShardedLive:
+        sidx = ShardedIndex.from_snapshot(
+            snapshot, self._mesh, weights="bm25" if self._bm25 else "tfidf"
         )
-        self._scorers: dict[int, object] = {}
+        return _ShardedLive(snapshot, sidx, {})
 
     def refresh(self) -> None:
         from ..index.snapshot import build_snapshot
 
         snapshot = build_snapshot(self.db)
-        index = _IndexFacts(snapshot)
-        self._live = (snapshot, index)
-        self.snapshot, self.index = snapshot, index
+        live = (snapshot, self._build_sharded(snapshot))
+        self._live = live
+        self.snapshot, self.index = live
         self._wordlist_cache = None
-        self._build_sharded()
 
-    def _scorer(self, topk: int):
-        s = self._scorers.get(topk)
+    def _scorer(self, facts: _ShardedLive, topk: int):
+        s = facts.scorers.get(topk)
         if s is None:
-            kwargs = {}
-            if self._bm25:
-                kwargs = dict(
-                    scoring="bm25",
-                    title_boost=self.model.title_boost,
-                    body_boost=self.model.body_boost,
-                )
-            s = make_sharded_scorer(self._sidx, topk=topk, **kwargs)
-            self._scorers[topk] = s
+            key = (scorer_meta(facts.sidx), topk)
+            s = self._scorer_cache.get(key)
+            if s is None:
+                kwargs = {}
+                if self._bm25:
+                    kwargs = dict(
+                        scoring="bm25",
+                        title_boost=self.model.title_boost,
+                        body_boost=self.model.body_boost,
+                    )
+                s = make_sharded_scorer(key[0], topk=topk, **kwargs)
+                self._scorer_cache[key] = s
+            facts.scorers[topk] = s
         return s
 
     def rank(
         self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
     ) -> tuple[np.ndarray, np.ndarray]:
-        snap = self.snapshot
-        sidx = self._sidx
+        if live is None:
+            live = self._live
+        snap, facts = live
+        sidx = facts.sidx
         b_real = len(parsed)
         # batch bucket must also divide by the query-row mesh axis
-        b = max(self.n_query_rows, 1)
-        while b < b_real:
-            b *= 2
-        q = _bucket(max((len(p.keyword_hashes) for p in parsed), default=1))
+        b = max(_pow2(b_real), self.n_query_rows, 1)
+        q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
+        p_real = max((len(p.phrase_hashes) for p in parsed), default=0)
+        n_ph = sum(1 for p in parsed if p.phrase_hashes)
+        # compile-shape policy (see engine.py): common shapes ride fine
+        # buckets, any rare axis collapses onto the single catch-all program
+        rare = q_real > Q_BASE or p_real > Q_BASE
+        if rare:
+            q = Q_CATCHALL
+            p_max = _P_SHARD_MAX
+            b = max(b, WARM_B_MAX)
+        else:
+            q = Q_BASE
+            p_max = Q_BASE
+        # phrase sets ride a COMPRESSED axis (bp rows) + a batch-row map, so
+        # the in-block matcher's temporaries scale with the number of phrase
+        # queries, not the whole batch; bp is clamped to {1, b} so the
+        # warmed shape set stays finite
+        bp = 1 if n_ph <= 1 and not rare else b
+        if q_real > Q_CATCHALL:
+            import logging
+
+            logging.getLogger("spaghettisearch.engine").warning(
+                "query has %d keyword terms; scoring the first %d",
+                q_real, Q_CATCHALL,
+            )
+        if p_real > p_max:
+            import logging
+
+            logging.getLogger("spaghettisearch.engine").warning(
+                "phrase has %d terms; matching the first %d", p_real, p_max
+            )
 
         term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
         qlen = np.zeros(b, dtype=np.float32)
-        p_max = _bucket(max((len(p.phrase_hashes) for p in parsed), default=1))
-        # phrase sets ride a COMPRESSED axis (bp rows) + a batch-row map, so
-        # the in-block matcher's temporaries scale with the number of phrase
-        # queries, not the whole batch
-        n_ph = sum(1 for p in parsed if p.phrase_hashes)
-        bp = 1
-        while bp < max(n_ph, 1):
-            bp *= 2
         ph_ids = np.full((bp, p_max), snap.n_words, dtype=np.int32)
         ph_valid = np.zeros((bp, p_max), dtype=bool)
         gens = np.zeros(bp, dtype=np.int32)
@@ -137,7 +181,7 @@ class ShardedQueryEngine(QueryEngine):
                 ph_rows[ph_i] = i
                 ph_i += 1
 
-        topic_probs = np.zeros((b, sidx.pagerank.shape[-1]), dtype=np.float32)
+        topic_probs = np.zeros((b, facts.n_categories), dtype=np.float32)
         if self.use_topic_model:
             from .topics import compute_topic_probs
 
@@ -149,7 +193,8 @@ class ShardedQueryEngine(QueryEngine):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
         with TRACER.span("rank.sharded"):
-            scores, ids = self._scorer(topk)(
+            scores, ids = self._scorer(facts, topk)(
+                sidx,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
                 jnp.asarray(ph_rows),
@@ -163,13 +208,25 @@ class ShardedQueryEngine(QueryEngine):
         ids = np.where(pad_mask, 0, ids)
         return scores, ids
 
-    def warmup(self, max_batch: int = 64) -> None:  # pragma: no cover - timing
+    def warmup(self, max_batch: int = WARM_B_MAX) -> None:  # pragma: no cover - timing
+        """Walk the reachable sharded compile shapes (cf. QueryEngine.warmup):
+        per batch bucket the keyword program, the single-phrase program
+        (bp=1) and the all-phrase program (bp=b); plus the one catch-all
+        (WARM_B_MAX, Q_CATCHALL, bp=WARM_B_MAX, p=_P_SHARD_MAX)."""
         if self.index.n_docs == 0:
             return
         kw = parse_query("warmup")
         ph = parse_query('"warm up"')
+        rare = ParsedQuery(
+            raw="", stripped="", phrases=["w"],
+            keyword_hashes=["0" * 32] * (Q_BASE + 1),
+            phrase_hashes=["0" * 32] * (Q_BASE + 1),
+        )
         b = max(self.n_query_rows, 1)
         while b <= max_batch:
             self.rank([kw] * b, topk=MAX_RESULTS)
-            self.rank([ph] * b, topk=MAX_RESULTS)
+            self.rank([ph] + [kw] * (b - 1), topk=MAX_RESULTS)  # bp=1
+            if b > 1:
+                self.rank([ph] * b, topk=MAX_RESULTS)  # bp=b
             b *= 2
+        self.rank([rare], topk=MAX_RESULTS)  # the catch-all program

@@ -60,6 +60,7 @@ def _run_sharded(engine, scorer, sidx, query, topk=50):
         dfs = engine.snapshot.title.df(pids) + engine.snapshot.body.df(pids)
         gen = int(np.argmin(dfs))
     s, i = scorer(
+        sidx,
         jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
         jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gen, jnp.int32),
     )
@@ -160,8 +161,8 @@ def test_2d_mesh_batch_dp_matches_1d(engine):
         jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
         jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(0, jnp.int32),
     )
-    s1, i1 = map(np.asarray, scorer1(*args))
-    s2, i2 = map(np.asarray, scorer2(*args))
+    s1, i1 = map(np.asarray, scorer1(sidx1, *args))
+    s2, i2 = map(np.asarray, scorer2(sidx2, *args))
     np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(i2, i1)
 
