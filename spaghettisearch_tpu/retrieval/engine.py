@@ -145,25 +145,68 @@ class QueryEngine:
             self.snapshot = build_snapshot(self.db)
         if self.index is None:
             self.index = DeviceIndex.from_snapshot(self.snapshot, self.device)
-        # the (snapshot, index) pair readers must see together: a single
-        # attribute store is atomic under the GIL, two separate ones are not
-        self._live = (self.snapshot, self.index)
-        self._wordlist_cache: list[str] | None = None
         if hasattr(self.model, "prepare"):  # model-specific device arrays
             self.model.prepare(self.snapshot, self.index, self.device)
+        # the (snapshot, index, model) triple readers must see together: a
+        # single attribute store is atomic under the GIL, separates are not
+        self._live = (self.snapshot, self.index, self.model)
+        self._wordlist_cache: list[str] | None = None
+
+    # ------------------------------------------------------------------ #
+    # refresh: build OFF the serving lock, commit in O(pointer swap)
+    # ------------------------------------------------------------------ #
+
+    def prepare_refresh(self):
+        """Build the NEXT live state — snapshot, device index, prepared
+        model, and (for disk stores) a freshly-opened Database that sees
+        every row other processes appended. Safe to run off the serving
+        lock: nothing live is touched. The reference instead mutates rows
+        in place under a global mutex (SURVEY §2.4); the TPU design is
+        immutable snapshots + atomic swap, and this is the build half."""
+        new_db = None
+        db = self.db
+        if self.db.root is not None:
+            # our own handles may hold buffered appends the fresh open
+            # must see (round-1 soak: swap-before-flush dropped rows)
+            for t in self.db.tables.values():
+                t.flush_bulk()
+                if hasattr(t._kv, "flush"):
+                    t._kv.flush()
+            new_db = Database(self.db.root, backend=self.db.backend_kind)
+            db = new_db
+        snapshot = build_snapshot(db)
+        index = DeviceIndex.from_snapshot(snapshot, self.device)
+        model = self.model
+        if hasattr(model, "prepare"):
+            # prepare into a CLONE: the live model's device arrays stay
+            # consistent for in-flight queries on the old live triple
+            import copy
+
+            model = copy.copy(model)
+            model.prepare(snapshot, index, self.device)
+        return (new_db, snapshot, index, model)
+
+    def commit_refresh(self, state) -> None:
+        """Swap in a prepared live state. Caller must exclude concurrent
+        readers (the server holds its write lock): the old store handles are
+        closed here and any reader still inside them would use-after-free."""
+        new_db, snapshot, index, model = state
+        old_db = self.db if new_db is not None else None
+        if new_db is not None:
+            self.db = new_db
+        self.model = model
+        self._live = (snapshot, index, model)
+        self.snapshot, self.index = snapshot, index
+        self._wordlist_cache = None
+        if old_db is not None:
+            old_db.close()
 
     def refresh(self) -> None:
         """Rebuild the snapshot + device index from the store and swap
-        atomically — the TPU-native analogue of the reference's in-place row
-        mutation under a global mutex (SURVEY §2.4: immutable snapshots +
-        atomic swap). In-flight queries keep the old arrays alive."""
-        snapshot = build_snapshot(self.db)
-        index = DeviceIndex.from_snapshot(snapshot, self.device)
-        if hasattr(self.model, "prepare"):
-            self.model.prepare(snapshot, index, self.device)
-        self._live = (snapshot, index)
-        self.snapshot, self.index = snapshot, index
-        self._wordlist_cache = None
+        atomically. In-flight queries holding the old live triple keep the
+        old arrays alive (but the server must serialize refresh vs store
+        readers — see serve/server.py's reader-writer lock)."""
+        self.commit_refresh(self.prepare_refresh())
 
     # ------------------------------------------------------------------ #
     # device ranking
@@ -176,7 +219,8 @@ class QueryEngine:
         non-candidate slots have score -inf."""
         if live is None:
             live = self._live
-        snap, idx = live
+        snap, idx = live[0], live[1]
+        model = live[2] if len(live) > 2 else self.model
         b_real = len(parsed)
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
@@ -246,12 +290,12 @@ class QueryEngine:
             # fast path: forward-membership scorer (no scatter/gather)
             with TRACER.span("rank.device"):
                 if use_csr:
-                    scores, ids = self.model.score_csr(
+                    scores, ids = model.score_csr(
                         idx, jnp.asarray(term_ids), jnp.asarray(qlen),
                         jnp.asarray(topic_probs), topk=topk,
                     )
                 else:
-                    scores, ids = self.model.score_keywords(
+                    scores, ids = model.score_keywords(
                         idx,
                         jnp.asarray(term_ids), jnp.asarray(qlen),
                         jnp.asarray(topic_probs), topk=topk,
@@ -272,14 +316,14 @@ class QueryEngine:
 
         with TRACER.span("rank.device"):
             if use_csr:
-                scores, ids = self.model.score_csr(
+                scores, ids = model.score_csr(
                     idx,
                     jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                     jnp.asarray(ph_fl), topk=topk,
                 )
             else:
-                scores, ids = self.model.score_with_phrase(
+                scores, ids = model.score_with_phrase(
                     idx,
                     jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
@@ -287,10 +331,11 @@ class QueryEngine:
                 )
             return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
 
-    def _phrase_weights(self, idx):
+    def _phrase_weights(self, idx, model=None):
         """Posting-weight arrays the phrase matcher sums: the ranking
         model's own (e.g. BM25) when it provides them, else tf-idf."""
-        hook = getattr(self.model, "phrase_weights", None)
+        hook = getattr(model if model is not None else self.model,
+                       "phrase_weights", None)
         if hook is not None:
             return hook(idx)
         return idx.title.weights, idx.body.weights
@@ -327,7 +372,10 @@ class QueryEngine:
     ):
         """One device program matches `phrase_sets`, all padded to exactly
         `p` terms (a warmed compile shape)."""
-        snap, idx = live if live is not None else self._live
+        if live is None:
+            live = self._live
+        snap, idx = live[0], live[1]
+        model = live[2] if len(live) > 2 else self.model
         bp_real = len(phrase_sets)
         bp = _pow2(bp_real)  # the vmap axis is a compile shape
         ids = np.full((bp, p), snap.n_words, dtype=np.int32)
@@ -352,7 +400,7 @@ class QueryEngine:
             # a pathological doc's dense row was capped: the forward matcher
             # could under-match it, so use the exact CSR formulation (full
             # posting_cap — its membership searches every term's window)
-            t_w, b_w = self._phrase_weights(idx)
+            t_w, b_w = self._phrase_weights(idx, model)
             d, tw, bw, fl = match_phrase_batch(
                 idx.title.offsets, idx.title.doc_ids, t_w,
                 idx.title.pos_offsets, idx.title.positions,
@@ -364,7 +412,7 @@ class QueryEngine:
             )
             d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
             return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
-        t_w, b_w = self._phrase_weights(idx)
+        t_w, b_w = self._phrase_weights(idx, model)
         d, tw, bw, fl = match_phrase_fwd_batch(
             idx.title.fwd.ft, idx.title.fwd.fj, t_w,
             idx.title.pos_offsets, idx.title.positions,
@@ -496,30 +544,39 @@ class QueryEngine:
         parsed = [parse_query(t) for t in texts]
         results: list[list[dict]] = [[] for _ in texts]
         rows = [i for i, p in enumerate(parsed) if not p.is_empty]
-        live = self._live  # one consistent (snapshot, index) for the request
+        live = self._live  # one consistent live state for the request
         if not rows or live[1].n_docs == 0:
             return results
         scores, ids = self.rank([parsed[i] for i in rows], topk=max_results, live=live)
         for row, i in enumerate(rows):
-            out = []
-            for score, doc_id in zip(scores[row], ids[row]):
-                # -inf marks non-candidates; +inf is a legitimate score for a
-                # candidate whose magnitude is 0 (not yet weighted), matching
-                # the reference's IsNaN-only guard (get_metadata.go:61-66)
-                if score == -np.inf or np.isnan(score):
-                    continue
-                out.append(
-                    self._hydrate(float(score), int(doc_id), parsed[i], live[0])
-                )
-            results[i] = out
+            results[i] = self.hydrate_row(scores[row], ids[row], parsed[i], live)
         return results
 
-    def _hydrate(
-        self, score: float, doc_id: int, parsed: ParsedQuery, snapshot=None
-    ) -> dict:
-        """Result formatting + metadata hydration (reference:
-        retrieval/util.go:56-149, get_metadata.go:211-411)."""
-        doc_hash = (snapshot or self.snapshot).doc_hashes[doc_id]
+    # ------------------------------------------------------------------ #
+    # hydration (reference: retrieval/util.go:56-149, get_metadata.go:16-411)
+    #
+    # The reference overlaps per-result DB reads with goroutine futures; the
+    # TPU-serving equivalent is a per-doc record cache: every field except
+    # Summary/PageRank/FinalRank is query-independent, so it is resolved
+    # from the store ONCE per (snapshot, doc) — both as a dict and as a
+    # pre-serialized JSON fragment for the wire fast path.
+    # ------------------------------------------------------------------ #
+
+    def _doc_record(self, doc_id: int, snapshot) -> tuple[dict, str]:
+        """-> (static result fields, their JSON fragment without the closing
+        brace). Cached on the snapshot object so /refresh swaps it away with
+        the doc-id space it belongs to."""
+        cache = getattr(snapshot, "_hyd_records", None)
+        if cache is None:
+            cache = {}
+            snapshot._hyd_records = cache  # benign race: duplicate build
+        rec = cache.get(doc_id)
+        if rec is not None:
+            return rec
+
+        import json as _json
+
+        doc_hash = snapshot.doc_hashes[doc_id]
         info: DocInfo | None = self.db.doc_info.get(doc_hash)
         if info is None:
             info = DocInfo(url="")
@@ -534,25 +591,15 @@ class QueryEngine:
         children = [
             u for u in (url_of(h) for h in info.children[:MAX_LINKED_DOCS]) if u
         ]
-
         top_words = sorted(info.words_mapping.items(), key=lambda kv: -kv[1])[:MAX_KEYWORDS]
         words_mapping = {}
         for wh, freq in top_words:
             w = self.db.word.get(wh)
             if w is not None:
                 words_mapping[w] = freq
-
         title = " ".join(info.page_title) if info.page_title else info.host
 
-        pagerank = 0.0
-        if self.use_topic_model:
-            probs = compute_topic_probs(
-                self.db, parsed.keyword_hashes, fixed=self.topic_model_fixed
-            )
-            ranks = self.db.doc_rank.get(doc_hash) or {}
-            pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
-
-        return {
+        base = {
             "Url": info.url,
             "Page_title": title,
             "Mod_date": info.mod_date.isoformat(),
@@ -560,10 +607,77 @@ class QueryEngine:
             "Children": children or None,
             "Parents": parents or None,
             "Words_mapping": words_mapping or None,
-            "Summary": get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases),
-            "PageRank": pagerank,
-            "FinalRank": score,
         }
+        rec = (base, _json.dumps(base, separators=(",", ":"))[:-1])
+        cache[doc_id] = rec
+        return rec
+
+    def _topic_pagerank(self, parsed: ParsedQuery):
+        """Per-query topic probabilities (None when the model is off)."""
+        if not self.use_topic_model:
+            return None
+        return compute_topic_probs(
+            self.db, parsed.keyword_hashes, fixed=self.topic_model_fixed
+        )
+
+    @staticmethod
+    def _keep(score: float) -> bool:
+        # -inf marks non-candidates; +inf is a legitimate score for a
+        # candidate whose magnitude is 0 (not yet weighted), matching the
+        # reference's IsNaN-only guard (get_metadata.go:61-66)
+        return score != -np.inf and not np.isnan(score)
+
+    def hydrate_row(self, scores_row, ids_row, parsed: ParsedQuery, live) -> list[dict]:
+        """One query's ranked (scores, ids) -> full Rank_combined dicts."""
+        snap = live[0]
+        probs = self._topic_pagerank(parsed)
+        out = []
+        for score, doc_id in zip(scores_row, ids_row):
+            score = float(score)
+            if not self._keep(score):
+                continue
+            doc_id = int(doc_id)
+            base, _ = self._doc_record(doc_id, snap)
+            doc_hash = snap.doc_hashes[doc_id]
+            pagerank = 0.0
+            if probs is not None:
+                ranks = self.db.doc_rank.get(doc_hash) or {}
+                pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
+            d = dict(base)
+            d["Summary"] = get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases)
+            d["PageRank"] = pagerank
+            d["FinalRank"] = score
+            out.append(d)
+        return out
+
+    def hydrate_row_json(self, scores_row, ids_row, parsed: ParsedQuery, live) -> bytes:
+        """Wire fast path: same contract as hydrate_row, assembled from the
+        cached JSON fragments (parse-equal to json.dumps(hydrate_row(...)),
+        tested in tests/test_serving.py) without re-serializing the static
+        fields per request."""
+        import json as _json
+
+        snap = live[0]
+        probs = self._topic_pagerank(parsed)
+        parts = []
+        for score, doc_id in zip(scores_row, ids_row):
+            score = float(score)
+            if not self._keep(score):
+                continue
+            doc_id = int(doc_id)
+            _, prefix = self._doc_record(doc_id, snap)
+            doc_hash = snap.doc_hashes[doc_id]
+            pagerank = 0.0
+            if probs is not None:
+                ranks = self.db.doc_rank.get(doc_hash) or {}
+                pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
+            summary = get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases)
+            parts.append(
+                f'{prefix},"Summary":{_json.dumps(summary)}'
+                f',"PageRank":{_json.dumps(pagerank)}'
+                f',"FinalRank":{_json.dumps(score)}}}'
+            )
+        return ("[" + ",".join(parts) + "]").encode()
 
     def wordlist(self, prefix: str) -> list[str]:
         """Vocabulary dump filtered by prefix (reference:

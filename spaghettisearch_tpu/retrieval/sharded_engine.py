@@ -91,14 +91,37 @@ class ShardedQueryEngine(QueryEngine):
         )
         return _ShardedLive(snapshot, sidx, {})
 
-    def refresh(self) -> None:
+    def prepare_refresh(self):
+        """Off-lock rebuild: fresh store view + snapshot + sharded index
+        (compiled scorers are reused from the geometry-keyed cache)."""
         from ..index.snapshot import build_snapshot
+        from ..store.tables import Database
 
-        snapshot = build_snapshot(self.db)
-        live = (snapshot, self._build_sharded(snapshot))
-        self._live = live
-        self.snapshot, self.index = live
+        new_db = None
+        db = self.db
+        if self.db.root is not None:
+            for t in self.db.tables.values():
+                t.flush_bulk()
+                if hasattr(t._kv, "flush"):
+                    t._kv.flush()
+            new_db = Database(self.db.root, backend=self.db.backend_kind)
+            db = new_db
+        snapshot = build_snapshot(db)
+        return (new_db, snapshot, self._build_sharded(snapshot))
+
+    def commit_refresh(self, state) -> None:
+        new_db, snapshot, facts = state
+        old_db = self.db if new_db is not None else None
+        if new_db is not None:
+            self.db = new_db
+        self._live = (snapshot, facts)
+        self.snapshot, self.index = snapshot, facts
         self._wordlist_cache = None
+        if old_db is not None:
+            old_db.close()
+
+    def refresh(self) -> None:
+        self.commit_refresh(self.prepare_refresh())
 
     def _scorer(self, facts: _ShardedLive, topk: int):
         s = facts.scorers.get(topk)

@@ -5,6 +5,13 @@ retrieval/get_metadata.go:79-209): re-extract visible text (pruning
 a/nav/title/script/style/noscript/iframe subtrees), find the first word
 matching any phrase (consecutively) or any query keyword, and emit a
 ~20-word window with ellipses; otherwise fall back to the middle 21 words.
+
+Serving-path speed: the reference re-parses the cached HTML and scans every
+word per result per query (get_metadata.go:85-191). Here the per-doc text is
+parsed once (LRU) together with a first-occurrence index and per-word
+position lists, so a keyword match is O(query terms) dict lookups and a
+phrase match only probes the first phrase word's occurrences — the linear
+scan exists only as the test oracle (tests/test_summary_fast.py).
 """
 
 from __future__ import annotations
@@ -24,16 +31,18 @@ def _clean(w: str) -> str:
     return _NON_ALNUM_RUN.sub("", w).lower()
 
 
-# doc text + cleaned tokens are query-independent; the lxml re-parse is the
-# expensive part of every summary (the reference re-parses per result,
-# get_metadata.go:85-115). LRU keyed by doc hash, invalidated by content
-# hash so a re-crawled doc re-extracts.
-_TEXT_CACHE: OrderedDict[str, tuple[int, list[str], list[str]]] = OrderedDict()
+# doc text + cleaned tokens + match indexes are query-independent; the lxml
+# re-parse is the expensive part of every summary. LRU keyed by doc hash,
+# invalidated by content hash so a re-crawled doc re-extracts.
+_TEXT_CACHE: OrderedDict[str, tuple] = OrderedDict()
 _TEXT_CACHE_CAP = 20_000
 _TEXT_LOCK = Lock()
 
 
-def _doc_words(db: Database, doc_hash: str) -> tuple[list[str], list[str]] | None:
+def _doc_index(db: Database, doc_hash: str):
+    """-> (words, cleaned, first_pos {cleaned word -> first index},
+    positions {cleaned word -> [indexes]}) or None when the raw HTML is not
+    cached."""
     raw = db.cached_doc(doc_hash)
     if raw is None:
         return None
@@ -42,42 +51,67 @@ def _doc_words(db: Database, doc_hash: str) -> tuple[list[str], list[str]] | Non
         hit = _TEXT_CACHE.get(doc_hash)
         if hit is not None and hit[0] == key:
             _TEXT_CACHE.move_to_end(doc_hash)
-            return hit[1], hit[2]
+            return hit[1:]
     words = extract_summary_text(raw)
     cleaned = [_clean(w) for w in words]
+    first_pos: dict[str, int] = {}
+    positions: dict[str, list[int]] = {}
+    for i, wc in enumerate(cleaned):
+        if wc not in first_pos:
+            first_pos[wc] = i
+            positions[wc] = [i]
+        else:
+            positions[wc].append(i)
+    entry = (key, words, cleaned, first_pos, positions)
     with _TEXT_LOCK:
-        _TEXT_CACHE[doc_hash] = (key, words, cleaned)
+        _TEXT_CACHE[doc_hash] = entry
         _TEXT_CACHE.move_to_end(doc_hash)
         while len(_TEXT_CACHE) > _TEXT_CACHE_CAP:
             _TEXT_CACHE.popitem(last=False)
-    return words, cleaned
+    return entry[1:]
+
+
+def _first_match(
+    cleaned: list[str],
+    first_pos: dict[str, int],
+    positions: dict[str, list[int]],
+    query_cleaned: list[str],
+    phrase_cleaned: list[list[str]],
+) -> int:
+    """Index of the first word where any phrase matches consecutively or any
+    keyword matches — identical to the reference's forward scan
+    (get_metadata.go:131-155), without visiting every word."""
+    n = len(cleaned)
+    best = n  # sentinel: no match
+    for t in query_cleaned:
+        i = first_pos.get(t, n)
+        if i < best:
+            best = i
+    for ph in phrase_cleaned:
+        if not ph:
+            continue
+        for i in positions.get(ph[0], ()):
+            if i >= best:
+                break  # a keyword/earlier phrase already matched sooner
+            if all(
+                i + k < n and cleaned[i + k] == pw for k, pw in enumerate(ph)
+            ):
+                best = i
+                break
+    return best if best < n else -1
 
 
 def get_summary(db: Database, doc_hash: str, query: str, phrases: list[str]) -> str:
-    got = _doc_words(db, doc_hash)
+    got = _doc_index(db, doc_hash)
     if got is None:
         return ""
-    words, words_cleaned = got
+    words, cleaned, first_pos, positions = got
 
     query_tokens = query.lower().replace('"', "").split()
     query_cleaned = [_clean(t) for t in query_tokens]
     phrase_cleaned = [[_clean(t) for t in ph.split()] for ph in phrases]
 
-    match_at = -1
-    for i, wc in enumerate(words_cleaned):
-        is_match = False
-        for ph in phrase_cleaned:
-            if ph and all(
-                i + k < len(words_cleaned) and words_cleaned[i + k] == pw
-                for k, pw in enumerate(ph)
-            ):
-                is_match = True
-                break
-        if not is_match and wc in query_cleaned:
-            is_match = True
-        if is_match:
-            match_at = i
-            break
+    match_at = _first_match(cleaned, first_pos, positions, query_cleaned, phrase_cleaned)
 
     if match_at >= 0:
         i = match_at

@@ -24,6 +24,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote, urlsplit
 
 from ..retrieval.engine import QueryEngine
+from ..utils.rwlock import RWLock
 from ..utils.timing import TRACER
 
 
@@ -60,8 +61,13 @@ class SearchServer:
         self.engine = engine
         self.static_dir = static_dir
         self._httpd: ThreadingHTTPServer | None = None
-        # the device program is single-stream; serialize ranking calls
-        self._rank_lock = threading.Lock()
+        # reader-writer serving lock: queries (rank dispatch + store
+        # hydration + wordlist) are readers and run concurrently across
+        # handler threads; /refresh is the writer, held only for the live
+        # pointer swap (the rebuild happens off-lock)
+        self._rank_lock = RWLock()
+        # serializes concurrent /refresh REBUILDS (not queries)
+        self._refresh_lock = threading.Lock()
         self.batcher = None
         if batching:
             from .batcher import MicroBatcher
@@ -72,42 +78,77 @@ class SearchServer:
             )
 
     # ------------------------------------------------------------------ #
+    def handle_query_json(self, query: str) -> bytes:
+        """The wire fast path: ranked rows hydrate straight into response
+        bytes from the per-doc JSON fragment cache (no per-request dict
+        building / re-serialization of static fields)."""
+        with TRACER.span("serve.query"):
+            t0 = time.perf_counter()
+            if self.batcher is not None:
+                scores, ids, parsed, live = self.batcher.query_raw(query)
+            else:
+                with self._rank_lock.read():
+                    from ..retrieval.engine import parse_query
+
+                    parsed = parse_query(query)
+                    live = self.engine._live
+                    if parsed.is_empty or live[1].n_docs == 0:
+                        scores = ids = None
+                    else:
+                        s, i = self.engine.rank([parsed], live=live)
+                        scores, ids = s[0], i[0]
+            if scores is None:
+                body = b"[]"
+            else:
+                with self._rank_lock.read():
+                    body = self.engine.hydrate_row_json(scores, ids, parsed, live)
+            log.debug("query %r -> %d bytes in %.1f ms",
+                      query, len(body), 1e3 * (time.perf_counter() - t0))
+            return body
+
     def handle_query(self, query: str) -> list[dict]:
         with TRACER.span("serve.query"):
             t0 = time.perf_counter()
             if self.batcher is not None:
                 results = self.batcher.query(query)
             else:
-                with self._rank_lock:
+                with self._rank_lock.read():
                     results = self.engine.query(query)
-            log.info("query %r -> %d results in %.1f ms",
-                     query, len(results), 1e3 * (time.perf_counter() - t0))
+            log.debug("query %r -> %d results in %.1f ms",
+                      query, len(results), 1e3 * (time.perf_counter() - t0))
             return results
 
     def handle_query_batch(self, queries: list[str]) -> list[list[dict]]:
-        with self._rank_lock, TRACER.span("serve.query_batch"):
+        with self._rank_lock.read(), TRACER.span("serve.query_batch"):
             return self.engine.query_batch(queries)
 
     def handle_wordlist(self, prefix: str) -> list[str]:
-        with self._rank_lock:  # cache rebuild reads the store
+        with self._rank_lock.read():  # cache rebuild reads the store
             return self.engine.wordlist(prefix)
 
     def handle_refresh(self) -> dict:
-        """Rebuild the snapshot + device index from the store and swap it in
-        (picks up a crawl that ran while serving). The swap is atomic;
-        in-flight queries finish on the old arrays."""
-        with TRACER.span("serve.refresh"):
+        """Pick up a crawl that ran while serving: rebuild the snapshot +
+        device index OFF the serving lock (a multi-minute job at crawl
+        scale), then swap the live state under the write lock — queries
+        stall only for the O(pointer) swap, never the rebuild."""
+        with TRACER.span("serve.refresh"), self._refresh_lock:
             t0 = time.perf_counter()
-            with self._rank_lock:
-                self.engine.db.reopen()  # pick up other processes' writes
-                self.engine.refresh()
+            state = self.engine.prepare_refresh()
+            built = time.perf_counter()
+            with self._rank_lock.write():
+                self.engine.commit_refresh(state)
+            lock_held = time.perf_counter() - built
             dt = time.perf_counter() - t0
-            log.info("index refreshed in %.1f ms", 1e3 * dt)
+            log.info(
+                "index refreshed in %.1f ms (lock held %.1f ms)",
+                1e3 * dt, 1e3 * lock_held,
+            )
             return {
                 "ok": True,
                 "docs": self.engine.index.n_docs,
                 "words": self.engine.index.n_words,
                 "seconds": round(dt, 3),
+                "lock_seconds": round(lock_held, 4),
             }
 
     # ------------------------------------------------------------------ #
@@ -119,6 +160,18 @@ class SearchServer:
 
             def log_message(self, fmt, *args):
                 log.debug("%s " + fmt, self.address_string(), *args)
+
+            def _send_json_bytes(self, body: bytes, status: int = 200) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Origin, X-Requested-With, Content-Type, Accept",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def _send_json(self, obj, status: int = 200) -> None:
                 body = json.dumps(obj).encode()
@@ -169,7 +222,9 @@ class SearchServer:
                     self._send_json({"error": "bad json"}, 400)
                     return
                 if parts.path == "/query":
-                    self._send_json(server.handle_query(str(payload.get("query", ""))))
+                    self._send_json_bytes(
+                        server.handle_query_json(str(payload.get("query", "")))
+                    )
                 elif parts.path == "/query_batch":
                     raw_queries = payload.get("queries", [])
                     if not isinstance(raw_queries, list):
@@ -186,7 +241,9 @@ class SearchServer:
                 parts = urlsplit(self.path)
                 path = parts.path
                 if path.startswith("/query/"):
-                    self._send_json(server.handle_query(unquote(path[len("/query/"):])))
+                    self._send_json_bytes(
+                        server.handle_query_json(unquote(path[len("/query/"):]))
+                    )
                 elif path.startswith("/wordlist/"):
                     self._send_json(
                         server.handle_wordlist(unquote(path[len("/wordlist/"):]))

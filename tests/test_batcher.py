@@ -45,15 +45,15 @@ def test_batcher_propagates_errors(engine):
         class Boom(Exception):
             pass
 
-        orig = engine.query_batch
+        orig = engine.rank
 
-        def boom(texts):
+        def boom(*a, **k):
             raise Boom()
 
-        engine.query_batch = boom
+        engine.rank = boom
         with pytest.raises(Boom):
             batcher.query("anything")
-        engine.query_batch = orig
+        engine.rank = orig
         assert batcher.query("algorithm") is not None
     finally:
         batcher.shutdown()
