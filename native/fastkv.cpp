@@ -233,3 +233,223 @@ int fastkv_iter_next(void* hi, const char** k, uint32_t* klen, const char** v,
 void fastkv_iter_free(void* hi) { delete (Iter*)hi; }
 
 }  // extern "C"
+
+// ======================================================================
+// Columnar ingest helpers: the snapshot/weighting batch jobs are
+// O(total postings) and were Python hot loops (JSON decode + per-posting
+// work). These parse the simple JSON row shapes the table layer writes —
+//   inverted:  {"<32-hex doc>": [w, p0, p1, ...], ...}
+//   raw/plain: {"<32-hex doc>": 0.5, ...}
+// — into flat arrays in one pass (spaghettisearch_tpu/index/snapshot.py
+// consumes them with numpy). Returns -1 when a row doesn't match the
+// expected shape so callers can fall back to the Python path.
+// ======================================================================
+
+namespace {
+
+struct Export {
+  std::string row_keys;              // 32 bytes per row
+  std::vector<uint64_t> row_offsets; // [n_rows+1] into postings
+  std::string doc_hashes;            // 32 bytes per posting
+  std::vector<double> weights;       // vals[0] per posting
+  std::vector<uint64_t> pos_offsets; // [n_post+1] into positions
+  std::vector<double> positions;
+};
+
+inline void skip_ws(const char*& p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+}
+
+// Parses one table row value (JSON object) into ex; false on shape mismatch.
+bool parse_row(const std::string& val, Export& ex) {
+  const char* p = val.data();
+  const char* end = p + val.size();
+  skip_ws(p, end);
+  if (p >= end || *p != '{') return false;
+  p++;
+  skip_ws(p, end);
+  if (p < end && *p == '}') return true;  // empty row
+  for (;;) {
+    skip_ws(p, end);
+    if (p >= end || *p != '"') return false;
+    p++;
+    const char* kstart = p;
+    while (p < end && *p != '"') p++;
+    if (p - kstart != 32) return false;  // md5 hex doc hash expected
+    ex.doc_hashes.append(kstart, 32);
+    p++;  // closing quote
+    skip_ws(p, end);
+    if (p >= end || *p != ':') return false;
+    p++;
+    skip_ws(p, end);
+    if (p < end && *p == '[') {
+      p++;
+      bool first = true;
+      for (;;) {
+        skip_ws(p, end);
+        if (p < end && *p == ']') { p++; break; }
+        char* q;
+        double v = strtod(p, &q);
+        if (q == p) return false;
+        p = q;
+        if (first) { ex.weights.push_back(v); first = false; }
+        else ex.positions.push_back(v);
+        skip_ws(p, end);
+        if (p < end && *p == ',') p++;
+      }
+      if (first) return false;  // empty posting list
+    } else {
+      char* q;
+      double v = strtod(p, &q);
+      if (q == p) return false;
+      p = q;
+      ex.weights.push_back(v);
+    }
+    ex.pos_offsets.push_back(ex.positions.size());
+    skip_ws(p, end);
+    if (p < end && *p == ',') { p++; continue; }
+    if (p < end && *p == '}') return true;
+    return false;
+  }
+}
+
+template <typename T>
+T* copy_out(const std::vector<T>& v) {
+  T* out = (T*)malloc(sizeof(T) * std::max(v.size(), size_t(1)));
+  memcpy(out, v.data(), sizeof(T) * v.size());
+  return out;
+}
+
+char* copy_out_str(const std::string& s) {
+  char* out = (char*)malloc(std::max(s.size(), size_t(1)));
+  memcpy(out, s.data(), s.size());
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Flat export of an inverted/raw table. Outputs are malloc'd (free with
+// fastkv_free). Returns n_rows, or -1 on shape mismatch (caller falls back).
+int64_t fastkv_export_postings(
+    void* h,
+    char** row_keys, uint64_t** row_offsets,
+    char** doc_hashes, double** weights,
+    uint64_t** pos_offsets, double** positions,
+    uint64_t* n_post, uint64_t* n_pos) {
+  auto* s = (Store*)h;
+  std::shared_lock lock(s->mu);
+  Export ex;
+  ex.row_offsets.push_back(0);
+  ex.pos_offsets.push_back(0);
+  ex.row_keys.reserve(s->map.size() * 32);
+  int64_t n_rows = 0;
+  for (const auto& [k, v] : s->map) {
+    if (k.size() != 32) return -1;
+    if (!parse_row(v, ex)) return -1;
+    ex.row_keys.append(k);
+    ex.row_offsets.push_back(ex.weights.size());
+    n_rows++;
+  }
+  *row_keys = copy_out_str(ex.row_keys);
+  *row_offsets = copy_out(ex.row_offsets);
+  *doc_hashes = copy_out_str(ex.doc_hashes);
+  *weights = copy_out(ex.weights);
+  *pos_offsets = copy_out(ex.pos_offsets);
+  *positions = copy_out(ex.positions);
+  *n_post = ex.weights.size();
+  *n_pos = ex.positions.size();
+  return n_rows;
+}
+
+// TF-IDF weighting pass over one inverted table (the reference's
+// UpdateTermWeights hot loop, term_weighting.go:29-55), entirely native:
+// for each row, vals[0] = float32(raw_normTF) * float32(idf) — the raw
+// base comes from the shadow table when present (idempotent re-crawls) —
+// and per-doc sum-of-squared-weights accumulate for the magnitude table.
+// idf values are precomputed by the caller (float32 of log2(N/df), cast to
+// double), keyed by word hash: n_rows entries of (idf_word_hashes 32 bytes
+// each, idfs). Outputs per-doc squared sums (malloc'd). Returns n_docs
+// or -1 (shape mismatch / missing idf — caller falls back to Python).
+int64_t fastkv_apply_term_weights(
+    void* h_inv, void* h_raw,
+    uint64_t n_rows, const char* idf_word_hashes, const double* idfs,
+    char** out_doc_hashes, double** out_sq_sums) {
+  auto* inv = (Store*)h_inv;
+  auto* raw = (Store*)h_raw;
+  std::unique_lock lock(inv->mu);
+  std::shared_lock rlock(raw->mu);
+
+  std::unordered_map<std::string, double> idf_of;
+  idf_of.reserve(n_rows);
+  for (uint64_t i = 0; i < n_rows; i++)
+    idf_of.emplace(std::string(idf_word_hashes + 32 * i, 32), idfs[i]);
+
+  // validate coverage BEFORE mutating anything: a mid-loop abort would
+  // leave the table half-weighted
+  for (const auto& [word, val] : inv->map)
+    if (idf_of.find(word) == idf_of.end()) return -1;
+
+  std::unordered_map<std::string, double> sq;
+  std::string newval;
+  char buf[64];
+  for (auto& [word, val] : inv->map) {
+    float idf32 = (float)idf_of.find(word)->second;
+    // raw shadow row: {"doc": raw, ...}
+    std::unordered_map<std::string, double> rawrow;
+    auto rit = raw->map.find(word);
+    if (rit != raw->map.end()) {
+      Export rex;
+      rex.pos_offsets.push_back(0);
+      if (!parse_row(rit->second, rex)) return -1;
+      const char* dh = rex.doc_hashes.data();
+      for (size_t i = 0; i < rex.weights.size(); i++, dh += 32)
+        rawrow.emplace(std::string(dh, 32), rex.weights[i]);
+    }
+    // rewrite the row value
+    Export ex;
+    ex.pos_offsets.push_back(0);
+    if (!parse_row(val, ex)) return -1;
+    newval.clear();
+    newval.push_back('{');
+    const char* dh = ex.doc_hashes.data();
+    for (size_t i = 0; i < ex.weights.size(); i++, dh += 32) {
+      std::string doc(dh, 32);
+      double base = ex.weights[i];
+      auto bit = rawrow.find(doc);
+      if (bit != rawrow.end()) base = bit->second;
+      float w = (float)base * idf32;
+      sq[doc] += (double)w * (double)w;
+      if (i) newval.push_back(',');
+      newval.push_back('"');
+      newval.append(doc);
+      newval.append("\": [");
+      snprintf(buf, sizeof buf, "%.17g", (double)w);
+      newval.append(buf);
+      for (uint64_t j = ex.pos_offsets[i]; j < ex.pos_offsets[i + 1]; j++) {
+        snprintf(buf, sizeof buf, ", %.17g", ex.positions[j]);
+        newval.append(buf);
+      }
+      newval.push_back(']');
+    }
+    newval.push_back('}');
+    val = newval;
+    Store::append_record(inv->log, 0, word, newval.data(), (uint32_t)newval.size());
+    inv->log_bytes += 9 + word.size() + newval.size();
+  }
+
+  std::string docs;
+  std::vector<double> sums;
+  docs.reserve(sq.size() * 32);
+  sums.reserve(sq.size());
+  for (const auto& [d, v] : sq) {
+    docs.append(d);
+    sums.push_back(v);
+  }
+  *out_doc_hashes = copy_out_str(docs);
+  *out_sq_sums = copy_out(sums);
+  return (int64_t)sq.size();
+}
+
+}  // extern "C"

@@ -172,6 +172,80 @@ class SectionCSR:
         fj[docs_s, slot] = order.astype(np.int32)
         return ft, fw, fj
 
+    @classmethod
+    def from_flat(
+        cls,
+        row_keys: np.ndarray,  # S32 [R] word hashes (any order)
+        row_offsets: np.ndarray,  # u64 [R+1] into postings
+        doc_hashes: np.ndarray,  # S32 [P]
+        weights: np.ndarray,  # f64 [P]
+        pos_offsets: np.ndarray,  # u64 [P+1]
+        positions: np.ndarray,  # f64 [L]
+        word_sorted: np.ndarray,  # S32 [V] sorted global word hashes
+        doc_sorted: np.ndarray,  # S32 [D] sorted doc census
+    ) -> "SectionCSR":
+        """Vectorized CSR assembly from a flat postings export — O(P log P)
+        numpy instead of the per-posting Python loop in build()."""
+        n_words, n_docs = len(word_sorted), len(doc_sorted)
+        n_post = len(weights)
+        row_offsets = row_offsets.astype(np.int64)
+        pos_offsets64 = pos_offsets.astype(np.int64)
+
+        word_of_row = np.searchsorted(word_sorted, row_keys)
+        word_of_post = np.repeat(word_of_row, np.diff(row_offsets))
+        doc_of_post = np.searchsorted(doc_sorted, doc_hashes)
+        if n_post:
+            bad = doc_of_post >= n_docs
+            if n_docs:
+                safe = np.where(bad, 0, doc_of_post)
+                bad = bad | (doc_sorted[safe] != doc_hashes)
+            if bad.any():
+                raise KeyError(doc_hashes[bad][0].decode())
+        doc_of_post = doc_of_post.astype(np.int32)
+
+        order = np.lexsort((doc_of_post, word_of_post))
+        counts = np.bincount(word_of_post, minlength=n_words)
+        post_offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+        p_pad = _pad_to(n_post)
+        doc_ids = np.full(p_pad, n_docs, dtype=np.int32)
+        doc_ids[:n_post] = doc_of_post[order]
+        w = np.zeros(p_pad, dtype=np.float32)
+        w[:n_post] = weights[order]
+
+        pos_len = np.diff(pos_offsets64)
+        pos_len_o = pos_len[order]
+        new_pos_off = np.concatenate([[0], np.cumsum(pos_len_o)]).astype(np.int32)
+        # gather each posting's position segment into the new order, then
+        # sort ascending WITHIN each segment (anchor/meta -100s lead)
+        starts = pos_offsets64[:-1][order]
+        total = int(pos_len_o.sum())
+        if total:
+            shift = np.repeat(np.cumsum(pos_len_o) - pos_len_o, pos_len_o)
+            src = np.arange(total, dtype=np.int64) - shift + np.repeat(starts, pos_len_o)
+            pos = positions[src]
+            seg = np.repeat(np.arange(n_post, dtype=np.int64), pos_len_o)
+            pos = pos[np.lexsort((pos, seg))]
+        else:
+            pos = np.zeros(0, np.float64)
+        pos_offsets_out = np.concatenate(
+            [new_pos_off, np.full(p_pad - n_post, new_pos_off[-1], dtype=np.int32)]
+        )
+        l_pad = _pad_to(total)
+        positions_out = np.full(l_pad, np.inf, dtype=np.float32)
+        positions_out[:total] = pos
+
+        return cls(
+            post_offsets=post_offsets,
+            doc_ids=doc_ids,
+            weights=w,
+            pos_offsets=pos_offsets_out,
+            positions=positions_out,
+            n_postings=n_post,
+            max_df=int(counts.max(initial=0)),
+            max_positions=int(pos_len.max(initial=0)),
+        )
+
     def df(self, word_ids: np.ndarray) -> np.ndarray:
         """Document frequency per word id; the unknown-word sentinel
         (id >= n_words) has df 0."""
@@ -214,23 +288,66 @@ class IndexSnapshot:
         )
 
 
+def export_postings(table) -> tuple[np.ndarray, ...]:
+    """Flat postings export of an inverted/raw table: (row_keys S32 [R],
+    row_offsets [R+1], doc_hashes S32 [P], weights f64 [P],
+    pos_offsets [P+1], positions f64 [L]). Native single-pass parse on the
+    C++ backend (native/fastkv.cpp fastkv_export_postings); Python walk
+    otherwise."""
+    kv = getattr(table, "_kv", None)
+    if hasattr(kv, "export_postings"):
+        flat = kv.export_postings()
+        if flat is not None:
+            return flat
+    row_keys: list[str] = []
+    row_off = [0]
+    docs: list[str] = []
+    weights: list[float] = []
+    pos_off = [0]
+    positions: list[float] = []
+    for k, row in table.items():
+        row_keys.append(k)
+        for dh, vals in row.items():
+            docs.append(dh)
+            if isinstance(vals, list):
+                weights.append(vals[0])
+                positions.extend(vals[1:])
+            else:
+                weights.append(vals)
+            pos_off.append(len(positions))
+        row_off.append(len(docs))
+    return (
+        np.asarray(row_keys, dtype="S32"),
+        np.asarray(row_off, dtype=np.int64),
+        np.asarray(docs, dtype="S32"),
+        np.asarray(weights, dtype=np.float64),
+        np.asarray(pos_off, dtype=np.int64),
+        np.asarray(positions, dtype=np.float64),
+    )
+
+
 def build_snapshot(db: Database) -> IndexSnapshot:
     """Snapshot the store into columnar arrays.
 
     The doc census is every DocInfo row (crawled docs + stub children) —
     the same census the reference uses for idf (its rank table rows,
-    ranking/term_weighting.go:12-17, cover exactly these)."""
+    ranking/term_weighting.go:12-17, cover exactly these). Postings flow
+    through export_postings + SectionCSR.from_flat: one native parse pass
+    plus vectorized assembly (the previous per-posting Python loop was the
+    /refresh wall-clock at crawl scale)."""
     doc_hashes = sorted(db.doc_info.keys())
     doc_id = {h: i for i, h in enumerate(doc_hashes)}
+    doc_sorted = np.asarray(doc_hashes, dtype="S32")
 
-    title_rows = dict(db.inv_title.items())
-    body_rows = dict(db.inv_body.items())
-    word_hashes = sorted(set(title_rows) | set(body_rows))
+    t_flat = export_postings(db.inv_title)
+    b_flat = export_postings(db.inv_body)
+    word_sorted = np.union1d(t_flat[0], b_flat[0])
+    word_hashes = [h.decode() for h in word_sorted]
     word_id = {h: i for i, h in enumerate(word_hashes)}
 
     n_words, n_docs = len(word_hashes), len(doc_hashes)
-    title = SectionCSR.build(title_rows, word_id, doc_id, n_words, n_docs)
-    body = SectionCSR.build(body_rows, word_id, doc_id, n_words, n_docs)
+    title = SectionCSR.from_flat(*t_flat, word_sorted, doc_sorted)
+    body = SectionCSR.from_flat(*b_flat, word_sorted, doc_sorted)
 
     mag_title = np.zeros(n_docs, dtype=np.float32)
     mag_body = np.zeros(n_docs, dtype=np.float32)

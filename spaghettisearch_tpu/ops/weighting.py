@@ -36,6 +36,42 @@ def update_term_weights(db: Database, section: str, total_docs: int | None = Non
     # therefore corrupts weights when run more than once per store,
     # term_weighting.go:42), the weight derives from the RAW normTF shadow
     # row — this pass is idempotent and re-crawl safe.
+
+    # Native fast path: one C++ pass parses, reweights, and rewrites every
+    # row (native/fastkv.cpp fastkv_apply_term_weights) — the previous
+    # Python loop was O(total postings) JSON decode+encode, ~50 s at 100k
+    # docs. Python fallback below is the semantics oracle (bit-identical,
+    # tests/test_weighting_native.py).
+    if (
+        hasattr(inv._kv, "apply_term_weights")
+        and hasattr(raw._kv, "_h")
+        # bulk-mode write-back caches must flow the Python path (the native
+        # pass reads/writes the backend directly)
+        and inv._cache is None
+        and raw._cache is None
+    ):
+        from ..index.snapshot import export_postings
+
+        flat = export_postings(inv)
+        if flat is not None and len(flat[0]):
+            row_keys, row_offsets = flat[0], flat[1]
+            df = np.diff(row_offsets.astype(np.int64))
+            idf = np.log2(np.float64(n) / df.astype(np.float64)).astype(np.float32)
+            out = inv._kv.apply_term_weights(
+                raw._kv, row_keys, idf.astype(np.float64)
+            )
+            if out is not None:
+                docs, sums = out
+                with db.doc_magnitude.batch() as bw:
+                    for doc_hash, sq in zip(docs, sums):
+                        doc_hash = doc_hash.decode()
+                        mags = db.doc_magnitude.get(doc_hash) or {}
+                        mags[section] = float(np.sqrt(sq))
+                        bw.set(doc_hash, mags)
+                return
+        elif flat is not None:
+            return  # empty table: nothing to weight
+
     page_sq_sum: dict[str, float] = {}
     with inv.batch() as bw:
         for word_hash, row in inv.items():

@@ -77,6 +77,21 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.fastkv_iter_free.argtypes = [ctypes.c_void_p]
+        _pp_char = ctypes.POINTER(ctypes.POINTER(ctypes.c_char))
+        _pp_u64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))
+        _pp_f64 = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
+        lib.fastkv_export_postings.restype = ctypes.c_int64
+        lib.fastkv_export_postings.argtypes = [
+            ctypes.c_void_p, _pp_char, _pp_u64, _pp_char, _pp_f64,
+            _pp_u64, _pp_f64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.fastkv_apply_term_weights.restype = ctypes.c_int64
+        lib.fastkv_apply_term_weights.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+            _pp_char, _pp_f64,
+        ]
         _lib = lib
         return lib
 
@@ -174,6 +189,80 @@ class NativeBackend:
     def maybe_compact(self) -> None:
         if self._lib.fastkv_log_bytes(self._h) > self.WAL_COMPACT_BYTES:
             self.compact()
+
+    def export_postings(self):
+        """One-pass native parse of an inverted/raw table into flat arrays
+        -> (row_keys S32 [R], row_offsets u64 [R+1], doc_hashes S32 [P],
+        weights f64 [P], pos_offsets u64 [P+1], positions f64 [L]), or None
+        when a row doesn't match the posting shape (caller falls back to the
+        Python path). The batch-job building block behind snapshot builds
+        and term weighting (O(total postings) was a Python hot loop)."""
+        import numpy as np
+
+        c = ctypes
+        row_keys = c.POINTER(c.c_char)()
+        row_offsets = c.POINTER(c.c_uint64)()
+        doc_hashes = c.POINTER(c.c_char)()
+        weights = c.POINTER(c.c_double)()
+        pos_offsets = c.POINTER(c.c_uint64)()
+        positions = c.POINTER(c.c_double)()
+        n_post = c.c_uint64()
+        n_pos = c.c_uint64()
+        n_rows = self._lib.fastkv_export_postings(
+            self._h, c.byref(row_keys), c.byref(row_offsets),
+            c.byref(doc_hashes), c.byref(weights),
+            c.byref(pos_offsets), c.byref(positions),
+            c.byref(n_post), c.byref(n_pos),
+        )
+        if n_rows < 0:
+            return None
+        np_, pp = int(n_post.value), int(n_pos.value)
+
+        def arr(ptr, dtype, count, itemsize):
+            out = np.frombuffer(
+                c.string_at(ptr, count * itemsize), dtype=dtype, count=count
+            ).copy() if count else np.zeros(0, dtype)
+            self._lib.fastkv_free(c.cast(ptr, c.POINTER(c.c_char)))
+            return out
+
+        return (
+            arr(row_keys, "S32", n_rows, 32),
+            arr(row_offsets, np.uint64, n_rows + 1, 8),
+            arr(doc_hashes, "S32", np_, 32),
+            arr(weights, np.float64, np_, 8),
+            arr(pos_offsets, np.uint64, np_ + 1, 8),
+            arr(positions, np.float64, pp, 8),
+        )
+
+    def apply_term_weights(self, raw_backend, word_hashes, idfs):
+        """Native TF-IDF pass: vals[0] = f32(raw normTF) * f32(idf) for every
+        posting (raw from `raw_backend`'s shadow row when present), rows
+        rewritten in place + WAL'd. -> (doc_hashes S32 [D], sq_sums f64 [D])
+        per-doc sum of squared weights, or None on shape mismatch."""
+        import numpy as np
+
+        c = ctypes
+        keys = np.ascontiguousarray(np.asarray(word_hashes, dtype="S32"))
+        vals = np.ascontiguousarray(np.asarray(idfs, dtype=np.float64))
+        out_docs = c.POINTER(c.c_char)()
+        out_sums = c.POINTER(c.c_double)()
+        n = self._lib.fastkv_apply_term_weights(
+            self._h, raw_backend._h,
+            len(keys), keys.tobytes(),
+            vals.ctypes.data_as(c.POINTER(c.c_double)),
+            c.byref(out_docs), c.byref(out_sums),
+        )
+        if n < 0:
+            return None
+        docs = np.frombuffer(
+            c.string_at(out_docs, 32 * n), dtype="S32", count=n
+        ).copy() if n else np.zeros(0, "S32")
+        sums = np.frombuffer(
+            c.string_at(out_sums, 8 * n), dtype=np.float64, count=n
+        ).copy() if n else np.zeros(0, np.float64)
+        self._lib.fastkv_free(out_docs)
+        self._lib.fastkv_free(c.cast(out_sums, c.POINTER(c.c_char)))
+        return docs, sums
 
     def close(self) -> None:
         if self._h:

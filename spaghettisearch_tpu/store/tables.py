@@ -63,6 +63,12 @@ TABLE_SPECS: tuple[TableSpec, ...] = (
     # their exact contract.
     TableSpec("inv_title_raw", "invKeyword_title_rawTF"),
     TableSpec("inv_body_raw", "invKeyword_body_rawTF"),
+    # summary-visible words (space-joined), extracted at INDEX time from the
+    # same DOM parse: the serving path's dynamic summaries read this instead
+    # of re-parsing docs/<hash> per result per query, which is what the
+    # reference does (get_metadata.go:85-115) and what capped end-to-end
+    # QPS. Additive table; stores without it fall back to the HTML cache.
+    TableSpec("doc_summary", "DocHash_summaryText"),
     TableSpec("word", "WordHash_word"),
     TableSpec("doc_info", "DocHash_docInfo", _enc_docinfo, _dec_docinfo),
     TableSpec("doc_children", "DocHash_children"),
@@ -301,6 +307,10 @@ class Database:
     @property
     def topic_meta(self) -> Table:
         return self.tables["topic_meta"]
+
+    @property
+    def doc_summary(self) -> Table:
+        return self.tables["doc_summary"]
 
     def inverted(self, section: str) -> Table:
         return self.tables["inv_title" if section == "title" else "inv_body"]
