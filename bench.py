@@ -52,7 +52,7 @@ def build_bench_corpus(
     <root>/store (the 11-table database + docs/ HTML cache) and
     <root>/snapshot (persisted columnar arrays). Returns root."""
     marker = os.path.join(root, "BUILT.json")
-    params = {"n_pages": n_pages, "n_vocab": n_vocab, "seed": seed, "v": 2}
+    params = {"n_pages": n_pages, "n_vocab": n_vocab, "seed": seed, "v": 3}
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
             built = json.load(f)

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--skipODP", action="store_true")
     ap.add_argument("--damping", type=float, default=PAGERANK_DAMPING)
     ap.add_argument("--convergence", type=float, default=PAGERANK_CONVERGENCE)
+    ap.add_argument("--topicPagerank", action="store_true",
+                    help="repaired topic-sensitive PageRank: per-category "
+                         "ODP teleport vectors, so categories converge to "
+                         "genuinely different ranks (the reference's "
+                         "category loop is decorative, pagerank.go:60-61); "
+                         "serve with --topicModel to blend them")
     ap.add_argument("--saveSnapshot", default=None,
                     help="also export the columnar snapshot to this directory")
     args = ap.parse_args(argv)
@@ -79,7 +85,8 @@ def main(argv: list[str] | None = None) -> None:
     print(f"\nTotal crawling and indexing time: {time.time() - start:.1f}s")
 
     timer = time.time()
-    update_pagerank(db, damping=args.damping, eps=args.convergence)
+    update_pagerank(db, damping=args.damping, eps=args.convergence,
+                    personalized=args.topicPagerank)
     update_term_weights(db, "title")
     update_term_weights(db, "body")
     print(f"Updating pagerank and idf takes {time.time() - timer:.1f}s")

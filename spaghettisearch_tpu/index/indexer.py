@@ -111,6 +111,9 @@ def index_page(
         )
     db.doc_info.set(doc_hash, info)
 
+    # summary-visible words, persisted so serving never re-parses the HTML
+    db.doc_summary.set(doc_hash, " ".join(page.raw.summary))
+
     db.cache_doc(doc_hash, raw)
     return doc_hash
 

@@ -17,8 +17,16 @@ on top of the inherited mass (pagerank.go:97-107 only clears currentRank from
 iteration 2), and the init is 1/numPages with numPages taken from the
 *category metadata*, not the node count (pagerank.go:60-61,104).
 
-Converged categories yield identical vectors (same fixed point) — the
-category axis exists for parity and for personalization vectors later.
+Converged categories yield identical vectors (same fixed point) — a
+faithfully preserved reference quirk: its per-category runs differ only in a
+log line (pagerank.go:60-61,104), so the category axis is decorative.
+
+`personalized=True` transcends the quirk (the analogue of topics.py
+fixed=True): each category teleports to a personalization vector derived
+from the ODP term profiles (invTopic_PR word->category frequencies) crossed
+with each document's term frequencies, i.e. true topic-sensitive PageRank —
+categories converge to genuinely different vectors, blended at query time
+through --topicModel.
 """
 
 from __future__ import annotations
@@ -85,6 +93,79 @@ def pagerank_power(
     return r_final[:, :n_nodes]
 
 
+def pagerank_personalized(
+    edge_src: jax.Array,  # int32 [E] (sorted by edge_dst; pads -> dst >= N_pad)
+    edge_dst: jax.Array,  # int32 [E]
+    outdeg: jax.Array,  # f [N_pad]
+    personalization: jax.Array,  # f [C, N_pad] (row-normalized; pads 0)
+    n_nodes: int,
+    damping: float = PAGERANK_DAMPING,
+    eps: float = 1e-12,
+    max_iters: int = DEFAULT_MAX_ITERS,
+) -> jax.Array:
+    """Textbook topic-sensitive PageRank (one batched power iteration, the
+    category axis leading): r' = d*(A r + dangling_mass * p) + (1-d) * p.
+    Returns ranks [C, N] (each category sums to 1). This is the repaired
+    model the reference's decorative category loop was meant to be."""
+    dtype = outdeg.dtype
+    n_pad = outdeg.shape[0]
+    p = personalization.astype(dtype)
+    inv_out = jnp.where(outdeg > 0, 1.0 / jnp.maximum(outdeg, 1), 0.0).astype(dtype)
+    has_out = (outdeg > 0).astype(dtype)
+    r0 = p
+
+    def step(state):
+        r, it, _ = state
+        contrib = r * inv_out[None, :]
+        inherited = jax.ops.segment_sum(
+            contrib[:, edge_src].T, edge_dst, num_segments=n_pad,
+            indices_are_sorted=True,
+        ).T
+        dangling = jnp.sum(r * (1.0 - has_out)[None, :], axis=1, keepdims=True)
+        r_new = damping * (inherited + dangling * p) + (1.0 - damping) * p
+        delta = jnp.max(jnp.sum(jnp.abs(r_new - r), axis=1))
+        return r_new, it + 1, delta
+
+    def cond(state):
+        _, it, delta = state
+        return jnp.logical_and(delta > eps, it < max_iters)
+
+    init = (r0, jnp.array(0, jnp.int32), jnp.asarray(jnp.inf, dtype))
+    r_final, _, _ = jax.lax.while_loop(cond, step, init)
+    return r_final[:, :n_nodes]
+
+
+def topic_personalization(
+    db: Database, node_list: list[str], categories: list[str]
+) -> np.ndarray:
+    """Per-category teleport vectors [C, N] from the ODP term profiles:
+    affinity(doc, cat) = sum over the doc's terms of the category's ODP
+    frequency for that term (invTopic_PR, ODP-scraper.go:128-139) weighted
+    by the doc's term frequency (DocInfo words_mapping), row-normalized.
+    Categories with zero affinity everywhere fall back to uniform."""
+    node_id = {h: i for i, h in enumerate(node_list)}
+    cat_id = {c: j for j, c in enumerate(categories)}
+    n, c = len(node_list), len(categories)
+    # word -> per-category freq (the ODP vocabulary is small)
+    word_cat = {wh: row for wh, row in db.inv_topic.items()}
+    aff = np.zeros((c, n), dtype=np.float64)
+    for dh, info in db.doc_info.items():
+        i = node_id.get(dh)
+        if i is None:
+            continue
+        for wh, tf in info.words_mapping.items():
+            row = word_cat.get(wh)
+            if not row:
+                continue
+            for cat, freq in row.items():
+                j = cat_id.get(cat)
+                if j is not None:
+                    aff[j, i] += float(freq) * float(tf)
+    sums = aff.sum(axis=1, keepdims=True)
+    uniform = np.full((1, n), 1.0 / max(n, 1))
+    return np.where(sums > 0, aff / np.maximum(sums, 1e-30), uniform)
+
+
 def _load_graph(db: Database) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
     """Node census + edge arrays from the children table
     (reference: pagerank.go:18-43 builds the same node set)."""
@@ -116,16 +197,48 @@ def update_pagerank(
     damping: float = PAGERANK_DAMPING,
     eps: float = PAGERANK_CONVERGENCE,
     max_iters: int = DEFAULT_MAX_ITERS,
+    personalized: bool = False,
 ) -> None:
     """Recompute per-category PageRank and store doc_rank rows
-    (reference: ranking/pagerank.go:14-83)."""
+    (reference: ranking/pagerank.go:14-83). personalized=True runs the
+    repaired topic-sensitive model (per-category ODP teleport vectors)
+    instead of the reference's decorative category loop."""
     node_list, edge_src, edge_dst, outdeg = _load_graph(db)
     n_nodes = len(node_list)
     if n_nodes == 0:
         return
 
     categories = sorted(db.topic_meta.keys())
-    if categories:
+    if categories and personalized:
+        dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+        def _pow2(x: int, floor: int = 256) -> int:
+            p = floor
+            while p < x:
+                p *= 2
+            return p
+
+        n_pad = _pow2(n_nodes)
+        e_pad = _pow2(max(len(edge_src), 1))
+        src_p = np.zeros(e_pad, np.int32)
+        src_p[: len(edge_src)] = edge_src
+        dst_p = np.full(e_pad, n_pad, np.int32)
+        dst_p[: len(edge_dst)] = edge_dst
+        out_p = np.zeros(n_pad, outdeg.dtype)
+        out_p[:n_nodes] = outdeg
+        pers = topic_personalization(db, node_list, categories)
+        pers_p = np.zeros((len(categories), n_pad), pers.dtype)
+        pers_p[:, :n_nodes] = pers
+        ranks = np.asarray(
+            pagerank_personalized(
+                jnp.asarray(src_p), jnp.asarray(dst_p),
+                jnp.asarray(out_p, dtype=dtype),
+                jnp.asarray(pers_p, dtype=dtype),
+                n_nodes, damping=damping,
+                eps=max(eps, 1e-12), max_iters=max_iters,
+            )
+        )
+    elif categories:
         n_pages = np.array(
             [max(float((db.topic_meta.get(c) or {}).get("numPages", 0.0)), 1.0) for c in categories]
         )

@@ -41,18 +41,33 @@ _TEXT_LOCK = Lock()
 
 def _doc_index(db: Database, doc_hash: str):
     """-> (words, cleaned, first_pos {cleaned word -> first index},
-    positions {cleaned word -> [indexes]}) or None when the raw HTML is not
-    cached."""
-    raw = db.cached_doc(doc_hash)
-    if raw is None:
-        return None
-    key = hash(raw)
-    with _TEXT_LOCK:
-        hit = _TEXT_CACHE.get(doc_hash)
-        if hit is not None and hit[0] == key:
-            _TEXT_CACHE.move_to_end(doc_hash)
-            return hit[1:]
-    words = extract_summary_text(raw)
+    positions {cleaned word -> [indexes]}) or None when neither the indexed
+    summary text nor the raw HTML is available.
+
+    Fast path: the indexer persists the summary-visible words (doc_summary
+    table) so serving only splits a string; stores predating that table fall
+    back to re-parsing the HTML cache like the reference does."""
+    words: list[str] | None = None
+    text = db.doc_summary.get(doc_hash)
+    if text is not None:
+        key = hash(text)
+        with _TEXT_LOCK:
+            hit = _TEXT_CACHE.get(doc_hash)
+            if hit is not None and hit[0] == key:
+                _TEXT_CACHE.move_to_end(doc_hash)
+                return hit[1:]
+        words = text.split()
+    else:
+        raw = db.cached_doc(doc_hash)
+        if raw is None:
+            return None
+        key = hash(raw)
+        with _TEXT_LOCK:
+            hit = _TEXT_CACHE.get(doc_hash)
+            if hit is not None and hit[0] == key:
+                _TEXT_CACHE.move_to_end(doc_hash)
+                return hit[1:]
+        words = extract_summary_text(raw)
     cleaned = [_clean(w) for w in words]
     first_pos: dict[str, int] = {}
     positions: dict[str, list[int]] = {}

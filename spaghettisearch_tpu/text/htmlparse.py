@@ -82,6 +82,9 @@ class TokenizedPage:
     fancy: list[tuple[str, str]] = field(default_factory=list)
     #: ordered unique outgoing links (resolved+cleaned)
     links: list[str] = field(default_factory=list)
+    #: summary-visible words (a/nav/... subtrees pruned), extracted from the
+    #: SAME parsed DOM so index time pays one lxml parse, not two
+    summary: list[str] = field(default_factory=list)
 
 
 def _parse_dom(doc: bytes | str):
@@ -95,11 +98,15 @@ def _parse_dom(doc: bytes | str):
         return None
 
 
-def tokenize_page(doc: bytes | str, base_url: str) -> TokenizedPage:
+def tokenize_page(
+    doc: bytes | str, base_url: str, with_summary: bool = False
+) -> TokenizedPage:
     page = TokenizedPage()
     root = _parse_dom(doc)
     if root is None:
         return page
+    if with_summary:
+        page.summary = extract_summary_text(None, root=root)
     seen_links: set[str] = set()
 
     def handle_text(parent, text: str) -> None:
@@ -146,10 +153,12 @@ def tokenize_page(doc: bytes | str, base_url: str) -> TokenizedPage:
     return page
 
 
-def extract_summary_text(doc: bytes | str) -> list[str]:
+def extract_summary_text(doc: bytes | str | None, root=None) -> list[str]:
     """Visible words for summaries: prunes a/nav/title/script/... subtrees
-    entirely, then splits on whitespace (reference: get_metadata.go:94-119)."""
-    root = _parse_dom(doc)
+    entirely, then splits on whitespace (reference: get_metadata.go:94-119).
+    Pass `root` to reuse an already-parsed DOM."""
+    if root is None:
+        root = _parse_dom(doc)
     if root is None:
         return []
     pieces: list[str] = []

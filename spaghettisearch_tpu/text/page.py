@@ -40,7 +40,9 @@ class ParsedPage:
 
 
 def parse_page(doc: bytes | str, base_url: str) -> ParsedPage:
-    tp = tokenize_page(doc, base_url)
+    # with_summary: the indexer persists the summary-visible words so the
+    # serving path never re-parses HTML (one lxml parse total per page)
+    tp = tokenize_page(doc, base_url, with_summary=True)
     clean_title = laundry(tp.title)
     clean_body = laundry(" ".join(tp.words))
     clean_meta = laundry(" ".join(tp.meta))

@@ -89,6 +89,36 @@ def test_indexed_summary_equals_linear_scan():
         assert got == want, (trial, query, phrases, words)
 
 
+def test_indexed_summary_text_equals_html_reparse():
+    """The doc_summary fast path (written at index time) must produce the
+    same summaries as re-parsing the cached HTML (reference behavior)."""
+    from datetime import datetime, timezone
+
+    from spaghettisearch_tpu.index.indexer import index_page
+
+    html = (
+        b"<html><head><title>t</title></head><body><nav>skip me</nav>"
+        b"<p>alpha beta <a href='/x'>link text</a> gamma delta</p>"
+        b"<div>epsilon <script>var x;</script> zeta</div></body></html>"
+    )
+    with_table = Database(None)
+    index_page(with_table, html, "http://s.local/a",
+               last_modified=datetime(2026, 1, 1, tzinfo=timezone.utc))
+    doc_hash = sorted(with_table.doc_info.keys(), key=lambda h: with_table.doc_info.get(h).url)[0]
+    # find the real (non-stub) doc
+    for h in with_table.doc_info.keys():
+        if with_table.doc_info.get(h).url == "http://s.local/a":
+            doc_hash = h
+    assert with_table.doc_summary.get(doc_hash) == "alpha beta gamma delta epsilon zeta"
+
+    fallback = Database(None)
+    fallback.cache_doc(doc_hash, html)  # no doc_summary row: HTML re-parse
+    for q in ("gamma", "zeta epsilon", "missing"):
+        assert get_summary(with_table, doc_hash, q, []) == get_summary(
+            fallback, doc_hash, q, []
+        )
+
+
 def test_summary_cache_invalidated_on_content_change():
     db = Database(None)
     db.cache_doc("d", b"<html><body><p>alpha beta gamma</p></body></html>")
