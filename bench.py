@@ -410,18 +410,28 @@ def bench_scale(n_docs: int = 1_000_000) -> dict:
     rng = np.random.default_rng(1)
     df = (snap.body.post_offsets[1:] - snap.body.post_offsets[:-1]).astype(np.float64)
     p = df / df.sum()
-    batches = [
-        jnp.asarray(rng.choice(n_words, size=(batch, 4), p=p).astype(np.int32))
-        for _ in range(5)
-    ]
-    qlen = jnp.full((batch,), 4.0, jnp.float32)
+    # same 1-4 keyword mix as the headline bench, sorted by term count
+    batches = []
+    for _ in range(5):
+        ks = rng.integers(1, 5, batch)
+        ks[::-1].sort()
+        tids = np.full((batch, 4), n_words, np.int32)
+        for i, k in enumerate(ks):
+            tids[i, :k] = rng.choice(n_words, size=int(k), p=p)
+        batches.append(
+            (jnp.asarray(tids), jnp.asarray(ks.astype(np.int32)),
+             jnp.asarray(ks.astype(np.float32)))
+        )
     tp = jnp.zeros((batch, 1), jnp.float32)
     use_pallas = pallas_available()
+    emit_counts = idx.has_zero_weight
 
     def run(t):
+        tids, qn, qlen = t
         return score_queries_forward(
             idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body, idx.pagerank,
-            t, qlen, tp, topk=10, use_pallas=use_pallas,
+            tids, qlen, tp, qn, topk=10, use_pallas=use_pallas,
+            emit_counts=emit_counts,
         )
 
     np.asarray(run(batches[0])[0])
@@ -677,8 +687,128 @@ def bench_parity(n_pages: int = 100_000, n_queries: int = 1000) -> dict:
     }
 
 
+def bench_sharded(n_docs: int = 1_000_000, n_shards: int = 8) -> dict:
+    """Multi-chip structure at 1M docs, measured (VERDICT r1 item 6).
+
+    Runs in a subprocess on a virtual 8-device CPU mesh (the pod is not
+    reachable from this box: one physical chip), so the meaningful recorded
+    numbers are host-side: the full ShardedIndex build time at 1M docs (the
+    per-shard-scan splitter measured 5x faster than a global-argsort
+    alternative, kept as the equality oracle in tests/test_sharded_build.py)
+    plus a structural scoring step proving the 8-way shard_map program
+    executes. CPU-mesh step latency is NOT comparable to TPU."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    proc = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--sharded-child",
+         str(n_docs), str(n_shards)],
+        capture_output=True, text=True, env=env, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"sharded child failed:\n{proc.stderr[-2000:]}")
+    child = json.loads(proc.stdout.strip().splitlines()[-1])
+    return {
+        "metric": f"sharded_index_build_s_{n_docs // 1_000_000}m_docs_{n_shards}shards",
+        "value": round(child["build_s"], 2),
+        "unit": "s",
+        # target: full 1M-doc sharded rebuild (split + forward views +
+        # transposes + placement) under a minute
+        "vs_baseline": round(60.0 / max(child["build_s"], 1e-9), 2),
+        "split_s": round(child["split_s"], 2),
+        "split_argsort_alt_s": round(child["split_alt_s"], 2),
+        "cpu_mesh_step_ms": round(child["step_ms"], 1),
+        "shards": n_shards,
+        "docs": n_docs,
+    }
+
+
+def _sharded_child(n_docs: int, n_shards: int) -> None:
+    """Child body for --mode sharded (runs on the virtual CPU mesh)."""
+    import sys as _sys
+    import jax
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
+    from test_sharded_build import _shard_csr_vectorized
+
+    import spaghettisearch_tpu.parallel.sharded as sh
+    from spaghettisearch_tpu.parallel.sharded import ShardedIndex, make_sharded_scorer
+
+    assert len(jax.devices()) >= n_shards, jax.devices()
+    snap = synth_snapshot(
+        n_docs=n_docs, n_words=200_000, body_terms_per_doc=48,
+        title_terms_per_doc=4, max_df=32_768,
+    )
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:n_shards]), ("d",))
+
+    t0 = time.perf_counter()
+    sidx = ShardedIndex.from_snapshot(snap, mesh)
+    build_s = time.perf_counter() - t0
+
+    # host-side section split alone: production per-shard-scan builder vs
+    # the global-argsort alternative (equality oracle) — measured evidence
+    # for keeping the round-1 splitter (FINDINGS.md)
+    dl = sidx.docs_per_shard
+    t0 = time.perf_counter()
+    for csr in (snap.title, snap.body):
+        n_post = csr.n_postings
+        per_doc = np.bincount(csr.doc_ids[:n_post], minlength=max(snap.n_docs, 1))
+        sh._shard_csr(csr, n_shards, dl, max(int(per_doc.max(initial=0)), 1))
+    split_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for csr in (snap.title, snap.body):
+        n_post = csr.n_postings
+        per_doc = np.bincount(csr.doc_ids[:n_post], minlength=max(snap.n_docs, 1))
+        _shard_csr_vectorized(csr, n_shards, dl, max(int(per_doc.max(initial=0)), 1))
+    split_alt_s = time.perf_counter() - t0
+
+    # structural scoring step over the full 8-way mesh program
+    import jax.numpy as jnp
+
+    scorer = make_sharded_scorer(sidx, topk=10)
+    rng = np.random.default_rng(0)
+    b, q = 8, 4
+    df = np.diff(snap.body.post_offsets).astype(np.float64)
+    p = df / df.sum()
+    term_ids = rng.choice(snap.n_words, size=(b, q), p=p).astype(np.int32)
+    qlen = np.full(b, float(q), np.float32)
+    tp = np.zeros((b, 1), np.float32)
+    ph_ids = np.full(4, snap.n_words, np.int32)
+    ph_valid = np.zeros(4, bool)
+    args = (sidx, jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(tp),
+            jnp.asarray(ph_ids), jnp.asarray(ph_valid),
+            jnp.asarray(0, jnp.int32))
+    out = scorer(*args)
+    np.asarray(out[0])
+    t0 = time.perf_counter()
+    out = scorer(*args)
+    np.asarray(out[0])
+    step_ms = (time.perf_counter() - t0) * 1e3
+    print(json.dumps(dict(
+        build_s=build_s, split_s=split_s, split_alt_s=split_alt_s,
+        step_ms=step_ms, ok=True,
+    )))
+
+
 def main() -> None:
     import sys
+
+    if "--sharded-child" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        i = sys.argv.index("--sharded-child")
+        _sharded_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
 
     if "--build-corpus" in sys.argv:
         # internal: corpus building is a host-side batch job; force CPU so
@@ -706,6 +836,13 @@ def main() -> None:
             main()
         print(f"# trace written to {trace_dir}", file=sys.stderr)
         return
+    if "--results" in sys.argv:
+        # per-round machine-readable artifact: every bench mode + the
+        # real-TPU oracle-parity run into one JSON file (VERDICT r1 item 7)
+        out_path = sys.argv[sys.argv.index("--results") + 1]
+        emit_results(out_path)
+        return
+
     if "--mode" in sys.argv:
         mode = sys.argv[sys.argv.index("--mode") + 1]
         if mode == "pagerank":
@@ -726,9 +863,55 @@ def main() -> None:
         if mode == "serve":
             print(json.dumps(bench_serve()))
             return
+        if mode == "sharded":
+            print(json.dumps(bench_sharded()))
+            return
         if mode != "synth":
             raise SystemExit(f"unknown mode {mode}")
 
+    synth = "--mode" in sys.argv and sys.argv[sys.argv.index("--mode") + 1] == "synth"
+    print(json.dumps(bench_headline(synth=synth)))
+
+
+def emit_results(out_path: str) -> None:
+    """Run every bench mode in sequence and write one JSON artifact. The
+    headline/serve/parity modes run on the default backend (the real TPU
+    when available — parity on TPU satisfies the CLAUDE.md 'run the oracle
+    on the real TPU occasionally' invariant); sharded runs on the virtual
+    CPU mesh in a subprocess."""
+    import platform
+
+    import jax
+
+    results: dict[str, object] = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "host": platform.node(),
+    }
+    stages = [
+        ("headline", lambda: bench_headline(synth=False)),
+        ("parity_tpu", bench_parity),
+        ("serve", bench_serve),
+        ("scale1m", bench_scale),
+        ("phrase", bench_phrase),
+        ("pagerank", bench_pagerank),
+        ("index", bench_index),
+        ("sharded", bench_sharded),
+    ]
+    for name, fn in stages:
+        t0 = time.perf_counter()
+        try:
+            results[name] = fn()
+        except Exception as exc:  # record the failure, keep going
+            results[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        print(f"# {name}: {json.dumps(results[name])} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"written": out_path}))
+
+
+def bench_headline(synth: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -738,7 +921,6 @@ def main() -> None:
     batch, q, topk = 256, 4, 10
     n_batches = 20
 
-    synth = "--mode" in sys.argv and sys.argv[sys.argv.index("--mode") + 1] == "synth"
     if synth:
         # round-1 style synthetic CSR (kept for kernel-perf continuity)
         n_docs, n_words = 100_000, 50_000
@@ -753,26 +935,38 @@ def main() -> None:
         n_docs, n_words = snap.n_docs, snap.n_words
     idx = DeviceIndex.from_snapshot(snap)
 
-    # realistic query mix: terms sampled proportional to df
+    # realistic query mix: 1-4 keywords (same k distribution as
+    # bench_queries / --mode serve / --mode parity), terms sampled
+    # proportional to df; batches sorted by term count (the engine contract:
+    # rank() sorts so the kernel's per-block q dispatch takes effect)
     rng = np.random.default_rng(1)
     df = (snap.body.post_offsets[1:] - snap.body.post_offsets[:-1]).astype(np.float64)
     p = df / df.sum()
-    term_batches = [
-        jnp.asarray(rng.choice(n_words, size=(batch, q), p=p).astype(np.int32))
-        for _ in range(n_batches)
-    ]
-    qlen = jnp.full((batch,), float(q), jnp.float32)
+    term_batches = []
+    for _ in range(n_batches):
+        ks = rng.integers(1, q + 1, batch)
+        ks[::-1].sort()  # descending
+        tids = np.full((batch, q), n_words, np.int32)
+        for i, k in enumerate(ks):
+            tids[i, :k] = rng.choice(n_words, size=int(k), p=p)
+        term_batches.append(
+            (jnp.asarray(tids), jnp.asarray(ks.astype(np.int32)),
+             jnp.asarray(ks.astype(np.float32)))
+        )
     tp = jnp.zeros((batch, 1), jnp.float32)
 
     from spaghettisearch_tpu.ops.scoring import pallas_available
 
     use_pallas = pallas_available()
+    emit_counts = idx.has_zero_weight
 
-    def run(tids):
+    def run(tids_qn):
+        tids, qn, qlen = tids_qn
         return score_queries_forward(
             idx.title.fwd, idx.body.fwd,
             idx.mag_title, idx.mag_body, idx.pagerank,
-            tids, qlen, tp, topk=topk, use_pallas=use_pallas,
+            tids, qlen, tp, qn, topk=topk, use_pallas=use_pallas,
+            emit_counts=emit_counts,
         )
 
     # warmup / compile (np.asarray forces a host round-trip: through the
@@ -792,17 +986,12 @@ def main() -> None:
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     qps = n_batches * batch / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "batched_top10_qps_100k_docs"
-                + ("_synth" if synth else ""),
-                "value": round(qps, 1),
-                "unit": "qps",
-                "vs_baseline": round(qps / 10_000.0, 3),
-            }
-        )
-    )
+    return {
+        "metric": "batched_top10_qps_100k_docs" + ("_synth" if synth else ""),
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 10_000.0, 3),
+    }
 
 
 if __name__ == "__main__":

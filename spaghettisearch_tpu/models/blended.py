@@ -58,8 +58,10 @@ class BlendedRanker:
             and self.scale == SCORE_SCALE
         )
 
-    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None):
-        """Keyword batch -> (scores [B,K], doc ids [B,K]) on device."""
+    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None, qn=None):
+        """Keyword batch -> (scores [B,K], doc ids [B,K]) on device. qn is
+        the per-row active term count (batch sorted descending by it): the
+        kernel skips compare sweeps past each 8-query block's max."""
         k = min(topk or self.topk, index.n_docs) or 1
         if self.is_reference_blend():
             # measured on-chip: the 2-kernel + XLA-finalize composition beats
@@ -68,14 +70,15 @@ class BlendedRanker:
             return _scoring.score_queries_forward(
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
-                term_ids, qlen, topic_probs, topk=k,
+                term_ids, qlen, topic_probs, qn, topk=k,
                 use_pallas=_scoring.pallas_available(),
+                emit_counts=index.has_zero_weight,
             )
         return self._custom_forward(index, term_ids, qlen, topic_probs, k)
 
     def score_with_phrase(
         self, index, term_ids, qlen, topic_probs,
-        ph_docs, ph_tw, ph_bw, ph_fl, topk=None,
+        ph_docs, ph_tw, ph_bw, ph_fl, topk=None, qn=None,
     ):
         k = min(topk or self.topk, index.n_docs) or 1
         if self.is_reference_blend():
@@ -83,8 +86,9 @@ class BlendedRanker:
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
                 term_ids, qlen, topic_probs,
-                ph_docs, ph_tw, ph_bw, ph_fl, topk=k,
+                ph_docs, ph_tw, ph_bw, ph_fl, qn, topk=k,
                 use_pallas=_scoring.pallas_available(),
+                emit_counts=index.has_zero_weight,
             )
         return self._custom_forward(
             index, term_ids, qlen, topic_probs, k, (ph_docs, ph_tw, ph_bw, ph_fl)

@@ -111,15 +111,20 @@ class BM25Ranker:
         return self._fwd["title_w"], self._fwd["body_w"]
 
     # -- scoring ------------------------------------------------------- #
-    def _sections(self, term_ids):
+    def _sections(self, term_ids, qn=None):
+        # BM25 weights are strictly positive (idf = ln(x+1) > 0, tf term
+        # > 0), so count accumulation is always elidable
         return _scoring._both_section_scores(
             self._fwd["title"], self._fwd["body"], term_ids, 16,
-            _scoring.pallas_available(),
+            _scoring.pallas_available(), qn, emit_counts=False,
         )
 
-    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None):
+    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None, qn=None):
         k = min(topk or self.topk, index.n_docs) or 1
-        ts, tc, bs, bc = self._sections(term_ids)
+        ts, tc, bs, bc = self._sections(term_ids, qn)
+        if tc is None:
+            tc = (ts + bs > 0).astype(ts.dtype)
+            bc = jnp.zeros_like(tc)
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
         return _scoring.exact_top_k(final, k)
 
@@ -147,10 +152,10 @@ class BM25Ranker:
 
     def score_with_phrase(
         self, index, term_ids, qlen, topic_probs,
-        ph_docs, ph_tw, ph_bw, ph_fl, topk=None,
+        ph_docs, ph_tw, ph_bw, ph_fl, topk=None, qn=None,
     ):
         k = min(topk or self.topk, index.n_docs) or 1
-        ts, tc, bs, bc = self._sections(term_ids)
+        ts, tc, bs, bc = self._sections(term_ids, qn)
         b = term_ids.shape[0]
         dl = ts.shape[1]
         brow = jnp.arange(b)[:, None]
@@ -158,9 +163,14 @@ class BM25Ranker:
         pacc = pacc.at[brow, ph_docs].add(
             jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop"
         )
+        if tc is None:
+            tc = ((ts + bs + pacc[:, :dl, 0] + pacc[:, :dl, 1] > 0)
+                  | (pacc[:, :dl, 2] > 0)).astype(ts.dtype)
+            bc = jnp.zeros_like(tc)
+        else:
+            tc = tc + pacc[:, :dl, 2]
         ts = ts + pacc[:, :dl, 0]
         bs = bs + pacc[:, :dl, 1]
-        tc = tc + pacc[:, :dl, 2]
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
         return _scoring.exact_top_k(final, k)
 

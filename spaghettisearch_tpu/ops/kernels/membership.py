@@ -15,6 +15,20 @@ compare/accumulate kept on-chip.
 Layout: the index is passed TRANSPOSED (ftT/fwT [T, D]) so the doc axis is
 the lane axis; T must be a multiple of 8 and D a multiple of the doc block
 (the DeviceIndex pads both).
+
+Two round-2 optimizations (both exact):
+
+- **per-block dynamic q**: real queries have 1-4 keywords but the batch is
+  padded to Q slots; with the batch sorted by term count (engine.rank), the
+  kernel reads each 8-query block's true max term count from an SMEM array
+  and runs the compare loop only that far. The reference pays per-term cost
+  the same way (one goroutine per term, main_retrieve.go:50-78); a fixed-Q
+  scan would be paying for phantom terms.
+- **count elision** (emit_counts=False): when every index weight is > 0
+  (no df==N idf-zero postings — DeviceIndex.has_zero_weight), candidacy
+  is equivalent to score > 0, so the count accumulate and its two [B, D]
+  HBM outputs are dropped. The exact 4-output variant remains for indexes
+  with zero weights.
 """
 
 from __future__ import annotations
@@ -27,7 +41,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(tq_ref, ft_ref, fw_ref, score_ref, count_ref, *, b_block: int, q: int):
+def _q_levels(q: int) -> list[int]:
+    """Power-of-two specialization levels up to q (plus q itself)."""
+    levels = []
+    lev = 1
+    while lev < q:
+        levels.append(lev)
+        lev *= 2
+    levels.append(q)
+    return levels
+
+
+def _section_scores_unrolled(ft, fw, tq, q_eff, emit_counts):
+    """One section's (score, count) with the compare loop fully unrolled to
+    q_eff steps — straight-line vector code, no carried control flow (a
+    per-step scf.if carry was measured 3.5x slower, experiments/ab_kernel)."""
+    mult = jnp.zeros((tq.shape[0],) + ft.shape, jnp.float32)
+    for qi in range(q_eff):
+        t = tq[:, qi][:, None, None]  # [Bb, 1, 1]
+        mult = mult + (ft[None, :, :] == t).astype(jnp.float32)
+    score = jnp.sum(mult * fw[None, :, :], axis=1)
+    if not emit_counts:
+        return score, None
+    return score, jnp.sum(mult, axis=1)
+
+
+def _dispatch_q(nq, q, emit):
+    """Run emit(q_eff) for the power-of-two level covering nq. Each level is
+    an independent straight-line body behind one scalar branch per 8-query
+    block; with the batch sorted by term count, blocks are homogeneous and
+    1-2 term queries stop paying for phantom Q-pad compare sweeps."""
+    levels = _q_levels(q)
+    lo = -1  # level 1 also covers nq == 0 (all-pad blocks: sentinel terms)
+    for lev in levels:
+        cond = (nq > lo) & (nq <= lev) if lev != levels[-1] else nq > lo
+        pl.when(cond)(lambda lev=lev: emit(lev))
+        lo = lev
+
+
+def _kernel(
+    qn_ref, tq_ref, ft_ref, fw_ref, *out_refs, b_block: int, q: int,
+    emit_counts: bool,
+):
     ft = ft_ref[:]  # [T, Db] int32
     fw = fw_ref[:]  # [T, Db] f32
     b_total = tq_ref.shape[0]
@@ -35,71 +90,93 @@ def _kernel(tq_ref, ft_ref, fw_ref, score_ref, count_ref, *, b_block: int, q: in
     def b_body(bi, _):
         row = bi * b_block
         tq = tq_ref[pl.ds(row, b_block), :]  # [Bb, Q]
-        mult = jnp.zeros((b_block,) + ft.shape, jnp.float32)
-        for qi in range(q):  # static unroll over query slots
-            t = tq[:, qi][:, None, None]  # [Bb, 1, 1]
-            mult = mult + (ft[None, :, :] == t).astype(jnp.float32)
-        score_ref[pl.ds(row, b_block), :] = jnp.sum(mult * fw[None, :, :], axis=1)
-        count_ref[pl.ds(row, b_block), :] = jnp.sum(mult, axis=1)
+
+        def emit(q_eff):
+            score, count = _section_scores_unrolled(ft, fw, tq, q_eff, emit_counts)
+            out_refs[0][pl.ds(row, b_block), :] = score
+            if emit_counts:
+                out_refs[1][pl.ds(row, b_block), :] = count
+
+        _dispatch_q(qn_ref[bi], q, emit)
         return 0
 
     jax.lax.fori_loop(0, b_total // b_block, b_body, 0)
 
 
 def _kernel2(
-    tq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
-    ts_ref, tc_ref, bs_ref, bc_ref, *, b_block: int, q: int,
+    qn_ref, tq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
+    *out_refs, b_block: int, q: int, emit_counts: bool,
 ):
     tft = tft_ref[:]
     tfw = tfw_ref[:]
     bft = bft_ref[:]
     bfw = bfw_ref[:]
 
-    def section(ft, fw, tq):
-        mult = jnp.zeros((b_block,) + ft.shape, jnp.float32)
-        for qi in range(q):
-            t = tq[:, qi][:, None, None]
-            mult = mult + (ft[None, :, :] == t).astype(jnp.float32)
-        return jnp.sum(mult * fw[None, :, :], axis=1), jnp.sum(mult, axis=1)
-
     def b_body(bi, _):
         row = bi * b_block
         tq = tq_ref[pl.ds(row, b_block), :]
-        s, c = section(tft, tfw, tq)
-        ts_ref[pl.ds(row, b_block), :] = s
-        tc_ref[pl.ds(row, b_block), :] = c
-        s, c = section(bft, bfw, tq)
-        bs_ref[pl.ds(row, b_block), :] = s
-        bc_ref[pl.ds(row, b_block), :] = c
+
+        def emit(q_eff):
+            s, c = _section_scores_unrolled(tft, tfw, tq, q_eff, emit_counts)
+            if emit_counts:
+                out_refs[0][pl.ds(row, b_block), :] = s
+                out_refs[1][pl.ds(row, b_block), :] = c
+                s, c = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+                out_refs[2][pl.ds(row, b_block), :] = s
+                out_refs[3][pl.ds(row, b_block), :] = c
+            else:
+                out_refs[0][pl.ds(row, b_block), :] = s
+                s, _ = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+                out_refs[1][pl.ds(row, b_block), :] = s
+
+        _dispatch_q(qn_ref[bi], q, emit)
         return 0
 
     jax.lax.fori_loop(0, tq_ref.shape[0] // b_block, b_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("doc_block", "b_block", "interpret"))
+def _qn_blocks(term_ids, qn, b_block):
+    """Per-8-query-block max active term count, i32 [B//b_block] (SMEM)."""
+    b, q = term_ids.shape
+    if qn is None:
+        return jnp.full((b // b_block,), q, jnp.int32)
+    return jnp.clip(qn.reshape(b // b_block, b_block).max(axis=1), 0, q).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("doc_block", "b_block", "emit_counts", "interpret")
+)
 def pallas_forward_scores_2sec(
     title_ftT: jax.Array,  # int32 [Tt, D]
     title_fwT: jax.Array,
     body_ftT: jax.Array,  # int32 [Tb, D]
     body_fwT: jax.Array,
     term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
+    qn: jax.Array | None = None,  # i32 [B] active term counts (sorted desc!)
     *,
     doc_block: int = 512,
     b_block: int = 8,
+    emit_counts: bool = True,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+):
     """Both sections in ONE kernel pass (shared tq tile, one grid sweep):
-    -> (title score, title count, body score, body count), each [B, D].
-    ~5% over two separate passes on the 100k headline shapes."""
+    -> (title score, title count, body score, body count), each [B, D];
+    counts are None when emit_counts=False (candidacy <=> score > 0, valid
+    iff every index weight is positive). ~5% over two separate passes on
+    the 100k headline shapes."""
     tt, d = title_ftT.shape
     tb = body_ftT.shape[0]
     b, q = term_ids.shape
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
-    kernel = functools.partial(_kernel2, b_block=b_block, q=q)
-    return pl.pallas_call(
+    kernel = functools.partial(_kernel2, b_block=b_block, q=q, emit_counts=emit_counts)
+    n_out = 4 if emit_counts else 2
+    out = pl.pallas_call(
         kernel,
         grid=(d // doc_block,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -108,47 +185,56 @@ def pallas_forward_scores_2sec(
         ],
         out_specs=[
             pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ] * 4,
-        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * 4,
+        ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * n_out,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(term_ids, title_ftT, title_fwT, body_ftT, body_fwT)
+    )(_qn_blocks(term_ids, qn, b_block), term_ids,
+      title_ftT, title_fwT, body_ftT, body_fwT)
+    if emit_counts:
+        return out[0], out[1], out[2], out[3]
+    return out[0], None, out[1], None
 
 
-@functools.partial(jax.jit, static_argnames=("doc_block", "b_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("doc_block", "b_block", "emit_counts", "interpret")
+)
 def pallas_forward_scores(
     ftT: jax.Array,  # int32 [T, D] (transposed forward index, -1 pad)
     fwT: jax.Array,  # f32 [T, D]
     term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
+    qn: jax.Array | None = None,
     *,
     doc_block: int = 2048,
     b_block: int = 8,
+    emit_counts: bool = True,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (score [B, D], count [B, D])."""
+):
+    """-> (score [B, D], count [B, D] | None)."""
     t, d = ftT.shape
     b, q = term_ids.shape
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
     grid = (d // doc_block,)
-    kernel = functools.partial(_kernel, b_block=b_block, q=q)
-    return pl.pallas_call(
+    kernel = functools.partial(_kernel, b_block=b_block, q=q, emit_counts=emit_counts)
+    n_out = 2 if emit_counts else 1
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         # doc blocks are independent: lets Mosaic split the grid across the
         # chip's TensorCores (megacore) — measured ~5% on the 100k bench
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
-        ],
+            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * n_out,
         interpret=interpret,
-    )(term_ids, ftT, fwT)
+    )(_qn_blocks(term_ids, qn, b_block), term_ids, ftT, fwT)
+    if emit_counts:
+        return out[0], out[1]
+    return out[0], None

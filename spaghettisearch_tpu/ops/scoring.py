@@ -143,23 +143,43 @@ def forward_section_scores(
     return score, count
 
 
-def _section_scores(fwd, term_ids, n_blocks: int, use_pallas: bool):
-    """Dispatch one section to the Pallas kernel (TPU) or the XLA
-    formulation. Pallas requires the batch padded to a multiple of 8."""
-    if not use_pallas:
-        return forward_section_scores(fwd.ft, fwd.fw, term_ids, n_blocks)
-    from .kernels.membership import pallas_forward_scores
-
+def _pad_batch(term_ids, qn):
+    """Pad the batch to a multiple of 8 for the Pallas kernels. Pad rows get
+    sentinel terms and qn=0 so their whole 8-query block's compare loop is
+    skipped at runtime."""
     b = term_ids.shape[0]
     b_pad = -(-b // 8) * 8
     tq = jnp.pad(
         term_ids, ((0, b_pad - b), (0, 0)), constant_values=jnp.iinfo(jnp.int32).max
     )
-    score, count = pallas_forward_scores(fwd.ftT, fwd.fwT, tq, doc_block=512)
-    return score[:b], count[:b]
+    if qn is not None:
+        qn = jnp.pad(qn.astype(jnp.int32), (0, b_pad - b))
+    return tq, qn, b
 
 
-def _both_section_scores(title_fwd, body_fwd, term_ids, n_blocks: int, use_pallas: bool):
+def _section_scores(
+    fwd, term_ids, n_blocks: int, use_pallas: bool, qn=None, emit_counts=True
+):
+    """Dispatch one section to the Pallas kernel (TPU) or the XLA
+    formulation. Pallas requires the batch padded to a multiple of 8.
+    With emit_counts=False the count is returned as None (candidacy is
+    score > 0; only valid when every index weight is positive — the XLA
+    path still returns true counts, which is result-equivalent)."""
+    if not use_pallas:
+        return forward_section_scores(fwd.ft, fwd.fw, term_ids, n_blocks)
+    from .kernels.membership import pallas_forward_scores
+
+    tq, qn, b = _pad_batch(term_ids, qn)
+    score, count = pallas_forward_scores(
+        fwd.ftT, fwd.fwT, tq, qn, doc_block=512, emit_counts=emit_counts
+    )
+    return score[:b], None if count is None else count[:b]
+
+
+def _both_section_scores(
+    title_fwd, body_fwd, term_ids, n_blocks: int, use_pallas: bool,
+    qn=None, emit_counts=True,
+):
     """Title and body in one Pallas pass on TPU (shared tq, one grid sweep);
     falls back to per-section XLA elsewhere."""
     if not use_pallas:
@@ -168,15 +188,17 @@ def _both_section_scores(title_fwd, body_fwd, term_ids, n_blocks: int, use_palla
         return ts, tc, bs, bc
     from .kernels.membership import pallas_forward_scores_2sec
 
-    b = term_ids.shape[0]
-    b_pad = -(-b // 8) * 8
-    tq = jnp.pad(
-        term_ids, ((0, b_pad - b), (0, 0)), constant_values=jnp.iinfo(jnp.int32).max
-    )
+    tq, qn, b = _pad_batch(term_ids, qn)
     ts, tc, bs, bc = pallas_forward_scores_2sec(
-        title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT, tq, doc_block=512
+        title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT, tq, qn,
+        doc_block=512, emit_counts=emit_counts,
     )
-    return ts[:b], tc[:b], bs[:b], bc[:b]
+    return (
+        ts[:b],
+        None if tc is None else tc[:b],
+        bs[:b],
+        None if bc is None else bc[:b],
+    )
 
 
 @partial(jax.jit, static_argnames=("topk", "interpret"))
@@ -211,7 +233,7 @@ def score_queries_fused(
     return exact_top_k(final, topk)
 
 
-@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas"))
+@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
 def score_queries_forward(
     title_fwd,  # ForwardArrays
     body_fwd,  # ForwardArrays
@@ -221,22 +243,27 @@ def score_queries_forward(
     term_ids: jax.Array,  # int32 [B, Q]
     query_len: jax.Array,  # f32 [B]
     topic_probs: jax.Array,  # f32 [B, C]
+    qn: jax.Array | None = None,  # i32 [B] active term counts (sorted desc)
     *,
     topk: int,
     n_blocks: int = 16,
     use_pallas: bool = False,
+    emit_counts: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
     ts, tc, bs, bc = _both_section_scores(
-        title_fwd, body_fwd, term_ids, n_blocks, use_pallas
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts
     )
+    if tc is None:  # counts elided: all weights > 0, candidacy <=> score > 0
+        tc = (ts + bs > 0).astype(ts.dtype)
+        bc = jnp.zeros_like(tc)
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
     return exact_top_k(final, topk)
 
 
-@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas"))
+@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
 def score_queries_forward_phrase(
     title_fwd,  # ForwardArrays
     body_fwd,  # ForwardArrays
@@ -250,10 +277,12 @@ def score_queries_forward_phrase(
     phrase_title_w: jax.Array,  # f32 [B, E]
     phrase_body_w: jax.Array,  # f32 [B, E]
     phrase_flag: jax.Array,  # f32 [B, E]
+    qn: jax.Array | None = None,
     *,
     topk: int,
     n_blocks: int = 16,
     use_pallas: bool = False,
+    emit_counts: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward keyword scoring + sparse phrase fold.
 
@@ -265,16 +294,20 @@ def score_queries_forward_phrase(
     brow = jnp.arange(b)[:, None]
 
     ts, tc, bs, bc = _both_section_scores(
-        title_fwd, body_fwd, term_ids, n_blocks, use_pallas
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts
     )
 
     pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
     pacc = pacc.at[brow, phrase_doc_ids].add(
         jnp.stack([phrase_title_w, phrase_body_w, phrase_flag], axis=-1), mode="drop"
     )
+    if tc is None:  # counts elided: candidacy from scores + phrase flags
+        tc = ((ts + bs > 0) | (pacc[:, :n_docs, 2] > 0)).astype(ts.dtype)
+        bc = jnp.zeros_like(tc)
+    else:
+        tc = tc + pacc[:, :n_docs, 2]
     ts = ts + pacc[:, :n_docs, 0]
     bs = bs + pacc[:, :n_docs, 1]
-    tc = tc + pacc[:, :n_docs, 2]
 
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs

@@ -47,6 +47,11 @@ class DeviceSection:
     # the forward phrase matcher would then under-match, so the engine
     # routes phrase queries through the exact CSR matcher instead
     dense_truncated: bool = False
+    # True when some real posting weight is <= 0 (a df==N term has idf 0,
+    # reference weighting indexer.go normTF*log2(N/df)): candidacy then
+    # needs true counts; otherwise the kernels may elide count accumulation
+    # because candidacy <=> score > 0
+    has_zero_weight: bool = False
 
     @classmethod
     def from_csr(
@@ -63,6 +68,7 @@ class DeviceSection:
             csr.doc_ids[:n_post], minlength=max(n_docs, 1)
         ).max(initial=0)) if n_post else 0
         truncated = doc_term_cap is not None and max_terms > doc_term_cap
+        zero_w = bool(n_post) and bool((csr.weights[:n_post] <= 0).any())
         ft, fw, fj = csr.forward_with_postings(n_docs, doc_term_cap=doc_term_cap)
         pad_rows = d_pad - n_docs
         ft = np.concatenate([ft, np.full((pad_rows, ft.shape[1]), -1, np.int32)])
@@ -85,6 +91,7 @@ class DeviceSection:
             positions=put(csr.positions),
             fwd=fwd,
             dense_truncated=truncated,
+            has_zero_weight=zero_w,
         )
 
     # convenience aliases used by the XLA formulation and tests
@@ -148,3 +155,7 @@ class DeviceIndex:
     @property
     def dense_truncated(self) -> bool:
         return self.title.dense_truncated or self.body.dense_truncated
+
+    @property
+    def has_zero_weight(self) -> bool:
+        return self.title.has_zero_weight or self.body.has_zero_weight

@@ -267,10 +267,12 @@ class QueryEngine:
 
         term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
         qlen = np.zeros(b, dtype=np.float32)
+        qn = np.zeros(b, dtype=np.int32)  # active term slots per row
         for i, p in enumerate(parsed):
             ids = snap.term_ids(p.keyword_hashes)[:q]
             term_ids[i, : len(ids)] = ids
             qlen[i] = float(p.query_len)
+            qn[i] = len(ids)
 
         topic_probs = np.zeros((b, idx.n_categories), dtype=np.float32)
         if self.use_topic_model:
@@ -286,6 +288,16 @@ class QueryEngine:
         # always complete, so production scoring routes through it then
         use_csr = idx.dense_truncated
 
+        # sort the batch by descending term count: each Pallas 8-query block
+        # then runs its compare loop only to the block max, so 1-2 term
+        # queries stop paying for phantom Q_BASE pad slots (results are
+        # inverse-permuted back to request order below)
+        perm = np.argsort(-qn, kind="stable")
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(b)
+        term_ids, qlen, qn = term_ids[perm], qlen[perm], qn[perm]
+        topic_probs = topic_probs[perm]
+
         if not has_phrase:
             # fast path: forward-membership scorer (no scatter/gather)
             with TRACER.span("rank.device"):
@@ -298,9 +310,9 @@ class QueryEngine:
                     scores, ids = model.score_keywords(
                         idx,
                         jnp.asarray(term_ids), jnp.asarray(qlen),
-                        jnp.asarray(topic_probs), topk=topk,
+                        jnp.asarray(topic_probs), topk=topk, qn=jnp.asarray(qn),
                     )
-                return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
+                return np.asarray(scores)[inv][:b_real], np.asarray(ids)[inv][:b_real]
 
         # pad slot lands past the real doc range in the fold-in accumulator
         # and is dropped/sliced away
@@ -313,6 +325,9 @@ class QueryEngine:
             n = len(d)
             ph_docs[i, :n], ph_tw[i, :n] = d, tw
             ph_bw[i, :n], ph_fl[i, :n] = bw, fl
+        # matches were filled in request order; apply the qn sort permutation
+        ph_docs, ph_tw = ph_docs[perm], ph_tw[perm]
+        ph_bw, ph_fl = ph_bw[perm], ph_fl[perm]
 
         with TRACER.span("rank.device"):
             if use_csr:
@@ -327,9 +342,9 @@ class QueryEngine:
                     idx,
                     jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
-                    jnp.asarray(ph_fl), topk=topk,
+                    jnp.asarray(ph_fl), topk=topk, qn=jnp.asarray(qn),
                 )
-            return np.asarray(scores)[:b_real], np.asarray(ids)[:b_real]
+            return np.asarray(scores)[inv][:b_real], np.asarray(ids)[inv][:b_real]
 
     def _phrase_weights(self, idx, model=None):
         """Posting-weight arrays the phrase matcher sums: the ranking
@@ -535,6 +550,8 @@ class QueryEngine:
                 self.model.score_with_phrase(
                     idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
                     topk=MAX_RESULTS,
+                    # rank() always passes a qn array; warm that signature
+                    qn=jnp.asarray(np.zeros(WARM_B_MAX, np.int32)),
                 )
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:

@@ -136,3 +136,75 @@ def test_forward_doc_term_cap_bounds_memory():
     assert exact_ft.shape[1] >= 500
     for d in range(1, n_docs):
         assert set(exact_ft[d][exact_ft[d] >= 0]) == set(ft[d][ft[d] >= 0])
+
+
+def test_membership_kernel_qn_and_count_elision(engine):
+    """The Pallas membership kernel's round-2 variants — per-block dynamic q
+    (batch sorted by term count) and count elision (candidacy <=> score > 0
+    when all weights are positive) — must reproduce the XLA path exactly.
+    Interpret mode on CPU."""
+    import jax.numpy as jnp
+
+    from spaghettisearch_tpu.ops.kernels.membership import (
+        pallas_forward_scores_2sec,
+    )
+    from spaghettisearch_tpu.ops.scoring import forward_section_scores
+
+    idx = engine.index
+    snap = engine.snapshot
+    rng = np.random.default_rng(5)
+    b, q = 8, 4
+    # rows with 4, 3, 2, 2, 1, 1, 0, 0 active terms (sorted descending, the
+    # contract rank() establishes); inactive slots hold the sentinel
+    qn = np.array([4, 3, 2, 2, 1, 1, 0, 0], np.int32)
+    term_ids = np.full((b, q), snap.n_words, np.int32)
+    for i, n in enumerate(qn):
+        term_ids[i, :n] = rng.integers(0, snap.n_words, n)
+
+    want = []
+    for fwd in (idx.title.fwd, idx.body.fwd):
+        s, c = forward_section_scores(fwd.ft, fwd.fw, jnp.asarray(term_ids), 4)
+        want.extend([np.asarray(s), np.asarray(c)])
+
+    for emit_counts in (True, False):
+        ts, tc, bs, bc = pallas_forward_scores_2sec(
+            idx.title.fwd.ftT, idx.title.fwd.fwT,
+            idx.body.fwd.ftT, idx.body.fwd.fwT,
+            jnp.asarray(term_ids), jnp.asarray(qn),
+            doc_block=128, emit_counts=emit_counts, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ts), want[0], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs), want[2], rtol=1e-6)
+        if emit_counts:
+            np.testing.assert_array_equal(np.asarray(tc), want[1])
+            np.testing.assert_array_equal(np.asarray(bc), want[3])
+        else:
+            assert tc is None and bc is None
+            cand_scores = (np.asarray(ts) + np.asarray(bs)) > 0
+            cand_counts = (want[1] + want[3]) > 0
+            if not idx.has_zero_weight:
+                # candidacy equivalence given strictly positive weights
+                np.testing.assert_array_equal(cand_scores, cand_counts)
+            else:
+                # this corpus has idf==0 (df==N) postings: score>0 still
+                # implies count>0, and production routing keeps the counted
+                # kernel (models pass emit_counts=index.has_zero_weight)
+                assert np.all(~cand_scores | cand_counts)
+
+
+def test_engine_rank_order_independent_of_term_count_sort(engine):
+    """rank() sorts the batch by term count for the kernel and must
+    inverse-permute results back to request order."""
+    queries = [
+        "galaxy poetry theater music",  # 4 terms
+        "algorithm",  # 1 term
+        "quantum physics",  # 2 terms
+        "matrix",  # 1 term
+    ]
+    batch = engine.query_batch(queries)
+    singles = [engine.query(t) for t in queries]
+    assert any(singles)  # the corpus must actually match something
+    for got, want in zip(batch, singles):
+        assert [r["Url"] for r in got] == [r["Url"] for r in want]
+        for g, w in zip(got, want):
+            assert g["FinalRank"] == pytest.approx(w["FinalRank"])
