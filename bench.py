@@ -953,7 +953,7 @@ def bench_headline(synth: bool = False) -> dict:
             (jnp.asarray(tids), jnp.asarray(ks.astype(np.int32)),
              jnp.asarray(ks.astype(np.float32)))
         )
-    tp = jnp.zeros((batch, 1), jnp.float32)
+    tp = jnp.zeros((batch, idx.n_categories), jnp.float32)
 
     from spaghettisearch_tpu.ops.scoring import pallas_available
 

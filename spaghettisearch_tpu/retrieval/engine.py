@@ -127,6 +127,17 @@ def _e_levels(n_docs: int) -> tuple[int, ...]:
     return tuple(sorted({E_BASE, min(E_MID, full), full}))
 
 
+def _cap_levels(posting_cap: int) -> tuple[int, ...]:
+    """Phrase-matcher posting-window levels. The matcher's cost is linear in
+    the static cap (it gathers 2*cap candidate rows per section); round-1's
+    two levels {128, full} made ANY phrase whose generator df exceeded 128
+    pay the full-index worst case (measured 74 ms/phrase at cap 29k on the
+    100k bench corpus — the #1 serving cost). Geometric levels bound each
+    phrase's cost to ~its own generator df."""
+    return tuple(sorted({min(128, posting_cap), min(1024, posting_cap),
+                         min(8192, posting_cap), posting_cap}))
+
+
 @dataclass
 class QueryEngine:
     db: Database
@@ -156,13 +167,22 @@ class QueryEngine:
     # refresh: build OFF the serving lock, commit in O(pointer swap)
     # ------------------------------------------------------------------ #
 
-    def prepare_refresh(self):
+    def prepare_refresh(self, warm: bool = True):
         """Build the NEXT live state — snapshot, device index, prepared
         model, and (for disk stores) a freshly-opened Database that sees
         every row other processes appended. Safe to run off the serving
         lock: nothing live is touched. The reference instead mutates rows
         in place under a global mutex (SURVEY §2.4); the TPU design is
-        immutable snapshots + atomic swap, and this is the build half."""
+        immutable snapshots + atomic swap, and this is the build half.
+
+        With warm=True (default) the NEW state's full compile-shape matrix
+        is walked here, off-lock: a crawl that grows the corpus past a
+        padding boundary (D_pad steps by 512 docs, T_pad by 8 terms, new
+        e-levels) changes every jit shape, and without this the first live
+        query after the swap would pay a fresh XLA compile (20-130 s through
+        the TPU relay) while holding the serving read lock."""
+        import copy
+
         new_db = None
         db = self.db
         if self.db.root is not None:
@@ -180,10 +200,14 @@ class QueryEngine:
         if hasattr(model, "prepare"):
             # prepare into a CLONE: the live model's device arrays stay
             # consistent for in-flight queries on the old live triple
-            import copy
-
             model = copy.copy(model)
             model.prepare(snapshot, index, self.device)
+        if warm:
+            ghost = copy.copy(self)
+            ghost.db = db
+            ghost.snapshot, ghost.index, ghost.model = snapshot, index, model
+            ghost._live = (snapshot, index, model)
+            ghost.warmup()
         return (new_db, snapshot, index, model)
 
     def commit_refresh(self, state) -> None:
@@ -205,8 +229,10 @@ class QueryEngine:
         """Rebuild the snapshot + device index from the store and swap
         atomically. In-flight queries holding the old live triple keep the
         old arrays alive (but the server must serialize refresh vs store
-        readers — see serve/server.py's reader-writer lock)."""
-        self.commit_refresh(self.prepare_refresh())
+        readers — see serve/server.py's reader-writer lock). Convenience
+        form for batch jobs/tests: skips the off-lock warmup (the server's
+        /refresh calls prepare_refresh() directly, which warms)."""
+        self.commit_refresh(self.prepare_refresh(warm=False))
 
     # ------------------------------------------------------------------ #
     # device ranking
@@ -391,55 +417,77 @@ class QueryEngine:
             live = self._live
         snap, idx = live[0], live[1]
         model = live[2] if len(live) > 2 else self.model
-        bp_real = len(phrase_sets)
-        bp = _pow2(bp_real)  # the vmap axis is a compile shape
-        ids = np.full((bp, p), snap.n_words, dtype=np.int32)
-        valid = np.zeros((bp, p), dtype=bool)  # pad rows: no valid terms
-        gens = np.zeros(bp, dtype=np.int32)
-        need = 1
+        n_sets = len(phrase_sets)
+        ids_all = np.full((n_sets, p), snap.n_words, dtype=np.int32)
+        valid_all = np.zeros((n_sets, p), dtype=bool)  # pad rows: no terms
+        gens_all = np.zeros(n_sets, dtype=np.int32)
+        need = np.ones(n_sets, dtype=np.int64)
         for i, hashes in enumerate(phrase_sets):
             row = snap.term_ids(hashes)
-            ids[i, : len(row)] = row
-            valid[i, : len(row)] = True
+            ids_all[i, : len(row)] = row
+            valid_all[i, : len(row)] = True
             t_df = snap.title.df(row)
             b_df = snap.body.df(row)
             g = int(np.argmin(t_df + b_df))
-            gens[i] = g
-            need = max(need, int(t_df[g]), int(b_df[g]))
-        # two cap levels only (rare-term fast path / full), so warmup can
-        # pre-compile every phrase program instead of stalling a live query
-        # on a fresh cap bucket
-        cap = 128 if need <= 128 else idx.posting_cap
-        cap = min(cap, idx.posting_cap)
+            gens_all[i] = g
+            need[i] = max(1, int(t_df[g]), int(b_df[g]))
+
+        t_w, b_w = self._phrase_weights(idx, model)
         if idx.dense_truncated:
             # a pathological doc's dense row was capped: the forward matcher
             # could under-match it, so use the exact CSR formulation (full
             # posting_cap — its membership searches every term's window)
-            t_w, b_w = self._phrase_weights(idx, model)
+            bp = _pow2(n_sets)
+            pad = bp - n_sets
             d, tw, bw, fl = match_phrase_batch(
                 idx.title.offsets, idx.title.doc_ids, t_w,
                 idx.title.pos_offsets, idx.title.positions,
                 idx.body.offsets, idx.body.doc_ids, b_w,
                 idx.body.pos_offsets, idx.body.positions,
-                jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
+                jnp.asarray(np.pad(ids_all, ((0, pad), (0, 0)),
+                                   constant_values=snap.n_words)),
+                jnp.asarray(np.pad(valid_all, ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(gens_all, (0, pad))),
                 posting_cap=idx.posting_cap, pos_cap=idx.pos_cap,
                 n_docs=idx.n_docs,
             )
             d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
-            return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
-        t_w, b_w = self._phrase_weights(idx, model)
-        d, tw, bw, fl = match_phrase_fwd_batch(
-            idx.title.fwd.ft, idx.title.fwd.fj, t_w,
-            idx.title.pos_offsets, idx.title.positions,
-            idx.body.fwd.ft, idx.body.fwd.fj, b_w,
-            idx.body.pos_offsets, idx.body.positions,
-            idx.title.offsets, idx.title.doc_ids,
-            idx.body.offsets, idx.body.doc_ids,
-            jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
-            posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
-        )
-        d, tw, bw, fl = map(np.asarray, (d, tw, bw, fl))
-        return [(d[i], tw[i], bw[i], fl[i]) for i in range(bp_real)]
+            return [(d[i], tw[i], bw[i], fl[i]) for i in range(n_sets)]
+
+        # group the sub-batch by cap level (each phrase pays ~its own
+        # generator df, not the sub-batch max) and run one warmed program
+        # per non-empty group
+        levels = _cap_levels(idx.posting_cap)
+        out: list[tuple[np.ndarray, ...] | None] = [None] * n_sets
+        level_of = np.searchsorted(np.asarray(levels), need)
+        pending = []  # dispatch every group async, fetch once at the end
+        for li, cap in enumerate(levels):
+            rows = np.flatnonzero(level_of == li)
+            if rows.size == 0:
+                continue
+            bp = _pow2(len(rows))
+            ids = np.full((bp, p), snap.n_words, dtype=np.int32)
+            valid = np.zeros((bp, p), dtype=bool)
+            gens = np.zeros(bp, dtype=np.int32)
+            ids[: len(rows)] = ids_all[rows]
+            valid[: len(rows)] = valid_all[rows]
+            gens[: len(rows)] = gens_all[rows]
+            res = match_phrase_fwd_batch(
+                idx.title.fwd.ft, idx.title.fwd.fj, t_w,
+                idx.title.pos_offsets, idx.title.positions,
+                idx.body.fwd.ft, idx.body.fwd.fj, b_w,
+                idx.body.pos_offsets, idx.body.positions,
+                idx.title.offsets, idx.title.doc_ids,
+                idx.body.offsets, idx.body.doc_ids,
+                jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
+                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+            )
+            pending.append((rows, res))
+        for rows, res in pending:  # one host sync per group, post-dispatch
+            d, tw, bw, fl = map(np.asarray, res)
+            for j, r in enumerate(rows):
+                out[r] = (d[j], tw[j], bw[j], fl[j])
+        return out
 
     # ------------------------------------------------------------------ #
     # public API
@@ -489,7 +537,7 @@ class QueryEngine:
         snap = self.snapshot
         # matcher cap levels can't be reached with sentinel (df=0) terms;
         # compile them directly at every sub-batch bucket
-        caps = sorted({min(128, idx.posting_cap), idx.posting_cap})
+        caps = _cap_levels(idx.posting_cap)
         t_w, b_w = self._phrase_weights(idx)
 
         def warm_matcher(bp: int, p: int, cap: int) -> None:
@@ -527,13 +575,13 @@ class QueryEngine:
             for cap in caps:
                 warm_matcher(1, p, cap)
 
-        # wide-fold catch-alls: a phrase matching >E_BASE docs folds at the
-        # next level with (WARM_B_MAX, Q_CATCHALL); zero-filled arrays have
-        # the right shapes
+        # rare-family catch-alls at (WARM_B_MAX, Q_CATCHALL) for EVERY fold
+        # level INCLUDING E_BASE: a >Q_BASE-keyword query with a phrase
+        # matching <=E_BASE docs reaches (WARM_B_MAX, Q_CATCHALL, E_BASE),
+        # which neither the per-bucket warms (q=Q_BASE) nor the wide-fold
+        # warms (e>E_BASE) covered — found by the refresh-boundary test
         pad_doc = idx.n_docs if idx.dense_truncated else idx.n_docs_padded
         for e in _e_levels(idx.n_docs):
-            if e == E_BASE:
-                continue
             term_ids = jnp.asarray(
                 np.full((WARM_B_MAX, Q_CATCHALL), snap.n_words, np.int32)
             )

@@ -91,9 +91,15 @@ class ShardedQueryEngine(QueryEngine):
         )
         return _ShardedLive(snapshot, sidx, {})
 
-    def prepare_refresh(self):
+    def prepare_refresh(self, warm: bool = True):
         """Off-lock rebuild: fresh store view + snapshot + sharded index
-        (compiled scorers are reused from the geometry-keyed cache)."""
+        (compiled scorers are reused from the geometry-keyed cache). With
+        warm=True the new geometry's scorer/matcher programs are compiled
+        here, off-lock, so a corpus that grew past a padding boundary never
+        makes a live query pay the fresh compile (same policy as the
+        single-chip engine)."""
+        import copy
+
         from ..index.snapshot import build_snapshot
         from ..store.tables import Database
 
@@ -107,7 +113,14 @@ class ShardedQueryEngine(QueryEngine):
             new_db = Database(self.db.root, backend=self.db.backend_kind)
             db = new_db
         snapshot = build_snapshot(db)
-        return (new_db, snapshot, self._build_sharded(snapshot))
+        facts = self._build_sharded(snapshot)
+        if warm:
+            ghost = copy.copy(self)
+            ghost.db = db
+            ghost._live = (snapshot, facts)
+            ghost.snapshot, ghost.index = snapshot, facts
+            ghost.warmup()
+        return (new_db, snapshot, facts)
 
     def commit_refresh(self, state) -> None:
         new_db, snapshot, facts = state
@@ -121,7 +134,7 @@ class ShardedQueryEngine(QueryEngine):
             old_db.close()
 
     def refresh(self) -> None:
-        self.commit_refresh(self.prepare_refresh())
+        self.commit_refresh(self.prepare_refresh(warm=False))
 
     def _scorer(self, facts: _ShardedLive, topk: int):
         s = facts.scorers.get(topk)

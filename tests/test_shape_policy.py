@@ -258,3 +258,41 @@ def test_sharded_scorer_reused_across_same_geometry_refresh():
     eng.refresh()  # same store -> same padded geometry
     eng.rank([parse_query("algorithm")], topk=20)
     assert eng._live[1].scorers[20] is scorer
+
+
+def test_refresh_across_padding_boundary_warms_off_lock(tmp_path):
+    """A crawl that grows the corpus past D_pad (512-doc steps) changes
+    every jit shape. prepare_refresh(warm=True) — the server's /refresh
+    path — must pre-compile the new geometry off-lock so the first live
+    query after the swap hits zero fresh compiles."""
+    import random
+
+    rng = random.Random(11)
+    db = Database(str(tmp_path / "db"))
+    db.topic_meta.set("G", {"numPages": 10.0, "wordCount": 1.0})
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    for i in range(30):
+        url, html = make_page(rng, i, 600, "http://grow.local")
+        index_page(db, html, url, last_modified=ts)
+    _finish(db)
+
+    eng = QueryEngine(db)
+    assert eng.index.n_docs_padded == 512
+    eng.warmup()
+
+    # grow past the 512-doc padding boundary, as a crawl would
+    for i in range(30, 600):
+        url, html = make_page(rng, i, 600, "http://grow.local")
+        index_page(db, html, url, last_modified=ts)
+    _finish(db)
+
+    state = eng.prepare_refresh()  # warm=True: compiles happen HERE
+    eng.commit_refresh(state)
+    assert eng.index.n_docs_padded == 1024  # geometry really changed
+
+    before = _jit_cache_sizes()
+    for batch in _adversarial_queries('"the quick"'):
+        res = eng.query_batch(batch)
+        assert len(res) == len(batch)
+    after = _jit_cache_sizes()
+    assert after == before, f"{after - before} fresh compiles after refresh"
