@@ -35,6 +35,11 @@ class ForwardArrays(NamedTuple):
     fwT: jax.Array  # f32 [T, D_pad]
 
 
+#: pos_mat is only materialized while P_pad * pos_cap * 4 bytes stays under
+#: this budget (it is pure acceleration; the scalar-gather path is exact)
+POS_MAT_BUDGET_BYTES = 512 << 20
+
+
 @dataclass
 class DeviceSection:
     offsets: jax.Array  # int32 [V+2]; row V is the sentinel empty row
@@ -43,6 +48,10 @@ class DeviceSection:
     pos_offsets: jax.Array  # int32 [P_pad+1]
     positions: jax.Array  # f32 [L_pad]
     fwd: ForwardArrays
+    # fixed-width per-posting position rows [P_pad, pos_cap], inf-padded:
+    # turns the phrase matcher's per-element position gather into row
+    # gathers (ops/phrase.py match_phrase_fwd); None when over budget
+    pos_mat: jax.Array | None = None
     # True when some doc's dense forward row was truncated (doc_term_cap):
     # the forward phrase matcher would then under-match, so the engine
     # routes phrase queries through the exact CSR matcher instead
@@ -56,11 +65,27 @@ class DeviceSection:
     @classmethod
     def from_csr(
         cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None,
-        doc_term_cap: int | None = None,
+        doc_term_cap: int | None = None, pos_cap: int | None = None,
     ) -> "DeviceSection":
         if doc_term_cap is None:
             doc_term_cap = DOC_TERM_CAP
         put = lambda x: jax.device_put(x, device)  # noqa: E731
+        pos_mat = None
+        p_pad = csr.doc_ids.shape[0]
+        if pos_cap and p_pad * pos_cap * 4 <= POS_MAT_BUDGET_BYTES:
+            n_post = csr.n_postings
+            pm = np.full((p_pad, pos_cap), np.inf, np.float32)
+            if n_post:
+                pidx = csr.pos_offsets[:n_post, None] + np.arange(
+                    pos_cap, dtype=np.int64
+                )
+                pvalid = pidx < csr.pos_offsets[1 : n_post + 1, None]
+                pm[:n_post] = np.where(
+                    pvalid,
+                    csr.positions[np.minimum(pidx, csr.positions.shape[0] - 1)],
+                    np.inf,
+                )
+            pos_mat = put(pm)
         # append sentinel row (empty range) for unknown/padded term ids
         offsets = np.concatenate([csr.post_offsets, csr.post_offsets[-1:]])
         n_post = csr.n_postings
@@ -90,6 +115,7 @@ class DeviceSection:
             pos_offsets=put(csr.pos_offsets),
             positions=put(csr.positions),
             fwd=fwd,
+            pos_mat=pos_mat,
             dense_truncated=truncated,
             has_zero_weight=zero_w,
         )
@@ -135,8 +161,12 @@ class DeviceIndex:
         posting_cap = _round_up(max(snap.title.max_df, snap.body.max_df, 1))
         pos_cap = _round_up(max(snap.title.max_positions, snap.body.max_positions, 1), 8)
         return cls(
-            title=DeviceSection.from_csr(snap.title, snap.n_docs, d_pad, device),
-            body=DeviceSection.from_csr(snap.body, snap.n_docs, d_pad, device),
+            title=DeviceSection.from_csr(
+                snap.title, snap.n_docs, d_pad, device, pos_cap=pos_cap
+            ),
+            body=DeviceSection.from_csr(
+                snap.body, snap.n_docs, d_pad, device, pos_cap=pos_cap
+            ),
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),

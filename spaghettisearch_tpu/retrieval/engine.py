@@ -124,7 +124,23 @@ def _p_level(n: int) -> int:
 
 def _e_levels(n_docs: int) -> tuple[int, ...]:
     full = _pow2(max(n_docs, E_BASE))
-    return tuple(sorted({E_BASE, min(E_MID, full), full}))
+    return tuple(sorted({E_BASE, min(1024, full), min(8192, full), full}))
+
+
+def _fetch_ranked(scores, ids) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch a (scores, ids) pair in ONE device->host round trip. Through
+    the TPU relay every fetch costs a full RTT (~25 ms measured), so the two
+    arrays are packed on device and split on host. Doc ids are exact as f32
+    up to 2^24 docs (16.7M — far above single-chip capacity)."""
+    shape = scores.shape
+    packed = np.asarray(
+        jnp.concatenate(
+            [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
+        )
+    )
+    n = packed.shape[0] // 2
+    s = packed[:n].reshape(shape)
+    return s, packed[n:].reshape(shape).astype(np.int32)
 
 
 def _cap_levels(posting_cap: int) -> tuple[int, ...]:
@@ -286,8 +302,13 @@ class QueryEngine:
             levels = _e_levels(idx.n_docs)
             e = next(lvl for lvl in levels if e_real <= lvl)
             if e > E_BASE:
-                # rare wide-fold shape -> catch-all program (one per level)
-                q = Q_CATCHALL
+                # rare wide-fold shape -> catch-all program; q keeps its own
+                # bucket (escalating q to Q_CATCHALL made every wide phrase
+                # pay an 8x keyword-compare scan — measured the #1 cost of
+                # phrase serving batches); pad rows are near-free since the
+                # kernel skips qn=0 blocks
+                if q_real > Q_BASE:
+                    q = Q_CATCHALL
                 if b < WARM_B_MAX:
                     b = WARM_B_MAX
 
@@ -338,7 +359,8 @@ class QueryEngine:
                         jnp.asarray(term_ids), jnp.asarray(qlen),
                         jnp.asarray(topic_probs), topk=topk, qn=jnp.asarray(qn),
                     )
-                return np.asarray(scores)[inv][:b_real], np.asarray(ids)[inv][:b_real]
+                s, i = _fetch_ranked(scores, ids)
+                return s[inv][:b_real], i[inv][:b_real]
 
         # pad slot lands past the real doc range in the fold-in accumulator
         # and is dropped/sliced away
@@ -370,7 +392,8 @@ class QueryEngine:
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                     jnp.asarray(ph_fl), topk=topk, qn=jnp.asarray(qn),
                 )
-            return np.asarray(scores)[inv][:b_real], np.asarray(ids)[inv][:b_real]
+            s, i = _fetch_ranked(scores, ids)
+            return s[inv][:b_real], i[inv][:b_real]
 
     def _phrase_weights(self, idx, model=None):
         """Posting-weight arrays the phrase matcher sums: the ranking
@@ -480,13 +503,34 @@ class QueryEngine:
                 idx.title.offsets, idx.title.doc_ids,
                 idx.body.offsets, idx.body.doc_ids,
                 jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
+                idx.title.pos_mat, idx.body.pos_mat,
                 posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
             )
-            pending.append((rows, res))
-        for rows, res in pending:  # one host sync per group, post-dispatch
-            d, tw, bw, fl = map(np.asarray, res)
+            pending.append((rows, res[0].shape, res))
+        # ONE host sync for every group: each fetch is a full relay RTT
+        # (~25 ms measured), so pack all outputs (docs exact as f32 up to
+        # 2^24) into a single device array and split on host
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    jnp.stack(
+                        [res[0].astype(jnp.float32), res[1], res[2], res[3]],
+                        axis=-1,
+                    ).reshape(-1)
+                    for _, _, res in pending
+                ]
+            )
+        )
+        off = 0
+        for rows, shape, _ in pending:
+            n_elem = shape[0] * shape[1] * 4
+            blk = packed[off : off + n_elem].reshape(shape[0], shape[1], 4)
+            off += n_elem
             for j, r in enumerate(rows):
-                out[r] = (d[j], tw[j], bw[j], fl[j])
+                out[r] = (
+                    blk[j, :, 0].astype(np.int32), blk[j, :, 1],
+                    blk[j, :, 2], blk[j, :, 3],
+                )
         return out
 
     # ------------------------------------------------------------------ #
@@ -563,6 +607,7 @@ class QueryEngine:
                 idx.title.offsets, idx.title.doc_ids,
                 idx.body.offsets, idx.body.doc_ids,
                 ids, valid, gens,
+                idx.title.pos_mat, idx.body.pos_mat,
                 posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
             )
 
@@ -575,32 +620,36 @@ class QueryEngine:
             for cap in caps:
                 warm_matcher(1, p, cap)
 
-        # rare-family catch-alls at (WARM_B_MAX, Q_CATCHALL) for EVERY fold
-        # level INCLUDING E_BASE: a >Q_BASE-keyword query with a phrase
-        # matching <=E_BASE docs reaches (WARM_B_MAX, Q_CATCHALL, E_BASE),
-        # which neither the per-bucket warms (q=Q_BASE) nor the wide-fold
-        # warms (e>E_BASE) covered — found by the refresh-boundary test
+        # rare-family catch-alls at (WARM_B_MAX, q, e) for EVERY fold level
+        # INCLUDING E_BASE and BOTH q families: wide phrases keep the
+        # query's own q bucket (Q_BASE) so they don't pay the Q_CATCHALL
+        # compare scan; >Q_BASE-keyword queries reach the Q_CATCHALL one
         pad_doc = idx.n_docs if idx.dense_truncated else idx.n_docs_padded
         for e in _e_levels(idx.n_docs):
-            term_ids = jnp.asarray(
-                np.full((WARM_B_MAX, Q_CATCHALL), snap.n_words, np.int32)
-            )
-            qlen = jnp.asarray(np.ones(WARM_B_MAX, np.float32))
-            tp = jnp.asarray(np.zeros((WARM_B_MAX, idx.n_categories), np.float32))
-            ph_docs = jnp.asarray(np.full((WARM_B_MAX, e), pad_doc, np.int32))
-            zeros = jnp.asarray(np.zeros((WARM_B_MAX, e), np.float32))
-            if idx.dense_truncated:
-                self.model.score_csr(
-                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
-                    topk=MAX_RESULTS,
+            for qw in (Q_BASE, Q_CATCHALL):
+                if e == E_BASE and qw == Q_BASE:
+                    continue  # covered by the per-bucket warms above
+                term_ids = jnp.asarray(
+                    np.full((WARM_B_MAX, qw), snap.n_words, np.int32)
                 )
-            else:
-                self.model.score_with_phrase(
-                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
-                    topk=MAX_RESULTS,
-                    # rank() always passes a qn array; warm that signature
-                    qn=jnp.asarray(np.zeros(WARM_B_MAX, np.int32)),
+                qlen = jnp.asarray(np.ones(WARM_B_MAX, np.float32))
+                tp = jnp.asarray(
+                    np.zeros((WARM_B_MAX, idx.n_categories), np.float32)
                 )
+                ph_docs = jnp.asarray(np.full((WARM_B_MAX, e), pad_doc, np.int32))
+                zeros = jnp.asarray(np.zeros((WARM_B_MAX, e), np.float32))
+                if idx.dense_truncated:
+                    self.model.score_csr(
+                        idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                        topk=MAX_RESULTS,
+                    )
+                else:
+                    self.model.score_with_phrase(
+                        idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                        topk=MAX_RESULTS,
+                        # rank() always passes a qn array; warm that signature
+                        qn=jnp.asarray(np.zeros(WARM_B_MAX, np.int32)),
+                    )
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:
         return self.query_batch([text], max_results)[0]
