@@ -494,8 +494,8 @@ def _free_port() -> int:
 def bench_serve(
     n_pages: int = 100_000,
     duration_s: float = 20.0,
-    n_conns: int = 64,
-    warm_s: float = 5.0,
+    n_conns: int = 256,
+    warm_s: float = 15.0,
     n_queries: int = 4096,
 ) -> dict:
     """End-to-end HTTP serving throughput at the FULL Rank_combined contract

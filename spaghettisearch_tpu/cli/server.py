@@ -76,7 +76,9 @@ def main(argv: list[str] | None = None) -> None:
         t0 = _time.perf_counter()
         print("Warming up query programs...", flush=True)
         engine.warmup()
-        print(f"Warmup done in {_time.perf_counter() - t0:.1f}s")
+        built = engine.prewarm_hydration()
+        print(f"Warmup done in {_time.perf_counter() - t0:.1f}s "
+              f"({built} hydration records prebuilt)")
     print(f"\nServer is running on port {args.port}")
     SearchServer(engine, batching=not args.noBatching).serve(port=args.port)
 

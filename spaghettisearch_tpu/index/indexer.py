@@ -113,6 +113,7 @@ def index_page(
 
     # summary-visible words, persisted so serving never re-parses the HTML
     db.doc_summary.set(doc_hash, " ".join(page.raw.summary))
+    db.note_doc_write()  # invalidate in-process summary caches
 
     db.cache_doc(doc_hash, raw)
     return doc_hash

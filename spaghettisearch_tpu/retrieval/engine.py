@@ -96,9 +96,12 @@ def _pow2(n: int) -> int:
 # collapse onto one padded catch-all program (padding costs ~ms, a fresh
 # compile costs ~minutes):
 #
-#   batch b : powers of two up to WARM_B_MAX (micro-batcher cap); any rare
-#             axis below forces b to WARM_B_MAX so only ONE catch-all
-#             program exists per rare family
+#   batch b : {B_SMALL, WARM_B_MAX} ONLY — the qn-sorted kernel skips
+#             all-pad 8-query blocks, so padding a 17-query batch to 128
+#             costs ~nothing while every extra live program costs a
+#             one-time multi-second first-use settle through the TPU relay
+#             (measured; see _settle_live); any rare axis below forces b to
+#             WARM_B_MAX so only ONE catch-all program exists per family
 #   keywords q : Q_BASE (covers almost all queries) or Q_CATCHALL; terms
 #             beyond Q_CATCHALL are dropped (a >32-stemmed-keyword query is
 #             degenerate; divergence from the reference documented here)
@@ -106,7 +109,9 @@ def _pow2(n: int) -> int:
 #             phrase tokens beyond 16 are dropped likewise
 #   phrase fold width e : E_BASE, then per-index levels up to pow2(n_docs)
 # --------------------------------------------------------------------- #
-WARM_B_MAX = 64
+WARM_B_MAX = 128
+B_SMALL = 16  # low-latency bucket for trickle traffic / CLI single queries
+MATCHER_BP = (1, 4, 16)  # phrase-matcher vmap widths (chunked above 16)
 Q_BASE = 4
 Q_CATCHALL = 32
 P_BASE = 4
@@ -122,9 +127,24 @@ def _p_level(n: int) -> int:
     return P_LEVELS[-1]
 
 
+def _b_bucket(n: int) -> int:
+    """Batch bucket: {B_SMALL, WARM_B_MAX}. Two programs per family, not
+    eight: kernel-side qn dispatch makes pad rows nearly free, and the
+    serving program set must stay small (first use of each program after
+    the warmup flood costs seconds through the relay)."""
+    return B_SMALL if n <= B_SMALL else WARM_B_MAX
+
+
+def _bp_bucket(n: int) -> int:
+    for lvl in MATCHER_BP:
+        if n <= lvl:
+            return lvl
+    return MATCHER_BP[-1]
+
+
 def _e_levels(n_docs: int) -> tuple[int, ...]:
     full = _pow2(max(n_docs, E_BASE))
-    return tuple(sorted({E_BASE, min(1024, full), min(8192, full), full}))
+    return tuple(sorted({E_BASE, full}))
 
 
 def _fetch_ranked(scores, ids) -> tuple[np.ndarray, np.ndarray]:
@@ -150,8 +170,8 @@ def _cap_levels(posting_cap: int) -> tuple[int, ...]:
     pay the full-index worst case (measured 74 ms/phrase at cap 29k on the
     100k bench corpus — the #1 serving cost). Geometric levels bound each
     phrase's cost to ~its own generator df."""
-    return tuple(sorted({min(128, posting_cap), min(1024, posting_cap),
-                         min(8192, posting_cap), posting_cap}))
+    return tuple(sorted({min(128, posting_cap), min(2048, posting_cap),
+                         posting_cap}))
 
 
 @dataclass
@@ -224,6 +244,7 @@ class QueryEngine:
             ghost.snapshot, ghost.index, ghost.model = snapshot, index, model
             ghost._live = (snapshot, index, model)
             ghost.warmup()
+            ghost.prewarm_hydration()
         return (new_db, snapshot, index, model)
 
     def commit_refresh(self, state) -> None:
@@ -267,7 +288,7 @@ class QueryEngine:
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
         # compile its own XLA program
-        b = _pow2(b_real)
+        b = _b_bucket(b_real)
         q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
         if q_real <= Q_BASE:
             q = Q_BASE
@@ -460,7 +481,7 @@ class QueryEngine:
             # a pathological doc's dense row was capped: the forward matcher
             # could under-match it, so use the exact CSR formulation (full
             # posting_cap — its membership searches every term's window)
-            bp = _pow2(n_sets)
+            bp = max(_bp_bucket(n_sets), n_sets)  # CSR fallback: no chunking
             pad = bp - n_sets
             d, tw, bw, fl = match_phrase_batch(
                 idx.title.offsets, idx.title.doc_ids, t_w,
@@ -484,11 +505,16 @@ class QueryEngine:
         out: list[tuple[np.ndarray, ...] | None] = [None] * n_sets
         level_of = np.searchsorted(np.asarray(levels), need)
         pending = []  # dispatch every group async, fetch once at the end
+        chunks = []
         for li, cap in enumerate(levels):
             rows = np.flatnonzero(level_of == li)
-            if rows.size == 0:
-                continue
-            bp = _pow2(len(rows))
+            # chunk oversized groups at the largest matcher width: matcher
+            # pad rows are NOT free (unlike the qn-skipping scorer), so the
+            # bp program set stays tiny and big groups loop
+            for s0 in range(0, len(rows), MATCHER_BP[-1]):
+                chunks.append((cap, rows[s0 : s0 + MATCHER_BP[-1]]))
+        for cap, rows in chunks:
+            bp = _bp_bucket(len(rows))
             ids = np.full((bp, p), snap.n_words, dtype=np.int32)
             valid = np.zeros((bp, p), dtype=bool)
             gens = np.zeros(bp, dtype=np.int32)
@@ -552,9 +578,14 @@ class QueryEngine:
           levels) + the long-phrase buckets (bp=1, p=8/16);
         - the exact-CSR variants instead when the index is dense-truncated
           (rank() routes there automatically).
+
+        Compiles run CONCURRENTLY over a thread pool: the compile service
+        parallelizes across requests (measured 3.8x on 4 threads through the
+        TPU relay), which cuts a 100k-corpus warmup from ~21 min to a few.
         """
         if self.index.n_docs == 0:
             return
+        jobs = []
         kw = parse_query("warmup")
         kw_long = ParsedQuery(
             raw="", stripped="", phrases=[],
@@ -568,14 +599,15 @@ class QueryEngine:
                 keyword_hashes=[], phrase_hashes=["0" * 32] * n,
             )
 
-        b = 1
-        while b <= max_batch:
-            self.rank([kw] * b, topk=MAX_RESULTS)  # keyword (b, Q_BASE)
-            self.rank([ph] * b, topk=MAX_RESULTS)  # matcher bp=b + scorer (b, Q_BASE, E_BASE)
-            b *= 2
-        self.rank([kw_long], topk=MAX_RESULTS)  # keyword catch-all
+        from functools import partial as _partial
+
+        for b in (B_SMALL, max_batch):
+            jobs.append(_partial(self.rank, [kw] * b, MAX_RESULTS))  # keyword (b, Q_BASE)
+            # matcher bp buckets + scorer (b, Q_BASE, E_BASE)
+            jobs.append(_partial(self.rank, [ph] * b, MAX_RESULTS))
+        jobs.append(_partial(self.rank, [kw_long], MAX_RESULTS))  # keyword catch-all
         for n in (P_BASE + 1, P_LEVELS[-1]):  # long-phrase buckets (bp=1)
-            self.rank([ph_n(n)], topk=MAX_RESULTS)
+            jobs.append(_partial(self.rank, [ph_n(n)], MAX_RESULTS))
 
         idx = self.index
         snap = self.snapshot
@@ -611,45 +643,124 @@ class QueryEngine:
                 posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
             )
 
-        bp = 1
-        while bp <= max_batch:
+        for bp in MATCHER_BP:
             for cap in caps:
-                warm_matcher(bp, P_BASE, cap)
-            bp *= 2
+                jobs.append(_partial(warm_matcher, bp, P_BASE, cap))
         for p in P_LEVELS[1:]:
             for cap in caps:
-                warm_matcher(1, p, cap)
+                jobs.append(_partial(warm_matcher, 1, p, cap))
 
         # rare-family catch-alls at (WARM_B_MAX, q, e) for EVERY fold level
         # INCLUDING E_BASE and BOTH q families: wide phrases keep the
         # query's own q bucket (Q_BASE) so they don't pay the Q_CATCHALL
         # compare scan; >Q_BASE-keyword queries reach the Q_CATCHALL one
         pad_doc = idx.n_docs if idx.dense_truncated else idx.n_docs_padded
+
+        def warm_fold(e: int, qw: int) -> None:
+            term_ids = jnp.asarray(
+                np.full((WARM_B_MAX, qw), snap.n_words, np.int32)
+            )
+            qlen = jnp.asarray(np.ones(WARM_B_MAX, np.float32))
+            tp = jnp.asarray(
+                np.zeros((WARM_B_MAX, idx.n_categories), np.float32)
+            )
+            ph_docs = jnp.asarray(np.full((WARM_B_MAX, e), pad_doc, np.int32))
+            zeros = jnp.asarray(np.zeros((WARM_B_MAX, e), np.float32))
+            if idx.dense_truncated:
+                self.model.score_csr(
+                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                    topk=MAX_RESULTS,
+                )
+            else:
+                self.model.score_with_phrase(
+                    idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
+                    topk=MAX_RESULTS,
+                    # rank() always passes a qn array; warm that signature
+                    qn=jnp.asarray(np.zeros(WARM_B_MAX, np.int32)),
+                )
+
         for e in _e_levels(idx.n_docs):
             for qw in (Q_BASE, Q_CATCHALL):
                 if e == E_BASE and qw == Q_BASE:
                     continue  # covered by the per-bucket warms above
-                term_ids = jnp.asarray(
-                    np.full((WARM_B_MAX, qw), snap.n_words, np.int32)
-                )
-                qlen = jnp.asarray(np.ones(WARM_B_MAX, np.float32))
-                tp = jnp.asarray(
-                    np.zeros((WARM_B_MAX, idx.n_categories), np.float32)
-                )
-                ph_docs = jnp.asarray(np.full((WARM_B_MAX, e), pad_doc, np.int32))
-                zeros = jnp.asarray(np.zeros((WARM_B_MAX, e), np.float32))
-                if idx.dense_truncated:
-                    self.model.score_csr(
-                        idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
-                        topk=MAX_RESULTS,
-                    )
-                else:
-                    self.model.score_with_phrase(
-                        idx, term_ids, qlen, tp, ph_docs, zeros, zeros, zeros,
-                        topk=MAX_RESULTS,
-                        # rank() always passes a qn array; warm that signature
-                        qn=jnp.asarray(np.zeros(WARM_B_MAX, np.int32)),
-                    )
+                jobs.append(_partial(warm_fold, e, qw))
+
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = int(_os.environ.get("SPAGHETTI_WARM_POOL", "8") or "1")
+        if workers <= 1:
+            for job in jobs:
+                job()
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(lambda job: job(), jobs))
+        self._settle_live()
+
+    def _settle_live(self) -> None:
+        """Post-warmup settling with REAL vocabulary terms.
+
+        Measured through the TPU relay: after the warmup flood, the first
+        live batch of each program family pays a one-time 0.4-12 s cost that
+        warmup's own sentinel-term executions do NOT absorb (empirical relay
+        behavior — repeat calls are ~30-70 ms and the cost never recurs;
+        experiments logged in FINDINGS.md). Running a handful of batches
+        built from real snapshot terms — one keyword batch per b bucket edge
+        and one phrase per matcher cap level — pays those costs here rather
+        than on the first seconds of live traffic (which could stall a whole
+        serving burst: the round-2 serve bench measured 0 completed requests
+        in 25 s before this)."""
+        snap = self.snapshot
+        idx = self.index
+        if snap.n_docs == 0 or snap.n_words == 0:
+            return
+        df = (
+            np.diff(np.asarray(snap.body.post_offsets[: snap.n_words + 1]))
+            + np.diff(np.asarray(snap.title.post_offsets[: snap.n_words + 1]))
+        )
+
+        def word_at(level_lo: int, level_hi: int) -> str | None:
+            cand = np.flatnonzero((df > level_lo) & (df <= level_hi))
+            return snap.word_hashes[int(cand[0])] if cand.size else None
+
+        kw_hash = snap.word_hashes[int(np.argmax(df > 0))] if (df > 0).any() else None
+        if kw_hash is None:
+            return
+
+        def P(kws=(), phs=()):
+            return ParsedQuery(
+                raw="", stripped="", phrases=["settle"] if phs else [],
+                keyword_hashes=list(kws), phrase_hashes=list(phs),
+            )
+
+        kw_q = P(kws=[kw_hash])
+        kw_long = P(kws=[kw_hash] * (Q_BASE + 1))
+        batches = [
+            [kw_q],                      # keyword (B_SMALL, Q_BASE)
+            [kw_q] * WARM_B_MAX,         # keyword (WARM_B_MAX, Q_BASE)
+            [kw_long],                   # keyword catch-all (WARM_B_MAX, Q_CATCHALL)
+        ]
+        lo = 0
+        low_df = word_at(0, E_BASE)  # e=E_BASE fold family
+        if low_df is not None:
+            batches.append([P(kws=[kw_hash], phs=[low_df])])
+        for cap in _cap_levels(idx.posting_cap):
+            wh = word_at(lo, cap)
+            lo = cap
+            if wh is None:
+                continue
+            ph_q = P(kws=[kw_hash], phs=[wh])
+            # matcher (bp, P_BASE, cap) at every bp bucket + both scorer
+            # b buckets (single-term phrases of df>E_BASE exercise e=full)
+            for bp in MATCHER_BP:
+                batches.append([ph_q] * bp)
+            batches.append([ph_q] + [kw_q] * (WARM_B_MAX - 1))
+            batches.append([P(kws=[kw_hash] * (Q_BASE + 1), phs=[wh])])
+        # long-phrase p levels (bp=1), real generator term
+        for p in P_LEVELS[1:]:
+            batches.append([P(phs=[kw_hash] * p)])
+        for batch in batches:
+            self.rank(batch, topk=MAX_RESULTS)
 
     def query(self, text: str, max_results: int = MAX_RESULTS) -> list[dict]:
         return self.query_batch([text], max_results)[0]
@@ -676,10 +787,68 @@ class QueryEngine:
     # pre-serialized JSON fragment for the wire fast path.
     # ------------------------------------------------------------------ #
 
+    def prewarm_hydration(self, live=None, max_docs: int = 300_000) -> int:
+        """Bulk-build every doc's hydration record (and summary text bytes)
+        in two store iterations instead of ~15 point reads per doc on first
+        touch — cold _doc_record misses measured 0.3-0.5 ms each, which
+        made the first serving sweep over a fresh snapshot GIL-crawl. Runs
+        at server startup and inside prepare_refresh (off-lock). Returns the
+        number of records built; skips silently past `max_docs` (the lazy
+        path still works, it is just cold)."""
+        if live is None:
+            live = self._live
+        snap = live[0]
+        if snap.n_docs == 0 or snap.n_docs > max_docs:
+            return 0
+        import json as _json
+
+        infos: dict[str, DocInfo] = dict(self.db.doc_info.items())
+        words: dict[str, str] = dict(self.db.word.items())
+        cache = getattr(snap, "_hyd_records", None)
+        if cache is None:
+            cache = {}
+            snap._hyd_records = cache
+        for doc_id, doc_hash in enumerate(snap.doc_hashes):
+            if doc_id in cache:
+                continue
+            info = infos.get(doc_hash) or DocInfo(url="")
+            parents = [
+                u for u in (
+                    infos[h].url if h in infos else None
+                    for h in list(info.parents)[:MAX_LINKED_DOCS]
+                ) if u
+            ]
+            children = [
+                u for u in (
+                    infos[h].url if h in infos else None
+                    for h in info.children[:MAX_LINKED_DOCS]
+                ) if u
+            ]
+            top_words = sorted(
+                info.words_mapping.items(), key=lambda kv: -kv[1]
+            )[:MAX_KEYWORDS]
+            words_mapping = {}
+            for wh, freq in top_words:
+                w = words.get(wh)
+                if w is not None:
+                    words_mapping[w] = freq
+            title = " ".join(info.page_title) if info.page_title else info.host
+            base = {
+                "Url": info.url,
+                "Page_title": title,
+                "Mod_date": info.mod_date.isoformat(),
+                "Page_size": info.page_size,
+                "Children": children or None,
+                "Parents": parents or None,
+                "Words_mapping": words_mapping or None,
+            }
+            cache[doc_id] = (base, _json.dumps(base, separators=(",", ":"))[:-1])
+        return len(cache)
+
     def _doc_record(self, doc_id: int, snapshot) -> tuple[dict, str]:
         """-> (static result fields, their JSON fragment without the closing
         brace). Cached on the snapshot object so /refresh swaps it away with
-        the doc-id space it belongs to."""
+        the doc-id space it belongs to (prewarm_hydration bulk-builds it)."""
         cache = getattr(snapshot, "_hyd_records", None)
         if cache is None:
             cache = {}
@@ -743,8 +912,11 @@ class QueryEngine:
 
     def hydrate_row(self, scores_row, ids_row, parsed: ParsedQuery, live) -> list[dict]:
         """One query's ranked (scores, ids) -> full Rank_combined dicts."""
+        from .summary import prepare_summary_query
+
         snap = live[0]
         probs = self._topic_pagerank(parsed)
+        prep = prepare_summary_query(parsed.stripped, parsed.phrases)
         out = []
         for score, doc_id in zip(scores_row, ids_row):
             score = float(score)
@@ -758,7 +930,9 @@ class QueryEngine:
                 ranks = self.db.doc_rank.get(doc_hash) or {}
                 pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
             d = dict(base)
-            d["Summary"] = get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases)
+            d["Summary"] = get_summary(
+                self.db, doc_hash, parsed.stripped, parsed.phrases, prep
+            )
             d["PageRank"] = pagerank
             d["FinalRank"] = score
             out.append(d)
@@ -771,8 +945,11 @@ class QueryEngine:
         fields per request."""
         import json as _json
 
+        from .summary import prepare_summary_query
+
         snap = live[0]
         probs = self._topic_pagerank(parsed)
+        prep = prepare_summary_query(parsed.stripped, parsed.phrases)
         parts = []
         for score, doc_id in zip(scores_row, ids_row):
             score = float(score)
@@ -785,7 +962,9 @@ class QueryEngine:
             if probs is not None:
                 ranks = self.db.doc_rank.get(doc_hash) or {}
                 pagerank = sum(p * ranks.get(t, 0.0) for t, p in probs.items())
-            summary = get_summary(self.db, doc_hash, parsed.stripped, parsed.phrases)
+            summary = get_summary(
+                self.db, doc_hash, parsed.stripped, parsed.phrases, prep
+            )
             parts.append(
                 f'{prefix},"Summary":{_json.dumps(summary)}'
                 f',"PageRank":{_json.dumps(pagerank)}'

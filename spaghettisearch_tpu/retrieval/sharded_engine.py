@@ -229,14 +229,17 @@ class ShardedQueryEngine(QueryEngine):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
         with TRACER.span("rank.sharded"):
+            from .engine import _fetch_ranked
+
             scores, ids = self._scorer(facts, topk)(
                 sidx,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
                 jnp.asarray(ph_rows),
             )
-            scores = np.asarray(scores)[:b_real]
-            ids = np.asarray(ids)[:b_real]
+            scores, ids = _fetch_ranked(scores, ids)  # one relay RTT
+            scores = scores[:b_real]
+            ids = ids[:b_real]
         # sharded ids are global doc slots over padded shards; slots past the
         # real doc range only appear with -inf scores, mask them for hydration
         pad_mask = ids >= snap.n_docs

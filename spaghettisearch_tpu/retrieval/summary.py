@@ -32,8 +32,8 @@ def _clean(w: str) -> str:
 
 
 # doc text + cleaned tokens + match indexes are query-independent; the lxml
-# re-parse is the expensive part of every summary. LRU keyed by doc hash,
-# invalidated by content hash so a re-crawled doc re-extracts.
+# re-parse is the expensive part of every summary. LRU keyed by
+# (db generation, db doc_version, doc hash) — see _doc_index.
 _TEXT_CACHE: OrderedDict[str, tuple] = OrderedDict()
 _TEXT_CACHE_CAP = 20_000
 _TEXT_LOCK = Lock()
@@ -46,27 +46,27 @@ def _doc_index(db: Database, doc_hash: str):
 
     Fast path: the indexer persists the summary-visible words (doc_summary
     table) so serving only splits a string; stores predating that table fall
-    back to re-parsing the HTML cache like the reference does."""
-    words: list[str] | None = None
+    back to re-parsing the HTML cache like the reference does.
+
+    Cache keyed by (db.generation, db.doc_version, doc_hash): rows read
+    through one store handle are stable unless this process writes docs
+    (cache_doc / index_page bump doc_version); appends from OTHER processes
+    only become visible via a fresh open, which carries a new generation.
+    A hit therefore costs ZERO store reads — round-2 profiling showed the
+    per-summary content-hash revalidation read was ~40% of warm hydration."""
+    ckey = (db.generation, db.doc_version, doc_hash)
+    with _TEXT_LOCK:
+        hit = _TEXT_CACHE.get(ckey)
+        if hit is not None:
+            _TEXT_CACHE.move_to_end(ckey)
+            return hit
     text = db.doc_summary.get(doc_hash)
     if text is not None:
-        key = hash(text)
-        with _TEXT_LOCK:
-            hit = _TEXT_CACHE.get(doc_hash)
-            if hit is not None and hit[0] == key:
-                _TEXT_CACHE.move_to_end(doc_hash)
-                return hit[1:]
         words = text.split()
     else:
         raw = db.cached_doc(doc_hash)
         if raw is None:
             return None
-        key = hash(raw)
-        with _TEXT_LOCK:
-            hit = _TEXT_CACHE.get(doc_hash)
-            if hit is not None and hit[0] == key:
-                _TEXT_CACHE.move_to_end(doc_hash)
-                return hit[1:]
         words = extract_summary_text(raw)
     cleaned = [_clean(w) for w in words]
     first_pos: dict[str, int] = {}
@@ -77,13 +77,13 @@ def _doc_index(db: Database, doc_hash: str):
             positions[wc] = [i]
         else:
             positions[wc].append(i)
-    entry = (key, words, cleaned, first_pos, positions)
+    entry = (words, cleaned, first_pos, positions)
     with _TEXT_LOCK:
-        _TEXT_CACHE[doc_hash] = entry
-        _TEXT_CACHE.move_to_end(doc_hash)
+        _TEXT_CACHE[ckey] = entry
+        _TEXT_CACHE.move_to_end(ckey)
         while len(_TEXT_CACHE) > _TEXT_CACHE_CAP:
             _TEXT_CACHE.popitem(last=False)
-    return entry[1:]
+    return entry
 
 
 def _first_match(
@@ -116,16 +116,120 @@ def _first_match(
     return best if best < n else -1
 
 
-def get_summary(db: Database, doc_hash: str, query: str, phrases: list[str]) -> str:
-    got = _doc_index(db, doc_hash)
-    if got is None:
-        return ""
-    words, cleaned, first_pos, positions = got
-
+def prepare_summary_query(query: str, phrases: list[str]):
+    """Query-side token cleaning, hoisted out of the per-result loop (a
+    top-50 response would otherwise re-clean the query 50 times). Returns
+    hashable tuples: they key the rendered-summary cache."""
     query_tokens = query.lower().replace('"', "").split()
-    query_cleaned = [_clean(t) for t in query_tokens]
-    phrase_cleaned = [[_clean(t) for t in ph.split()] for ph in phrases]
+    return (
+        tuple(_clean(t) for t in query_tokens),
+        tuple(tuple(_clean(t) for t in ph.split()) for ph in phrases),
+    )
 
+
+# rendered summaries are deterministic per (doc content, cleaned query):
+# hot (doc, query) pairs skip the match + window entirely
+_RESULT_CACHE: OrderedDict[tuple, str] = OrderedDict()
+_RESULT_CACHE_CAP = 200_000
+_RESULT_LOCK = Lock()
+
+# compact per-doc text bytes for the native renderer: ~1.5 KB per doc, so a
+# whole 100k-doc corpus fits the budget (vs the Python index's ~15 KB of
+# dict/list objects per doc, which thrashed at serving working-set sizes)
+_BYTES_CACHE: OrderedDict[tuple, bytes] = OrderedDict()
+_BYTES_BUDGET = 256 << 20
+_bytes_size = 0
+_BYTES_LOCK = Lock()
+
+
+def _doc_text_bytes(db: Database, doc_hash: str) -> bytes | None:
+    """Indexed summary text as utf-8 bytes (native-renderer input), or None
+    when the store predates the doc_summary table (Python fallback path)."""
+    global _bytes_size
+    ckey = (db.generation, db.doc_version, doc_hash)
+    with _BYTES_LOCK:
+        hit = _BYTES_CACHE.get(ckey)
+        if hit is not None:
+            _BYTES_CACHE.move_to_end(ckey)
+            return hit
+    text = db.doc_summary.get(doc_hash)
+    if text is None:
+        return None
+    raw = text.encode()
+    with _BYTES_LOCK:
+        _BYTES_CACHE[ckey] = raw
+        _bytes_size += len(raw)
+        while _bytes_size > _BYTES_BUDGET and _BYTES_CACHE:
+            _, old = _BYTES_CACHE.popitem(last=False)
+            _bytes_size -= len(old)
+    return raw
+
+
+def get_summary(
+    db: Database, doc_hash: str, query: str, phrases: list[str], prepared=None
+) -> str:
+    if prepared is None:
+        prepared = prepare_summary_query(query, phrases)
+    query_cleaned, phrase_cleaned = prepared
+
+    rkey = (db.generation, db.doc_version, doc_hash, prepared)
+    with _RESULT_LOCK:
+        hit = _RESULT_CACHE.get(rkey)
+        if hit is not None:
+            _RESULT_CACHE.move_to_end(rkey)
+            return hit
+
+    out = None
+    native = _native()
+    if native is not None:
+        text = _doc_text_bytes(db, doc_hash)
+        if text is not None:
+            out = native.render_summary(text, _packed_query(prepared))
+
+    if out is None:
+        got = _doc_index(db, doc_hash)
+        if got is None:
+            return ""
+        words, cleaned, first_pos, positions = got
+        out = _render(
+            words, cleaned, first_pos, positions, query_cleaned, phrase_cleaned
+        )
+    with _RESULT_LOCK:
+        _RESULT_CACHE[rkey] = out
+        _RESULT_CACHE.move_to_end(rkey)
+        while len(_RESULT_CACHE) > _RESULT_CACHE_CAP:
+            _RESULT_CACHE.popitem(last=False)
+    return out
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _packed_query(prepared):
+    """pack_query memo: one C-argument pack per distinct cleaned query."""
+    from .native_summary import pack_query
+
+    return pack_query(prepared)
+
+
+_NATIVE_MOD = "unset"
+
+
+def _native():
+    """The native_summary module when the renderer is buildable, else None."""
+    global _NATIVE_MOD
+    if _NATIVE_MOD == "unset":
+        try:
+            from . import native_summary
+
+            _NATIVE_MOD = native_summary if native_summary.native_available() else None
+        except Exception:  # noqa: BLE001 — any build/load issue -> Python path
+            _NATIVE_MOD = None
+    return _NATIVE_MOD
+
+
+def _render(words, cleaned, first_pos, positions, query_cleaned, phrase_cleaned) -> str:
     match_at = _first_match(cleaned, first_pos, positions, query_cleaned, phrase_cleaned)
 
     if match_at >= 0:

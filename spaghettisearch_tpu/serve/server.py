@@ -55,11 +55,16 @@ class SearchServer:
         engine: QueryEngine,
         static_dir: str = STATIC_DIR,
         batching: bool = True,
-        max_batch: int = 64,
-        max_wait_ms: float = 2.0,
+        max_batch: int = 128,
+        max_wait_ms: float = 5.0,
+        http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
+        # stdlib handler's request throughput, serve/fastloop.py);
+        # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
     ) -> None:
         self.engine = engine
         self.static_dir = static_dir
+        self.http_impl = http_impl
+        self._fast = None
         self._httpd: ThreadingHTTPServer | None = None
         # reader-writer serving lock: queries (rank dispatch + store
         # hydration + wordlist) are readers and run concurrently across
@@ -265,17 +270,33 @@ class SearchServer:
         return Handler
 
     def serve(self, port: int = 8080, host: str = "0.0.0.0") -> None:
+        if self.http_impl == "fast":
+            from .fastloop import FastHTTPFrontend
+
+            self._fast = FastHTTPFrontend(self, self.static_dir, _CONTENT_TYPES)
+            self._fast.start(host, port)
+            log.info("Server is running on port %d", port)
+            self._fast.serve_forever()
+            return
         self._httpd = _HTTPServer((host, port), self.make_handler())
         log.info("Server is running on port %d", port)
         self._httpd.serve_forever()
 
     def start_background(self, port: int = 8080, host: str = "127.0.0.1"):
+        if self.http_impl == "fast":
+            from .fastloop import FastHTTPFrontend
+
+            self._fast = FastHTTPFrontend(self, self.static_dir, _CONTENT_TYPES)
+            return self._fast.start(host, port)
         self._httpd = _HTTPServer((host, port), self.make_handler())
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         t.start()
         return self._httpd.server_address
 
     def shutdown(self) -> None:
+        if self._fast is not None:
+            self._fast.shutdown()
+            self._fast = None
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None

@@ -22,6 +22,7 @@ indexer/indexer.go:21,342-347).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from dataclasses import dataclass
@@ -216,8 +217,16 @@ class Database:
     backend: "auto" (native C++ fastkv when buildable, else Python log),
     "native", "log", or "mem". In-memory when root is None."""
 
+    _GEN = itertools.count(1)
+
     def __init__(self, root: str | None = None, backend: str = "auto") -> None:
         self.root = root
+        # monotonically unique per open handle: serving caches key on
+        # (generation, row key) so rows read through ONE handle never need
+        # re-validation (appends from other processes only become visible
+        # through a fresh open — see prepare_refresh)
+        self.generation = next(Database._GEN)
+        self.doc_version = 0
         use_mem = root is None or backend == "mem"
         make_kv = None
         if not use_mem:
@@ -321,8 +330,15 @@ class Database:
             "inv_title_raw" if section == "title" else "inv_body_raw"
         ]
 
+    def note_doc_write(self) -> None:
+        """Bump the doc-content version: summary caches key on
+        (generation, doc_version) so in-process mutations (crawler, tests)
+        invalidate without per-read store revalidation."""
+        self.doc_version += 1
+
     # --- raw HTML cache (reference DocsDir) ---
     def cache_doc(self, doc_hash: str, raw: bytes) -> None:
+        self.note_doc_write()
         if self._docs_dir is None:
             self._mem_docs[doc_hash] = raw
             return

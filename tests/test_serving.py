@@ -112,3 +112,26 @@ def test_refresh_reports_lock_hold_and_picks_up_new_docs(db, engine):
             assert json.loads(resp.read())
     finally:
         server.shutdown()
+
+
+def test_prewarm_hydration_matches_lazy_records():
+    """Bulk-built hydration records must equal the lazy per-doc path."""
+    import copy
+
+    from corpus import build_corpus_db
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine
+
+    eng = QueryEngine(build_corpus_db(n_pages=20, seed=4))
+    snap = eng.snapshot
+    # lazy-build a few records first, then prewarm the rest
+    lazy = {d: eng._doc_record(d, snap) for d in (0, 3, 7)}
+    n = eng.prewarm_hydration()
+    assert n == snap.n_docs
+    fresh_snap = copy.copy(snap)
+    fresh_snap._hyd_records = {}
+    for d in range(snap.n_docs):
+        want = eng._doc_record(d, fresh_snap)  # lazy rebuild
+        got = snap._hyd_records[d]
+        assert got == want, d
+    for d, rec in lazy.items():
+        assert snap._hyd_records[d] == rec

@@ -125,3 +125,51 @@ def test_summary_cache_invalidated_on_content_change():
     assert "alpha" in get_summary(db, "d", "alpha", [])
     db.cache_doc("d", b"<html><body><p>delta epsilon zeta</p></body></html>")
     assert "delta" in get_summary(db, "d", "delta", [])
+
+
+def test_native_renderer_matches_python_property():
+    """fastsummary.cpp must be byte-identical to the Python renderer over
+    randomized docs and queries (keywords, phrases, unicode, punctuation,
+    short docs, no-match fallbacks)."""
+    import random
+
+    from spaghettisearch_tpu.retrieval import summary as S
+
+    native = S._native()
+    if native is None:
+        import pytest
+
+        pytest.skip("native summary renderer unavailable")
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta!", "Gamma", "the-end", "x9", "déjà", "...",
+             "a", "", "ZETA", "mix3d", "under_score", "日本語", "c++"]
+
+    def py_render(words, prepared):
+        cleaned = [S._clean(w) for w in words]
+        first_pos, positions = {}, {}
+        for i, wc in enumerate(cleaned):
+            if wc not in first_pos:
+                first_pos[wc] = i
+                positions[wc] = [i]
+            else:
+                positions[wc].append(i)
+        return S._render(words, cleaned, first_pos, positions, *prepared)
+
+    for trial in range(300):
+        n = rng.choice([0, 1, 5, 15, 21, 22, 40, 120])
+        words = [rng.choice(vocab) for _ in range(n)]
+        words = [w for w in words if w]  # split() never yields empty words
+        text = " ".join(words)
+        qk = rng.randint(0, 3)
+        query = " ".join(rng.choice(vocab) for _ in range(qk))
+        phrases = []
+        if rng.random() < 0.5 and len(words) >= 2:
+            i = rng.randrange(len(words) - 1)
+            phrases.append(f"{words[i]} {words[i + 1]}")
+        if rng.random() < 0.2:
+            phrases.append("no such phrase here")
+        prepared = S.prepare_summary_query(query, phrases)
+        want = py_render(words, prepared)
+        got = native.render_summary(text.encode(), S._packed_query(prepared))
+        assert got == want, (trial, text, query, phrases, got, want)
