@@ -625,6 +625,14 @@ def bench_serve(
         for c in conns:
             sel.unregister(c.sock)
             c.sock.close()
+        stats = {}
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as resp:
+                stats = json.loads(resp.read())
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
         qps = total / dt
         return {
             "metric": "serve_http_qps_100k_docs_full_contract",
@@ -635,6 +643,9 @@ def bench_serve(
             "p99_ms": round(1e3 * float(lats[int(len(lats) * 0.99)]), 2) if len(lats) else None,
             "requests": total,
             "connections": n_conns,
+            "mean_batch": (stats.get("microbatcher") or {}).get("mean_batch"),
+            "rank_device_ms": (stats.get("rank.device") or {}).get("mean_ms"),
+            "serve_query_ms": (stats.get("serve.query") or {}).get("mean_ms"),
         }
     finally:
         proc.terminate()

@@ -79,6 +79,9 @@ def main(argv: list[str] | None = None) -> None:
         built = engine.prewarm_hydration()
         print(f"Warmup done in {_time.perf_counter() - t0:.1f}s "
               f"({built} hydration records prebuilt)")
+        from ..utils.timing import TRACER
+
+        TRACER.reset()  # /stats should reflect live traffic, not warmup
     print(f"\nServer is running on port {args.port}")
     SearchServer(engine, batching=not args.noBatching).serve(port=args.port)
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,6 +112,7 @@ def _pow2(n: int) -> int:
 # --------------------------------------------------------------------- #
 WARM_B_MAX = 128
 B_SMALL = 16  # low-latency bucket for trickle traffic / CLI single queries
+_MATCH_FETCH_K = 256  # matcher fetch compression width (top-K real matches)
 MATCHER_BP = (1, 4, 16)  # phrase-matcher vmap widths (chunked above 16)
 Q_BASE = 4
 Q_CATCHALL = 32
@@ -143,8 +145,12 @@ def _bp_bucket(n: int) -> int:
 
 
 def _e_levels(n_docs: int) -> tuple[int, ...]:
+    # the phrase fold arrays upload as [B, e] from host per batch: at
+    # e=pow2(100k) that is ~270 MB of host memset + relay transfer per
+    # batch (measured 536 ms mixed-128 ranks), so mid levels matter even
+    # though each level is one more program to settle
     full = _pow2(max(n_docs, E_BASE))
-    return tuple(sorted({E_BASE, full}))
+    return tuple(sorted({E_BASE, min(1024, full), min(8192, full), full}))
 
 
 def _fetch_ranked(scores, ids) -> tuple[np.ndarray, np.ndarray]:
@@ -532,31 +538,54 @@ class QueryEngine:
                 idx.title.pos_mat, idx.body.pos_mat,
                 posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
             )
-            pending.append((rows, res[0].shape, res))
-        # ONE host sync for every group: each fetch is a full relay RTT
-        # (~25 ms measured), so pack all outputs (docs exact as f32 up to
-        # 2^24) into a single device array and split on host
-        packed = np.asarray(
-            jnp.concatenate(
-                [
-                    jnp.stack(
-                        [res[0].astype(jnp.float32), res[1], res[2], res[3]],
-                        axis=-1,
-                    ).reshape(-1)
-                    for _, _, res in pending
-                ]
+            pending.append((rows, res))
+        # ONE host sync for every group, COMPRESSED: the raw outputs are
+        # [bp, E] padded (E = 2*cap, multi-MB at the full cap) and the relay
+        # moves device->host at only ~5-40 MB/s (~200 ms/MB measured), so
+        # each group is first compacted on device to its top-K real matches
+        # (top_k on -doc: real ids sort before the n_docs pad). Rows with
+        # more than K matches fall back to a full fetch of that group —
+        # rare, and the device arrays are still alive.
+        K = _MATCH_FETCH_K
+        compressed = []
+        for rows, res in pending:
+            d, tw, bw, fl = res
+            k = min(K, d.shape[1])
+            negd, sel = jax.lax.top_k(-d, k)
+            dk = (-negd).astype(jnp.float32)
+            twk = jnp.take_along_axis(tw, sel, axis=1)
+            bwk = jnp.take_along_axis(bw, sel, axis=1)
+            flk = jnp.take_along_axis(fl, sel, axis=1)
+            nreal = (d < idx.n_docs).sum(axis=1).astype(jnp.float32)
+            compressed.append(
+                (rows, res, k,
+                 jnp.concatenate(
+                     [jnp.stack([dk, twk, bwk, flk], axis=-1).reshape(-1),
+                      nreal]
+                 ))
             )
+        packed = np.asarray(
+            jnp.concatenate([c[3] for c in compressed])
         )
         off = 0
-        for rows, shape, _ in pending:
-            n_elem = shape[0] * shape[1] * 4
-            blk = packed[off : off + n_elem].reshape(shape[0], shape[1], 4)
-            off += n_elem
+        for rows, res, k, _ in compressed:
+            bp = res[0].shape[0]
+            n_elem = bp * k * 4
+            blk = packed[off : off + n_elem].reshape(bp, k, 4)
+            nreal = packed[off + n_elem : off + n_elem + bp].astype(np.int64)
+            off += n_elem + bp
+            overflow = None
             for j, r in enumerate(rows):
-                out[r] = (
-                    blk[j, :, 0].astype(np.int32), blk[j, :, 1],
-                    blk[j, :, 2], blk[j, :, 3],
-                )
+                if nreal[j] > k:
+                    # >K matches: fetch this group's full arrays once
+                    if overflow is None:
+                        overflow = tuple(map(np.asarray, res))
+                    out[r] = tuple(a[j] for a in overflow)
+                else:
+                    out[r] = (
+                        blk[j, :, 0].astype(np.int32), blk[j, :, 1],
+                        blk[j, :, 2], blk[j, :, 3],
+                    )
         return out
 
     # ------------------------------------------------------------------ #
@@ -740,18 +769,20 @@ class QueryEngine:
             [kw_q] * WARM_B_MAX,         # keyword (WARM_B_MAX, Q_BASE)
             [kw_long],                   # keyword catch-all (WARM_B_MAX, Q_CATCHALL)
         ]
+        # df bands aligned to BOTH the matcher cap levels and the e-fold
+        # levels (a single-term phrase of df=D matches ~D docs, so one word
+        # per band settles its whole (cap, e) program family)
+        bounds = sorted(
+            set(_cap_levels(idx.posting_cap))
+            | {lv for lv in _e_levels(idx.n_docs)}
+        )
         lo = 0
-        low_df = word_at(0, E_BASE)  # e=E_BASE fold family
-        if low_df is not None:
-            batches.append([P(kws=[kw_hash], phs=[low_df])])
-        for cap in _cap_levels(idx.posting_cap):
-            wh = word_at(lo, cap)
-            lo = cap
+        for hi in bounds:
+            wh = word_at(lo, hi)
+            lo = hi
             if wh is None:
                 continue
             ph_q = P(kws=[kw_hash], phs=[wh])
-            # matcher (bp, P_BASE, cap) at every bp bucket + both scorer
-            # b buckets (single-term phrases of df>E_BASE exercise e=full)
             for bp in MATCHER_BP:
                 batches.append([ph_q] * bp)
             batches.append([ph_q] + [kw_q] * (WARM_B_MAX - 1))

@@ -47,7 +47,7 @@ class MicroBatcher:
         self,
         engine,
         max_batch: int = 128,
-        max_wait_ms: float = 5.0,
+        max_wait_ms: float = 25.0,
         result_timeout_s: float = 300.0,
         lock=None,
     ) -> None:

@@ -56,7 +56,7 @@ class SearchServer:
         static_dir: str = STATIC_DIR,
         batching: bool = True,
         max_batch: int = 128,
-        max_wait_ms: float = 5.0,
+        max_wait_ms: float = 25.0,
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
