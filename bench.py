@@ -666,35 +666,89 @@ def bench_parity(n_pages: int = 100_000, n_queries: int = 1000) -> dict:
     from spaghettisearch_tpu.evaluation import recall_at_k
     from spaghettisearch_tpu.retrieval.engine import QueryEngine
 
+    from spaghettisearch_tpu.evaluation import compare_rankings
+    from spaghettisearch_tpu.retrieval.engine import parse_query
+
     root = ensure_bench_corpus(n_pages)
     db, snap = load_bench_corpus(root)
     eng = QueryEngine(db, snapshot=snap)
     queries = bench_queries(snap, n_queries, seed=9, phrase_every=3, db=db)
 
-    recalls = []
-    url_of: dict[str, str] = {}
+    # rank-level comparison (doc hashes + raw FinalRank scores): recall@10
+    # AND exact-order/score agreement vs the oracle's top-50 (the
+    # reference's result window, main_retrieve.go:99-103). Tie order is
+    # well-defined on both sides: the oracle sorts (-score, doc_hash), the
+    # engine's top-k breaks ties by doc id == sorted-doc-hash rank.
+    got_all: list[list[tuple[str, float]]] = []
+    want_all: list[list[tuple[str, float]]] = []
     for qi in range(0, len(queries), 64):
         chunk = queries[qi : qi + 64]
-        batched = eng.query_batch(chunk)
-        for q, parsed_results in zip(chunk, batched):
-            want = [d for d, _ in oracle_retrieve(db, q)]
-            got = [r["Url"] for r in parsed_results]
-            want_urls = []
-            for d in want:
-                u = url_of.get(d)
-                if u is None:
-                    info = db.doc_info.get(d)
-                    u = url_of[d] = info.url if info else ""
-                want_urls.append(u)
-            recalls.append(recall_at_k(got, want_urls, 10))
-    mean_recall = sum(recalls) / max(len(recalls), 1)
+        parsed = [parse_query(q) for q in chunk]
+        scores, ids = eng.rank(parsed, topk=50)
+        for row, q in enumerate(chunk):
+            got_all.append([
+                (snap.doc_hashes[int(d)], float(s))
+                for s, d in zip(scores[row], ids[row])
+                if s != -np.inf and not np.isnan(s)
+            ])
+            want_all.append([(d, s) for d, s in oracle_retrieve(db, q)])
+    report = compare_rankings(got_all, want_all, k=10)
+    exact50 = sum(
+        1 for a, b in zip(got_all, want_all)
+        if [d for d, _ in a] == [d for d, _ in b]
+    ) / max(len(got_all), 1)
     return {
         "metric": "recall_at_10_vs_reference_oracle_100k",
-        "value": round(mean_recall, 6),
+        "value": round(report.recall_at_k, 6),
         "unit": "recall",
-        "vs_baseline": round(mean_recall / 1.0, 6),
-        "queries": len(recalls),
+        "vs_baseline": round(report.recall_at_k / 1.0, 6),
+        "exact_order_at_10": round(report.exact_order, 6),
+        "exact_order_at_50": round(exact50, 6),
+        "score_max_rel_err": float(f"{report.score_max_rel_err:.3g}"),
+        "queries": report.queries,
         "docs": snap.n_docs,
+    }
+
+
+def bench_mixed(n_pages: int = 100_000, n_batches: int = 12) -> dict:
+    """Engine-level MIXED-workload throughput: the honest headline for the
+    reference's full query grammar (keywords AND "quoted phrases" through
+    one path, reference: retrieval/main_retrieve.go:45-78). Same query
+    distribution as --mode parity / serve (1-4 df-sampled keywords, every
+    4th query carrying a real mined 2-gram); 128-query batches through
+    QueryEngine.rank — device ranking + result fetch, no hydration."""
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine, parse_query
+
+    root = ensure_bench_corpus(n_pages)
+    db, snap = load_bench_corpus(root)
+    eng = QueryEngine(db, snapshot=snap)
+    eng.warmup()
+    queries = bench_queries(snap, n_batches * 128, seed=3, phrase_every=4, db=db)
+    batches = [
+        [parse_query(q) for q in queries[i * 128 : (i + 1) * 128]]
+        for i in range(n_batches)
+    ]
+    for b in batches[:2]:  # settle any residual first-use cost
+        eng.rank(b)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for b in batches:
+            eng.rank(b)
+        best = min(best, time.perf_counter() - t0)
+    qps = n_batches * 128 / best
+    return {
+        "metric": "engine_mixed_qps_100k_docs",
+        "value": round(qps, 1),
+        "unit": "qps",
+        # the north-star 10k target is keyword-only; the committed round-3
+        # target for the mixed grammar is 2k engine-level (VERDICT r2 #3)
+        "vs_baseline": round(qps / 2000.0, 3),
+        "batch_ms_p50": round(best / n_batches * 1e3, 1),
+        "phrase_share": round(
+            sum(1 for b in batches for p in b if p.phrase_hashes)
+            / (n_batches * 128), 3,
+        ),
     }
 
 
@@ -871,6 +925,9 @@ def main() -> None:
         if mode == "parity":
             print(json.dumps(bench_parity()))
             return
+        if mode == "mixed":
+            print(json.dumps(bench_mixed()))
+            return
         if mode == "serve":
             print(json.dumps(bench_serve()))
             return
@@ -901,6 +958,7 @@ def emit_results(out_path: str) -> None:
     }
     stages = [
         ("headline", lambda: bench_headline(synth=False)),
+        ("mixed", bench_mixed),
         ("parity_tpu", bench_parity),
         ("serve", bench_serve),
         ("scale1m", bench_scale),

@@ -77,6 +77,7 @@ def main(argv: list[str] | None = None) -> None:
         print("Warming up query programs...", flush=True)
         engine.warmup()
         built = engine.prewarm_hydration()
+        engine.prewarm_wordlist()
         print(f"Warmup done in {_time.perf_counter() - t0:.1f}s "
               f"({built} hydration records prebuilt)")
         from ..utils.timing import TRACER

@@ -62,7 +62,7 @@ def index_page(
             cached = db.cached_doc(doc_hash)
             if cached is not None:
                 if md5_hex(cached) != md5_hex(raw):
-                    _purge_old(db, doc_hash, old)
+                    _purge_old(db, doc_hash, old, cached)
                 # identical content falls through to a harmless re-write,
                 # matching the reference's control flow (indexer.go:635-639)
 
@@ -212,9 +212,21 @@ def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str
                 bw_raw.set(word_hash, rrow)
 
 
-def _purge_old(db: Database, doc_hash: str, old: DocInfo) -> None:
+def _purge_old(
+    db: Database, doc_hash: str, old: DocInfo, cached: bytes | None = None
+) -> None:
     """Remove a changed document's stale postings and its anchor contributions
-    to its children (reference: indexer/indexer.go:420-641)."""
+    to its children (reference: indexer/indexer.go:420-641).
+
+    Deliberate divergence: the reference enumerates the old title-section
+    words from `dI.Page_title` ONLY (indexer.go:452-472), so meta
+    description/keywords terms — which ARE indexed into the title table
+    with the -100 sentinel (parser.go:59-73) — leak stale postings when a
+    page's <meta> content changes. Here the old cached HTML (always present
+    when a purge runs: the change gate hashed it) is re-tokenized, so the
+    purge set is exactly the old title-section vocabulary. The reference's
+    leak is reproduced nowhere; tests/test_indexer.py pins this fix with
+    meta-mutating pages forced into the incremental-vs-fresh property."""
 
     def drop_from_row(inv, word_hash: str, victim: str) -> None:
         row = inv.get(word_hash)
@@ -230,7 +242,16 @@ def _purge_old(db: Database, doc_hash: str, old: DocInfo) -> None:
         drop_from_row(db.inverted(section), word_hash, victim)
         drop_from_row(db.inverted_raw(section), word_hash, victim)
 
-    for word in laundry(" ".join(old.page_title)):
+    title_words: list[str] | None = None
+    if cached is not None:
+        try:
+            old_page = parse_page(cached, old.url)
+            title_words = list(old_page.title.pos)  # title + meta terms
+        except Exception:
+            title_words = None
+    if title_words is None:  # no cache/unparseable: reference behavior
+        title_words = laundry(" ".join(old.page_title))
+    for word in title_words:
         drop("title", md5_hex(word), doc_hash)
     for word_hash in old.words_mapping:
         drop("body", word_hash, doc_hash)

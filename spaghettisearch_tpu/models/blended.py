@@ -94,6 +94,29 @@ class BlendedRanker:
             index, term_ids, qlen, topic_probs, k, (ph_docs, ph_tw, ph_bw, ph_fl)
         )
 
+    def supports_mixed(self, index) -> bool:
+        """True when the fused mixed lane can serve this (index, model):
+        the index carries the doc-major position layout and the blend is
+        the reference formula (custom blends keep the two-phase lane)."""
+        return index.pos_dense and not index.dense_truncated and self.is_reference_blend()
+
+    def score_mixed(
+        self, index, term_ids, qlen, topic_probs,
+        ph_ids, ph_valid, topk=None, qn=None, pn=None,
+    ):
+        """Fused keyword+phrase lane: ONE device program per mixed batch
+        (dense phrase matching in-kernel, ops/kernels/mixed.py)."""
+        k = min(topk or self.topk, index.n_docs) or 1
+        return _scoring.score_queries_mixed(
+            index.title.fwd, index.body.fwd,
+            index.title.posT, index.body.posT,
+            index.mag_title, index.mag_body, index.pagerank,
+            term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+            topk=k,
+            use_pallas=_scoring.pallas_available(),
+            emit_counts=index.has_zero_weight,
+        )
+
     def score_csr(
         self, index, term_ids, qlen, topic_probs,
         ph_docs=None, ph_tw=None, ph_bw=None, ph_fl=None, topk=None,

@@ -1,0 +1,442 @@
+"""Pallas TPU kernel for FUSED keyword + phrase scoring (the mixed lane).
+
+Round-2's phrase lane was two-phase and host-chatty: a sparse candidate
+matcher (one program per cap-level group), a device->host fetch of the
+matches, a host repack into [B, E] fold arrays, and a second scorer
+dispatch — >= 2 relay round trips and a host repack per mixed batch
+(measured 313 ms vs 37 ms keyword-only at 128 queries / 100k docs).
+
+This kernel is the TPU-native reformulation: phrase matching as a DENSE
+forward pass fused into the membership scorer. Positions live in a
+doc-major layout streamed alongside the forward index —
+
+    posT[c*T + t, d] = (c-th UNIQUE position of doc d's term-slot t), BIG pad
+
+so the positional-chain check per (query, doc) is a pure-VPU select +
+compare with zero gathers, and a whole mixed batch is ONE device program
+with ONE packed result fetch. Costs scale with the query's real work:
+
+  - 8-query row blocks with no phrases skip the phrase stage entirely
+    (block-level pl.when dispatch, same trick as the qn keyword dispatch);
+  - the chain stage (position select + intersect) runs only for doc blocks
+    where some candidate has every phrase term present — selective phrases
+    pay ~2 extra compare sweeps per (row-block, doc-block), common-word
+    phrases pay the honest dense-check cost.
+
+Reference semantics (retrieval/phrase.go:53-109 + main_retrieve.go:62-78),
+identical to ops/phrase.py match_phrase_fwd (equivalence-tested):
+  - a doc matches only if EVERY phrase term occurs in title OR body;
+  - the title contributes sum(term title weights) only when every term has
+    a title entry and the title positional chain intersects; body likewise;
+  - chain: some position of term 0 such that term i occurs at pos0 + i
+    (positions pre-shifted by the term's phrase offset, phrase.go:144-157);
+  - a single-term phrase matches wherever the term occurs (sentinel -100
+    anchor/meta positions included);
+  - phrase-matched docs are candidates even with zero keyword overlap.
+
+Value-domain invariants the select trick relies on (document + test):
+  real positions are -100 or in [0, POS_REAL_MAX); the pad is POS_BIG
+  (finite — an inf pad would turn the select's 0*pad into NaN); an
+  absent (doc, term) selects position 0.0, which is only ever compared
+  when masked by the all-terms-found requirement, and shifted anchors
+  (anchor + p, p in [1,16)) can never collide with 0 because no real
+  position lies in [-16, -1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .membership import _dispatch_q, _qn_blocks, _section_scores_unrolled
+
+#: pad value for absent position slots; finite (inf*0 = NaN would poison
+#: the one-hot select) and exactly representable in f32, far above any
+#: real document position.
+POS_BIG = float(1 << 24)
+#: everything below this is a real position (real docs are << 1e6 tokens)
+POS_REAL_MAX = float(1 << 23)
+
+
+_T_CHUNK = 16  # term-axis chunk: bounds the [Bb, tc, Db] compare temporaries
+
+
+def _phrase_term_stage(ft, fw, pid_col, vmask_col, posT=None, c=0):
+    """One phrase term against one section tile, term axis processed in
+    chunks so the [Bb, tc, Db] compare intermediates stay VMEM-small.
+
+    ft/fw: [T, Db]; pid_col: [Bb] int32; vmask_col: [Bb] f32 (1 = slot is a
+    real phrase term). -> (found_eff [Bb, Db] bool with invalid slots
+    auto-found, w [Bb, Db] f32 zero where invalid/absent, pos) where pos is
+    a [c]-list of one-hot-selected position planes [Bb, Db] when posT is
+    given (POS_BIG empty slots, 0.0 where the term is absent — callers
+    mask absence via the found flags), else None."""
+    t = ft.shape[0]
+    bb, db = pid_col.shape[0], ft.shape[1]
+    pid = pid_col[:, None, None]
+    w = jnp.zeros((bb, db), jnp.float32)
+    cnt = jnp.zeros((bb, db), jnp.float32)
+    pos = [jnp.zeros((bb, db), jnp.float32) for _ in range(c)] if posT is not None else None
+    for t0 in range(0, t, _T_CHUNK):
+        t1 = min(t0 + _T_CHUNK, t)
+        eqf = (ft[t0:t1][None, :, :] == pid).astype(jnp.float32)
+        w += jnp.sum(eqf * fw[t0:t1][None, :, :], axis=1)
+        cnt += jnp.sum(eqf, axis=1)
+        if posT is not None:
+            for ci in range(c):
+                pos[ci] += jnp.sum(
+                    eqf * posT[ci * t + t0 : ci * t + t1, :][None], axis=1
+                )
+    valid = vmask_col[:, None] > 0.0  # [Bb, 1] -> broadcast
+    found_eff = (cnt > 0.0) | ~valid
+    return found_eff, jnp.where(valid, w, 0.0), pos
+
+
+def _phrase_block(
+    tft, tfw, bft, bfw, tposT, bposT,
+    ph, phv,  # [Bb, P] i32 / f32 (this 8-row block's phrase tiles)
+    pnb,  # traced: this block's max phrase slot count
+    ct: int, cb: int,
+    chain_t_ref, chain_b_ref,  # VMEM scratch [Bb, Db] f32
+):
+    """Compute one 8-row block's phrase contribution against one doc block.
+
+    The phrase-term loops are DYNAMIC-trip fori_loops bounded by the
+    block's real max term count (pnb) with small [Bb, Db] carried planes —
+    a fully-unrolled 16-step body blew Mosaic's scoped VMEM stack (24 MB,
+    measured: the allocator does not reuse stack across long straight-line
+    bodies), and dynamic trips also collapse the P-level program split.
+
+    Returns (t_ok, sum_tw, b_ok, sum_bw): boolean match masks per section
+    and the summed term weights ([Bb, Db] each)."""
+    bb, db = chain_t_ref.shape
+
+    def col(v, p):
+        # slot p of the [Bb, P] tile via one-hot select: Mosaic has no
+        # dynamic_slice lowering, and a dynamic LANE offset would be
+        # unsupported anyway; P <= 16 makes this a trivial [Bb, P] reduce
+        # (exact for int32: where + sum, no float roundtrip)
+        sel = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) == p
+        return jnp.sum(jnp.where(sel, v, jnp.zeros_like(v)), axis=1)
+
+    ones = jnp.ones((bb, db), dtype=jnp.bool_)
+    zeros = jnp.zeros((bb, db), dtype=jnp.float32)
+
+    def mem_body(p, carry):
+        present, t_all, b_all, sum_tw, sum_bw = carry
+        pid = col(ph, p)
+        vm = col(phv, p)
+        tf_found, tw, _ = _phrase_term_stage(tft, tfw, pid, vm)
+        bf_found, bw, _ = _phrase_term_stage(bft, bfw, pid, vm)
+        return (
+            present & (tf_found | bf_found), t_all & tf_found,
+            b_all & bf_found, sum_tw + tw, sum_bw + bw,
+        )
+
+    present_all, t_all, b_all, sum_tw, sum_bw = jax.lax.fori_loop(
+        0, pnb, mem_body, (ones, ones, ones, zeros, zeros)
+    )
+    hp = (phv[:, 0] > 0.0)[:, None]  # row has a phrase at all
+    # positional chain, only where some doc could match at all
+    cand_t = t_all & present_all & hp
+    cand_b = b_all & present_all & hp
+
+    @pl.when(jnp.any(cand_t | cand_b))
+    def _():
+        # anchor = phrase term 0's positions; loop-invariant across steps
+        pid0 = ph[:, 0]
+        vm0 = phv[:, 0]
+        _, _, anchor_t = _phrase_term_stage(tft, tfw, pid0, vm0, tposT, ct)
+        _, _, anchor_b = _phrase_term_stage(bft, bfw, pid0, vm0, bposT, cb)
+        hit_t0 = tuple(a < POS_REAL_MAX for a in anchor_t)
+        hit_b0 = tuple(a < POS_REAL_MAX for a in anchor_b)
+
+        def chain_body(p, hits):
+            hit_t, hit_b = hits
+            pid = col(ph, p)
+            vm = col(phv, p)
+            valid = (vm > 0.0)[:, None]
+            _, _, pos_t = _phrase_term_stage(tft, tfw, pid, vm, tposT, ct)
+            _, _, pos_b = _phrase_term_stage(bft, bfw, pid, vm, bposT, cb)
+            fp = p.astype(jnp.float32)
+            new_t = []
+            for c0 in range(ct):
+                m = jnp.zeros((bb, db), dtype=jnp.bool_)
+                for c in range(ct):
+                    m |= pos_t[c] == anchor_t[c0] + fp
+                new_t.append(hit_t[c0] & (m | ~valid))
+            new_b = []
+            for c0 in range(cb):
+                m = jnp.zeros((bb, db), dtype=jnp.bool_)
+                for c in range(cb):
+                    m |= pos_b[c] == anchor_b[c0] + fp
+                new_b.append(hit_b[c0] & (m | ~valid))
+            return (tuple(new_t), tuple(new_b))
+
+        # a 1-term phrase (pnb == 1) runs zero chain steps: it matches
+        # wherever the term occurs, any position (-100 included)
+        hit_t, hit_b = jax.lax.fori_loop(1, pnb, chain_body, (hit_t0, hit_b0))
+        ch_t = hit_t[0]
+        for h in hit_t[1:]:
+            ch_t = ch_t | h
+        ch_b = hit_b[0]
+        for h in hit_b[1:]:
+            ch_b = ch_b | h
+        chain_t_ref[:, :] = ch_t.astype(jnp.float32)
+        chain_b_ref[:, :] = ch_b.astype(jnp.float32)
+
+    # stale scratch when the pl.when was skipped is harmless: cand_* is
+    # then all-false, and the chain bit only matters where cand_* holds
+    t_ok = cand_t & (chain_t_ref[:, :] > 0.0)
+    b_ok = cand_b & (chain_b_ref[:, :] > 0.0)
+    return t_ok, sum_tw, b_ok, sum_bw
+
+
+def _kernel_mixed(
+    qn_ref, pn_ref, tq_ref, ph_ref, phv_ref,
+    tft_ref, tfw_ref, bft_ref, bfw_ref, tposT_ref, bposT_ref,
+    *refs, b_block: int, q: int, ct: int, cb: int, emit_counts: bool,
+):
+    n_out = 4 if emit_counts else 2
+    out_refs = refs[:n_out]
+    chain_t_ref, chain_b_ref = refs[n_out], refs[n_out + 1]
+    tft = tft_ref[:]
+    tfw = tfw_ref[:]
+    bft = bft_ref[:]
+    bfw = bfw_ref[:]
+    tposT = tposT_ref[:]
+    bposT = bposT_ref[:]
+
+    def b_body(bi, _):
+        row = bi * b_block
+        tq = tq_ref[pl.ds(row, b_block), :]
+
+        def emit_kw(q_eff):
+            s, c = _section_scores_unrolled(tft, tfw, tq, q_eff, emit_counts)
+            if emit_counts:
+                out_refs[0][pl.ds(row, b_block), :] = s
+                out_refs[1][pl.ds(row, b_block), :] = c
+                s, c = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+                out_refs[2][pl.ds(row, b_block), :] = s
+                out_refs[3][pl.ds(row, b_block), :] = c
+            else:
+                out_refs[0][pl.ds(row, b_block), :] = s
+                s, _ = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+                out_refs[1][pl.ds(row, b_block), :] = s
+
+        _dispatch_q(qn_ref[bi], q, emit_kw)
+
+        @pl.when(pn_ref[bi] > 0)
+        def _():
+            ph = ph_ref[pl.ds(row, b_block), :]
+            phv = phv_ref[pl.ds(row, b_block), :]
+            t_ok, sum_tw, b_ok, sum_bw = _phrase_block(
+                tft, tfw, bft, bfw, tposT, bposT, ph, phv,
+                pn_ref[bi], ct, cb, chain_t_ref, chain_b_ref,
+            )
+            add_t = jnp.where(t_ok, sum_tw, 0.0)
+            add_b = jnp.where(b_ok, sum_bw, 0.0)
+            if emit_counts:
+                flag = (t_ok | b_ok).astype(jnp.float32)
+                out_refs[0][pl.ds(row, b_block), :] += add_t
+                out_refs[1][pl.ds(row, b_block), :] += flag
+                out_refs[2][pl.ds(row, b_block), :] += add_b
+            else:
+                out_refs[0][pl.ds(row, b_block), :] += add_t
+                out_refs[1][pl.ds(row, b_block), :] += add_b
+
+        return 0
+
+    jax.lax.fori_loop(0, tq_ref.shape[0] // b_block, b_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("doc_block", "b_block", "emit_counts", "interpret"),
+)
+def pallas_mixed_scores_2sec(
+    title_ftT: jax.Array,  # int32 [Tt, D]
+    title_fwT: jax.Array,
+    body_ftT: jax.Array,  # int32 [Tb, D]
+    body_fwT: jax.Array,
+    title_posT: jax.Array,  # f32 [Ct*Tt, D] (c-major slot rows)
+    body_posT: jax.Array,  # f32 [Cb*Tb, D]
+    term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
+    qn: jax.Array,  # i32 [B] active keyword slots
+    ph_ids: jax.Array,  # int32 [B, P] (sentinel pad)
+    ph_valid: jax.Array,  # f32 [B, P] 1/0
+    pn: jax.Array,  # i32 [B] active phrase slots (0 = keyword-only row)
+    *,
+    doc_block: int = 512,
+    b_block: int = 8,
+    emit_counts: bool = True,
+    interpret: bool = False,
+):
+    """Fused keyword + phrase scoring, both sections, one grid sweep.
+
+    -> (title score, title count, body score, body count), each [B, D],
+    with phrase weights/candidacy FOLDED IN (counts are None when
+    emit_counts=False — candidacy <=> score > 0, valid iff every index
+    weight is positive, which phrase sums preserve: a section match
+    requires every term present in that section, each with weight > 0).
+
+    The batch should be sorted phrase-rows-first (then by descending qn)
+    so phrase-free 8-row blocks skip the phrase stage."""
+    tt, d = title_ftT.shape
+    tb = body_ftT.shape[0]
+    ct = title_posT.shape[0] // tt
+    cb = body_posT.shape[0] // tb
+    b, q = term_ids.shape
+    p = ph_ids.shape[1]
+    assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    kernel = functools.partial(
+        _kernel_mixed, b_block=b_block, q=q, ct=ct, cb=cb,
+        emit_counts=emit_counts,
+    )
+    n_out = 4 if emit_counts else 2
+    pn_blocks = jnp.clip(
+        pn.reshape(b // b_block, b_block).max(axis=1), 0, p
+    ).astype(jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(d // doc_block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct * tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb * tb, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((b_block, doc_block), jnp.float32),
+            pltpu.VMEM((b_block, doc_block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(_qn_blocks(term_ids, qn, b_block), pn_blocks, term_ids,
+      ph_ids, ph_valid,
+      title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT)
+    if emit_counts:
+        return out[0], out[1], out[2], out[3]
+    return out[0], None, out[1], None
+
+
+# --------------------------------------------------------------------- #
+# XLA reference formulation (CPU tests, sharded meshes, oracle checks)
+# --------------------------------------------------------------------- #
+
+
+def mixed_forward_scores(
+    title_ft, title_fw, body_ft, body_fw,  # doc-major [D, T]
+    title_posT, body_posT,  # [C*T, D] (same layout the kernel streams)
+    term_ids,  # int32 [B, Q]
+    ph_ids,  # int32 [B, P]
+    ph_valid,  # f32 [B, P]
+    n_blocks: int = 16,
+):
+    """Pure-XLA twin of the Pallas mixed kernel (same math, doc-blocked via
+    lax.map). -> (ts, tc, bs, bc) each [B, D], phrase folded in; counts add
+    the phrase candidacy flag."""
+    from ..scoring import forward_section_scores
+
+    d = title_ft.shape[0]
+    b = term_ids.shape[0]
+    ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
+    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+
+    p = ph_ids.shape[1]
+    tt = title_ft.shape[1]
+    tb = body_ft.shape[1]
+    ct = title_posT.shape[0] // tt
+    cb = body_posT.shape[0] // tb
+
+    db = -(-d // n_blocks)
+    pad = n_blocks * db - d
+
+    def prep(ft, posT, t, c):
+        ftb = jnp.pad(ft, ((0, pad), (0, 0)), constant_values=-1)
+        pos = posT.T.reshape(d, c, t).transpose(0, 2, 1)  # [D, T, C]
+        posb = jnp.pad(pos, ((0, pad), (0, 0), (0, 0)), constant_values=POS_BIG)
+        return ftb.reshape(n_blocks, db, t), posb.reshape(n_blocks, db, t, c)
+
+    tftb, tposb = prep(title_ft, title_posT, tt, ct)
+    bftb, bposb = prep(body_ft, body_posT, tb, cb)
+    tfwb = jnp.pad(title_fw, ((0, pad), (0, 0))).reshape(n_blocks, db, tt)
+    bfwb = jnp.pad(body_fw, ((0, pad), (0, 0))).reshape(n_blocks, db, tb)
+
+    valid = ph_valid > 0.0  # [B, P]
+    hp = valid[:, 0]  # [B]
+
+    def block(args):
+        tft, tfw, tpos, bft, bfw, bpos = args  # [Db, T], [Db, T, C]
+
+        def term(ft_blk, fw_blk, pos_blk, pid):
+            eqf = (ft_blk[None, :, :] == pid[:, None, None]).astype(jnp.float32)
+            w = jnp.einsum("bdt,dt->bd", eqf, fw_blk)
+            found = eqf.sum(-1) > 0.0
+            sel = jnp.einsum("bdt,dtc->bdc", eqf, pos_blk)  # [B, Db, C]
+            return found, w, sel
+
+        present = jnp.ones((b, tft.shape[0]), bool)
+        t_all = jnp.ones_like(present)
+        b_all = jnp.ones_like(present)
+        sum_tw = jnp.zeros((b, tft.shape[0]), jnp.float32)
+        sum_bw = jnp.zeros_like(sum_tw)
+        anchor_t = anchor_b = None
+        hit_t = hit_b = None
+        for pi in range(p):
+            v = valid[:, pi][:, None]
+            tf_found, tw, tsel = term(tft, tfw, tpos, ph_ids[:, pi])
+            bf_found, bw, bsel = term(bft, bfw, bpos, ph_ids[:, pi])
+            tf_eff = tf_found | ~v
+            bf_eff = bf_found | ~v
+            present &= tf_eff | bf_eff
+            t_all &= tf_eff
+            b_all &= bf_eff
+            sum_tw += jnp.where(v, tw, 0.0)
+            sum_bw += jnp.where(v, bw, 0.0)
+            if pi == 0:
+                anchor_t, anchor_b = tsel, bsel
+                hit_t = anchor_t < POS_REAL_MAX  # [B, Db, C]
+                hit_b = anchor_b < POS_REAL_MAX
+            else:
+                fp = float(pi)
+                m_t = jnp.any(
+                    tsel[:, :, None, :] == anchor_t[:, :, :, None] + fp, axis=-1
+                )
+                m_b = jnp.any(
+                    bsel[:, :, None, :] == anchor_b[:, :, :, None] + fp, axis=-1
+                )
+                hit_t &= m_t | ~v[..., None]
+                hit_b &= m_b | ~v[..., None]
+        chain_t = jnp.any(hit_t, axis=-1)
+        chain_b = jnp.any(hit_b, axis=-1)
+        t_ok = present & t_all & chain_t & hp[:, None]
+        b_ok = present & b_all & chain_b & hp[:, None]
+        return (
+            jnp.where(t_ok, sum_tw, 0.0),
+            jnp.where(b_ok, sum_bw, 0.0),
+            (t_ok | b_ok).astype(jnp.float32),
+        )
+
+    add_t, add_b, flag = jax.lax.map(
+        block, (tftb, tfwb, tposb, bftb, bfwb, bposb)
+    )  # [M, B, Db]
+    add_t = jnp.moveaxis(add_t, 0, 1).reshape(b, -1)[:, :d]
+    add_b = jnp.moveaxis(add_b, 0, 1).reshape(b, -1)[:, :d]
+    flag = jnp.moveaxis(flag, 0, 1).reshape(b, -1)[:, :d]
+    return ts + add_t, tc + flag, bs + add_b, bc

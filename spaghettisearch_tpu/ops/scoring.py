@@ -315,6 +315,74 @@ def score_queries_forward_phrase(
     return exact_top_k(final, topk)
 
 
+@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
+def score_queries_mixed(
+    title_fwd,  # ForwardArrays
+    body_fwd,  # ForwardArrays
+    title_posT: jax.Array,  # f32 [Ct*Tt, D] doc-major positions
+    body_posT: jax.Array,  # f32 [Cb*Tb, D]
+    mag_title: jax.Array,
+    mag_body: jax.Array,
+    pagerank: jax.Array,
+    term_ids: jax.Array,  # int32 [B, Q]
+    query_len: jax.Array,  # f32 [B]
+    topic_probs: jax.Array,  # f32 [B, C]
+    ph_ids: jax.Array,  # int32 [B, P] phrase terms (sentinel pad)
+    ph_valid: jax.Array,  # f32 [B, P]
+    qn: jax.Array | None = None,
+    pn: jax.Array | None = None,  # i32 [B] active phrase slots
+    *,
+    topk: int,
+    n_blocks: int = 16,
+    use_pallas: bool = False,
+    emit_counts: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """The FUSED mixed lane: keyword membership scoring + dense phrase
+    matching + fold + finalize + top-k in ONE device program — no sparse
+    matcher dispatches, no host repack, one packed result fetch
+    (ops/kernels/mixed.py has the full design note)."""
+    b = term_ids.shape[0]
+    if pn is None:
+        pn = (ph_valid.sum(axis=1)).astype(jnp.int32)
+    if use_pallas:
+        from .kernels.mixed import pallas_mixed_scores_2sec
+
+        b_pad = -(-b // 8) * 8
+        pad = b_pad - b
+        tq = jnp.pad(term_ids, ((0, pad), (0, 0)),
+                     constant_values=jnp.iinfo(jnp.int32).max)
+        qn_p = jnp.pad((qn if qn is not None else
+                        jnp.full((b,), term_ids.shape[1], jnp.int32)), (0, pad))
+        ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)),
+                       constant_values=jnp.iinfo(jnp.int32).max)
+        phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
+        pn_p = jnp.pad(pn, (0, pad))
+        ts, tc, bs, bc = pallas_mixed_scores_2sec(
+            title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
+            title_posT, body_posT, tq, qn_p, ph_p, phv_p, pn_p,
+            # 256 (not the keyword kernels' 512): the posT tiles and the
+            # phrase-stage temporaries share VMEM with the keyword sweep
+            doc_block=256, emit_counts=emit_counts,
+        )
+        ts, bs = ts[:b], bs[:b]
+        tc = None if tc is None else tc[:b]
+        bc = None if bc is None else bc[:b]
+    else:
+        from .kernels.mixed import mixed_forward_scores
+
+        ts, tc, bs, bc = mixed_forward_scores(
+            title_fwd.ft, title_fwd.fw, body_fwd.ft, body_fwd.fw,
+            title_posT, body_posT, term_ids, ph_ids, ph_valid, n_blocks,
+        )
+    if tc is None:  # counts elided: all weights > 0, candidacy <=> score > 0
+        tc = (ts + bs > 0).astype(ts.dtype)
+        bc = jnp.zeros_like(tc)
+    final = finalize_scores(
+        ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
+    )
+    return exact_top_k(final, topk)
+
+
 # ---------------------------------------------------------------------- #
 # CSR gather/scatter formulation (phrase + parity oracle)
 # ---------------------------------------------------------------------- #

@@ -39,6 +39,74 @@ class ForwardArrays(NamedTuple):
 #: this budget (it is pure acceleration; the scalar-gather path is exact)
 POS_MAT_BUDGET_BYTES = 512 << 20
 
+#: doc-major positions (posT, the fused mixed kernel's stream layout) are
+#: built while C*T_pad*D_pad*4 bytes per section stays under this budget
+#: AND the per-posting unique-position count stays <= POS_T_C_MAX; the
+#: engine falls back to the sparse two-phase phrase lane when absent
+POS_T_BUDGET_BYTES = 2 << 30
+POS_T_C_MAX = 32
+
+
+def _build_posT(
+    csr: SectionCSR, fj: np.ndarray, d_pad: int, pos_big: float
+) -> tuple[np.ndarray, int] | None:
+    """Doc-major positions for the fused phrase kernel:
+
+        posT[c*T + t, d] = c-th UNIQUE position of doc d's term-slot t
+
+    (c-major rows so the kernel's slot-c view posT[c*T:(c+1)*T] is a
+    contiguous [T, Db] tile). Pad = pos_big (finite: the kernel's one-hot
+    select multiplies by 0/1 and inf*0 would poison it). Duplicate
+    positions within a posting (e.g. repeated anchor -100s) carry no chain
+    information and are blanked, which also caps C at the max UNIQUE
+    position count. Returns None when C would exceed POS_T_C_MAX or the
+    array would exceed POS_T_BUDGET_BYTES."""
+    d, t = fj.shape
+    n_post = csr.n_postings
+    p_pad = csr.doc_ids.shape[0]
+    pos_off = csr.pos_offsets.astype(np.int64)
+    if n_post == 0:
+        return np.full((1 * t, d_pad), pos_big, np.float32), 1
+    # dedupe positions WITHIN each posting first (they are sorted per
+    # posting, so duplicates are adjacent; an element is kept iff it opens
+    # its posting or differs from its predecessor)
+    l_total = int(pos_off[n_post])
+    plen = np.diff(pos_off[: n_post + 1])
+    seg_first = np.zeros(l_total, bool)
+    seg_first[pos_off[:n_post][plen > 0]] = True
+    raw = csr.positions[:l_total]
+    keep = seg_first.copy()
+    keep[1:] |= raw[1:] != raw[:-1]
+    pos_u = raw[keep]
+    seg = np.repeat(np.arange(n_post, dtype=np.int64), plen)
+    uniq = np.bincount(seg[keep], minlength=n_post)
+    c = int(uniq.max(initial=1))
+    c = max(c, 1)
+    if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
+        return None
+    # deduped offsets, extended over padded posting slots (empty ranges)
+    off_u = np.zeros(p_pad + 1, np.int64)
+    off_u[1 : n_post + 1] = np.cumsum(uniq)
+    off_u[n_post + 1 :] = off_u[n_post]
+    out = np.full((c * t, d_pad), pos_big, np.float32)
+    l_guard = max(len(pos_u) - 1, 0)
+    pos_u = np.concatenate([pos_u, [pos_big]]) if len(pos_u) else np.array([pos_big])
+    chunk = max(1, (64 << 20) // max(t * c * 4, 1))  # bound transient memory
+    ar_c = np.arange(c, dtype=np.int64)
+    for d0 in range(0, d, chunk):
+        d1 = min(d0 + chunk, d)
+        fj_blk = fj[d0:d1]  # [db, T]
+        start = off_u[fj_blk]
+        end = off_u[fj_blk + 1]
+        idx = start[..., None] + ar_c  # [db, T, C]
+        valid = idx < end[..., None]
+        pos = np.where(
+            valid, pos_u[np.minimum(idx, l_guard)], pos_big
+        ).astype(np.float32)
+        # [db, T, C] -> [C*T, db]
+        out[:, d0:d1] = pos.transpose(2, 1, 0).reshape(c * t, d1 - d0)
+    return out, c
+
 
 @dataclass
 class DeviceSection:
@@ -52,6 +120,11 @@ class DeviceSection:
     # turns the phrase matcher's per-element position gather into row
     # gathers (ops/phrase.py match_phrase_fwd); None when over budget
     pos_mat: jax.Array | None = None
+    # doc-major positions [C*T_pad, D_pad] for the fused mixed kernel
+    # (ops/kernels/mixed.py); None when over budget / C too wide — the
+    # engine then falls back to the two-phase sparse phrase lane
+    posT: jax.Array | None = None
+    pos_c: int = 0
     # True when some doc's dense forward row was truncated (doc_term_cap):
     # the forward phrase matcher would then under-match, so the engine
     # routes phrase queries through the exact CSR matcher instead
@@ -108,6 +181,15 @@ class DeviceSection:
             ftT=put(np.ascontiguousarray(ft.T)),
             fwT=put(np.ascontiguousarray(fw.T)),
         )
+        posT = None
+        pos_c = 0
+        if not truncated:  # truncated rows route to CSR anyway
+            from ..ops.kernels.mixed import POS_BIG
+
+            built = _build_posT(csr, fj, d_pad, POS_BIG)
+            if built is not None:
+                posT_np, pos_c = built
+                posT = put(posT_np)
         return cls(
             offsets=put(offsets.astype(np.int32)),
             doc_ids=put(csr.doc_ids),
@@ -116,6 +198,8 @@ class DeviceSection:
             positions=put(csr.positions),
             fwd=fwd,
             pos_mat=pos_mat,
+            posT=posT,
+            pos_c=pos_c,
             dense_truncated=truncated,
             has_zero_weight=zero_w,
         )
@@ -185,6 +269,12 @@ class DeviceIndex:
     @property
     def dense_truncated(self) -> bool:
         return self.title.dense_truncated or self.body.dense_truncated
+
+    @property
+    def pos_dense(self) -> bool:
+        """True when both sections carry the doc-major position layout the
+        fused mixed kernel streams (ops/kernels/mixed.py)."""
+        return self.title.posT is not None and self.body.posT is not None
 
     @property
     def has_zero_weight(self) -> bool:

@@ -60,10 +60,13 @@ class SearchServer:
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
+        http_opts: dict | None = None,  # FastHTTPFrontend guard overrides
+        # (read_timeout, max_header, max_body, max_connections)
     ) -> None:
         self.engine = engine
         self.static_dir = static_dir
         self.http_impl = http_impl
+        self.http_opts = dict(http_opts or {})
         self._fast = None
         self._httpd: ThreadingHTTPServer | None = None
         # reader-writer serving lock: queries (rank dispatch + store
@@ -273,7 +276,9 @@ class SearchServer:
         if self.http_impl == "fast":
             from .fastloop import FastHTTPFrontend
 
-            self._fast = FastHTTPFrontend(self, self.static_dir, _CONTENT_TYPES)
+            self._fast = FastHTTPFrontend(
+                self, self.static_dir, _CONTENT_TYPES, **self.http_opts
+            )
             self._fast.start(host, port)
             log.info("Server is running on port %d", port)
             self._fast.serve_forever()
@@ -286,7 +291,9 @@ class SearchServer:
         if self.http_impl == "fast":
             from .fastloop import FastHTTPFrontend
 
-            self._fast = FastHTTPFrontend(self, self.static_dir, _CONTENT_TYPES)
+            self._fast = FastHTTPFrontend(
+                self, self.static_dir, _CONTENT_TYPES, **self.http_opts
+            )
             return self._fast.start(host, port)
         self._httpd = _HTTPServer((host, port), self.make_handler())
         t = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -148,9 +148,19 @@ def test_randomized_reindex_matches_fresh_build():
             index_page(inc, html, url, last_modified=t0)
         mutated = rng.sample(sorted(pages), 6)
         rng2 = random.Random(7)
-        for url in mutated:
+        for k, url in enumerate(mutated):
             i = int(url.rsplit("page", 1)[1])
             _, html = make_page(rng2, i, n, base)
+            if k < 3:
+                # force meta-bearing mutations: stale meta-word title
+                # postings must be purged (deliberate fix of the
+                # reference's Page_title-only purge, indexer.go:452-472 —
+                # see _purge_old)
+                html = html.replace(
+                    b"</title>",
+                    b'</title><meta name="description" content="zanzibar melody">',
+                    1,
+                )
             pages[url] = html
             index_page(inc, html, url, last_modified=t0 + timedelta(days=1))
 
@@ -193,3 +203,26 @@ def test_randomized_reindex_matches_fresh_build():
     ai = {k: v.to_json() for k, v in inc.doc_info.items()}
     bi = {k: v.to_json() for k, v in fresh.doc_info.items()}
     assert ai == bi
+
+
+def test_meta_word_purge_on_reindex(db):
+    """Changed <meta> terms must not leave stale title-section postings.
+
+    The reference leaks here (its purge derives the old title vocabulary
+    from Page_title only, indexer.go:452-472, while meta terms are indexed
+    into the title table, parser.go:59-73); _purge_old re-tokenizes the
+    cached HTML instead — a documented deliberate fix."""
+    url = BASE + "/meta"
+    v1 = (b"<html><head><title>stable title</title>"
+          b'<meta name="description" content="ephemeral keyword">'
+          b"</head><body><p>body words</p></body></html>")
+    v2 = (b"<html><head><title>stable title</title>"
+          b'<meta name="description" content="replacement">'
+          b"</head><body><p>body words</p></body></html>")
+    index_page(db, v1, url, last_modified=T1)
+    doc_hash = md5_hex(url)
+    assert doc_hash in (db.inv_title.get(md5_hex("ephemer")) or {})
+    index_page(db, v2, url, last_modified=T2)
+    row = db.inv_title.get(md5_hex("ephemer")) or {}
+    assert doc_hash not in row, "stale meta-word posting survived re-index"
+    assert doc_hash in (db.inv_title.get(md5_hex("replac")) or {})
