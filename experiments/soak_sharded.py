@@ -1,0 +1,277 @@
+"""Sharded-serving soak at half-million-doc scale (BASELINE.md ladder rung
+5 / VERDICT r2 weak #5): a ShardedQueryEngine served over the virtual
+8-device CPU mesh, concurrent HTTP queries + wordlist polling + an
+append-subprocess -> /refresh loop.
+
+The corpus is written straight into the store (synthetic rows, not crawled
+HTML): this soak exercises SERVING at scale — snapshot/ShardedIndex
+rebuild, scorer reuse across refreshes, hydration at >prewarm scale, the
+rank/refresh lock dance — not the indexer (the crawled-corpus soak.py
+covers that end).
+
+python experiments/soak_sharded.py [--seconds 180] [--docs 524288]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+ROOT = "/tmp/soak_sharded_db"
+PORT = 8799
+N_WORDS = 20_000
+
+
+def build_synth_store(root: str, n_docs: int, start: int = 0,
+                      seed: int = 0, db=None) -> None:
+    """Write `n_docs` synthetic docs (ids start..start+n_docs) directly into
+    the store: Zipf body/title postings, DocInfo, magnitudes, rank rows,
+    summaries. Weight = normTF (idf omitted — serving math doesn't require
+    weighted rows, and the soak checks behavior, not ranking quality)."""
+    import numpy as np
+
+    from spaghettisearch_tpu.store.docinfo import DocInfo
+    from spaghettisearch_tpu.store.tables import Database
+    from spaghettisearch_tpu.utils.hashing import md5_hex
+    from datetime import datetime, timezone
+
+    rng = np.random.default_rng(seed + start)
+    own_db = db is None
+    if own_db:
+        db = Database(root)
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    vocab = [f"w{i:05d}" for i in range(N_WORDS)]
+    whash = [md5_hex(w) for w in vocab]
+    probs = 1.0 / np.arange(1, N_WORDS + 1) ** 1.05
+    probs /= probs.sum()
+
+    k_body, k_title = 10, 2
+    body = rng.choice(N_WORDS, size=(n_docs, k_body), p=probs)
+    title = rng.choice(N_WORDS, size=(n_docs, k_title), p=probs)
+    doc_urls = [f"http://synth.local/d{start + i}" for i in range(n_docs)]
+    doc_hash = [md5_hex(u) for u in doc_urls]
+
+    t0 = time.perf_counter()
+    with db.bulk():
+        if start == 0:
+            db.topic_meta.set("General", {"numPages": float(n_docs), "wordCount": 1.0})
+            with db.word.batch() as bw:
+                for wh, w in zip(whash, vocab):
+                    bw.set(wh, w)
+
+        mag_t = np.zeros(n_docs)
+        mag_b = np.zeros(n_docs)
+        for section, mat, mag in (("title", title, mag_t), ("body", body, mag_b)):
+            rows: dict[str, dict] = {}
+            inv = db.inverted(section)
+            for i in range(n_docs):
+                terms, counts = np.unique(mat[i], return_counts=True)
+                max_f = counts.max()
+                dh = doc_hash[i]
+                for wid, c in zip(terms, counts):
+                    w = float(c) / float(max_f)
+                    mag[i] += w * w
+                    rows.setdefault(int(wid), {})[dh] = [w, float(i % 50)]
+            with inv.batch() as bw:
+                for wid, row in rows.items():
+                    old = inv.get(whash[wid])
+                    if old:
+                        old.update(row)
+                        row = old
+                    bw.set(whash[wid], row)
+        np.sqrt(mag_t, out=mag_t)
+        np.sqrt(mag_b, out=mag_b)
+
+        with db.doc_info.batch() as bi, db.doc_magnitude.batch() as bm, \
+                db.doc_rank.batch() as br, db.doc_summary.batch() as bs, \
+                db.doc_children.batch() as bc:
+            for i in range(n_docs):
+                dh = doc_hash[i]
+                terms, counts = np.unique(body[i], return_counts=True)
+                bi.set(dh, DocInfo(
+                    url=doc_urls[i],
+                    page_title=[vocab[int(t)] for t in title[i]],
+                    mod_date=ts,
+                    page_size=512,
+                    children=[],
+                    parents={},
+                    words_mapping={
+                        whash[int(t)]: int(c) for t, c in zip(terms, counts)
+                    },
+                ))
+                bm.set(dh, {"title": float(mag_t[i]), "body": float(mag_b[i])})
+                br.set(dh, {"General": 1.0 / max(n_docs, 1)})
+                bs.set(dh, " ".join(vocab[int(t)] for t in body[i]))
+                bc.set(dh, [])
+    if own_db:
+        db.flush()
+        db.close()
+    print(f"wrote {n_docs} docs (start={start}) in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+APPEND_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+from experiments.soak_sharded import build_synth_store
+build_synth_store({root!r}, {count}, start={start})
+"""
+
+SERVER_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+sys.argv = ["server", "--db", {root!r}, "--port", "{port}",
+            "--meshShards", "8"]
+from spaghettisearch_tpu.cli.server import main
+main()
+"""
+
+
+def main() -> None:
+    seconds = 180.0
+    n_docs = 524_288
+    if "--seconds" in sys.argv:
+        seconds = float(sys.argv[sys.argv.index("--seconds") + 1])
+    if "--docs" in sys.argv:
+        n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # host-side build only
+    if not os.path.exists(os.path.join(ROOT, "BUILT")):
+        shutil.rmtree(ROOT, ignore_errors=True)
+        build_synth_store(ROOT, n_docs)
+        open(os.path.join(ROOT, "BUILT"), "w").write(str(n_docs))
+    print("fixture store ready", flush=True)
+
+    log = open("/tmp/soak_sharded_server.log", "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         SERVER_SNIPPET.format(repo=repo, root=ROOT, port=PORT)],
+        stdout=log, stderr=subprocess.STDOUT, cwd=repo,
+    )
+    lat: list[float] = []
+    try:
+        deadline = time.monotonic() + 3000
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError("server died; see /tmp/soak_sharded_server.log")
+            with open("/tmp/soak_sharded_server.log", "rb") as f:
+                if b"Server is running" in f.read():
+                    break
+            time.sleep(5)
+        else:
+            raise RuntimeError("server never came up")
+        print("server up", flush=True)
+
+        errors: list[str] = []
+        counts = {"queries": 0, "wordlists": 0, "refreshes": 0}
+        stop = threading.Event()
+        terms = ["w00001", "w00040 w00100", "w00002 w01000 w12345",
+                 '"w00003 w00007"', "w19999", "nonexistentzz",
+                 '"w00005" w00050']
+
+        def qworker(i: int) -> None:
+            import random as _r
+
+            r = _r.Random(i)
+            while not stop.is_set():
+                q = r.choice(terms)
+                try:
+                    t0 = time.monotonic()
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{PORT}/query",
+                        data=json.dumps({"query": q}).encode(),
+                        headers={"Content-Type": "application/json"},
+                    )
+                    with urllib.request.urlopen(req, timeout=600) as resp:
+                        json.load(resp)
+                    lat.append(time.monotonic() - t0)
+                    counts["queries"] += 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"query {q!r}: {type(e).__name__}: {e}")
+
+        def wworker() -> None:
+            while not stop.is_set():
+                try:
+                    with urllib.request.urlopen(
+                        f"http://127.0.0.1:{PORT}/wordlist/w0001", timeout=600
+                    ) as resp:
+                        json.load(resp)
+                    counts["wordlists"] += 1
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"wordlist: {type(e).__name__}: {e}")
+                stop.wait(5.0)
+
+        threads = [threading.Thread(target=qworker, args=(i,)) for i in range(6)]
+        threads.append(threading.Thread(target=wworker))
+        for t in threads:
+            t.start()
+
+        t_end = time.monotonic() + seconds
+        base = n_docs
+        while time.monotonic() < t_end:
+            code = APPEND_SNIPPET.format(repo=repo, root=ROOT,
+                                         count=2000, start=base)
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=900, cwd=repo,
+            )
+            if out.returncode != 0:
+                errors.append("append failed: " + out.stderr[-500:])
+                break
+            base += 2000
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{PORT}/refresh", data=b"{}",
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=2500) as resp:
+                    r = json.load(resp)
+                    assert r.get("ok"), r
+                counts["refreshes"] += 1
+                print(f"refresh #{counts['refreshes']}: docs={r['docs']} "
+                      f"lock={r['lock_seconds']}s queries={counts['queries']}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"refresh: {type(e).__name__}: {e}")
+                break
+
+        stop.set()
+        for t in threads:
+            t.join(timeout=620)
+        lat.sort()
+        p50 = lat[len(lat) // 2] if lat else None
+        p99 = lat[int(len(lat) * 0.99)] if lat else None
+        print(json.dumps({
+            "counts": counts, "errors": errors[:10], "n_errors": len(errors),
+            "p50_s": round(p50, 3) if p50 else None,
+            "p99_s": round(p99, 3) if p99 else None,
+            "docs_final": base,
+        }), flush=True)
+        if errors:
+            sys.exit(1)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except Exception:  # noqa: BLE001
+            proc.kill()
+
+
+if __name__ == "__main__":
+    main()

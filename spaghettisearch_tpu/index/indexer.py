@@ -33,9 +33,9 @@ from ..utils.hashing import md5_hex
 def _round_f32(values: list[float]) -> list[float]:
     """Postings are float32 on device and in the reference; keep the store
     consistent with what the device will see."""
-    import struct
+    import numpy as np
 
-    return [struct.unpack("f", struct.pack("f", v))[0] for v in values]
+    return np.asarray(values, dtype=np.float32).astype(float).tolist()
 
 
 def index_page(

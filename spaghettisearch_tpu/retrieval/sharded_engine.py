@@ -83,7 +83,6 @@ class ShardedQueryEngine(QueryEngine):
         self._scorer_cache: dict[tuple, object] = {}
         self._live = (self.snapshot, self._build_sharded(self.snapshot))
         self.snapshot, self.index = self._live
-        self._wordlist_cache = None
 
     def _build_sharded(self, snapshot) -> _ShardedLive:
         sidx = ShardedIndex.from_snapshot(
@@ -120,6 +119,8 @@ class ShardedQueryEngine(QueryEngine):
             ghost._live = (snapshot, facts)
             ghost.snapshot, ghost.index = snapshot, facts
             ghost.warmup()
+            ghost.prewarm_hydration()
+            ghost.prewarm_wordlist()
         return (new_db, snapshot, facts)
 
     def commit_refresh(self, state) -> None:
@@ -129,7 +130,6 @@ class ShardedQueryEngine(QueryEngine):
             self.db = new_db
         self._live = (snapshot, facts)
         self.snapshot, self.index = snapshot, facts
-        self._wordlist_cache = None
         if old_db is not None:
             old_db.close()
 

@@ -8,9 +8,18 @@ so that an index built here is row-compatible with one built by the reference.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
+def _md5_str(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
 def md5_hex(s: str | bytes) -> str:
     if isinstance(s, str):
-        s = s.encode("utf-8")
+        # words/URLs repeat Zipf-style across pages — measured ~2.4% of the
+        # bulk-index profile in hashing alone; bytes inputs (raw page
+        # bodies, change detection) are unique blobs and stay uncached
+        return _md5_str(s)
     return hashlib.md5(s).hexdigest()
