@@ -68,19 +68,32 @@ def build_synth_store(root: str, n_docs: int, start: int = 0,
                 for wh, w in zip(whash, vocab):
                     bw.set(wh, w)
 
+        # cap per-word df like a stopword-filtered crawl (synth_snapshot's
+        # max_df rationale): an uncapped Zipf head word reaches df ~293k at
+        # 512k docs, which makes every phrase-matcher shape (E = 2*max_df)
+        # intractable on the 1-core CPU mesh and unrealistic vs real corpora
+        max_df = 16_384
         mag_t = np.zeros(n_docs)
         mag_b = np.zeros(n_docs)
         for section, mat, mag in (("title", title, mag_t), ("body", body, mag_b)):
             rows: dict[str, dict] = {}
+            full: set[int] = set()
             inv = db.inverted(section)
             for i in range(n_docs):
                 terms, counts = np.unique(mat[i], return_counts=True)
                 max_f = counts.max()
                 dh = doc_hash[i]
                 for wid, c in zip(terms, counts):
+                    wid = int(wid)
                     w = float(c) / float(max_f)
                     mag[i] += w * w
-                    rows.setdefault(int(wid), {})[dh] = [w, float(i % 50)]
+                    if wid in full:
+                        continue
+                    row = rows.setdefault(wid, {})
+                    if len(row) >= max_df:
+                        full.add(wid)
+                        continue
+                    row[dh] = [w, float(i % 50)]
             with inv.batch() as bw:
                 for wid, row in rows.items():
                     old = inv.get(whash[wid])

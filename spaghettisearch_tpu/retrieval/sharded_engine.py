@@ -162,8 +162,14 @@ class ShardedQueryEngine(QueryEngine):
         snap, facts = live
         sidx = facts.sidx
         b_real = len(parsed)
-        # batch bucket must also divide by the query-row mesh axis
-        b = max(_pow2(b_real), self.n_query_rows, 1)
+        # batch bucket: {B_SMALL, WARM_B_MAX} like the single-chip engine
+        # (round-2 policy; the old per-pow2 ladder meant 8 live batch
+        # shapes, each a multi-minute shard_map compile at 512k-doc scale —
+        # measured as the sharded soak's warmup wall), also rounded up to
+        # the query-row mesh axis
+        from .engine import _b_bucket
+
+        b = max(_b_bucket(b_real), self.n_query_rows, 1)
         q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
         p_real = max((len(p.phrase_hashes) for p in parsed), default=0)
         n_ph = sum(1 for p in parsed if p.phrase_hashes)
@@ -249,9 +255,12 @@ class ShardedQueryEngine(QueryEngine):
 
     def warmup(self, max_batch: int = WARM_B_MAX) -> None:  # pragma: no cover - timing
         """Walk the reachable sharded compile shapes (cf. QueryEngine.warmup):
-        per batch bucket the keyword program, the single-phrase program
-        (bp=1) and the all-phrase program (bp=b); plus the one catch-all
-        (WARM_B_MAX, Q_CATCHALL, bp=WARM_B_MAX, p=_P_SHARD_MAX)."""
+        per batch BUCKET ({B_SMALL, WARM_B_MAX}) the keyword program, the
+        single-phrase program (bp=1) and the all-phrase program (bp=b);
+        plus the one catch-all (WARM_B_MAX, Q_CATCHALL, bp=WARM_B_MAX,
+        p=_P_SHARD_MAX)."""
+        from .engine import B_SMALL
+
         if self.index.n_docs == 0:
             return
         kw = parse_query("warmup")
@@ -261,11 +270,10 @@ class ShardedQueryEngine(QueryEngine):
             keyword_hashes=["0" * 32] * (Q_BASE + 1),
             phrase_hashes=["0" * 32] * (Q_BASE + 1),
         )
-        b = max(self.n_query_rows, 1)
-        while b <= max_batch:
+        for b in sorted({max(B_SMALL, self.n_query_rows, 1),
+                         max(max_batch, self.n_query_rows, 1)}):
             self.rank([kw] * b, topk=MAX_RESULTS)
             self.rank([ph] + [kw] * (b - 1), topk=MAX_RESULTS)  # bp=1
             if b > 1:
                 self.rank([ph] * b, topk=MAX_RESULTS)  # bp=b
-            b *= 2
         self.rank([rare], topk=MAX_RESULTS)  # the catch-all program
