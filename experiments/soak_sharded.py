@@ -147,7 +147,10 @@ import jax
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_platforms", "cpu")
 sys.argv = ["server", "--db", {root!r}, "--port", "{port}",
-            "--meshShards", "8"]
+            "--meshShards", "8", "--noWarmup"]
+# --noWarmup: the soak's 1-core CPU mesh compiles lazily (in-process jit
+# cache); the full warm walk at 512k docs costs tens of minutes of host
+# time and exists for the remote-TPU relay's compile/settle economics
 from spaghettisearch_tpu.cli.server import main
 main()
 """

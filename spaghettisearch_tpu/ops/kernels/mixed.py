@@ -92,7 +92,9 @@ def _phrase_term_stage(ft, fw, pid_col, vmask_col, posT=None, c=0):
                     eqf * posT[ci * t + t0 : ci * t + t1, :][None], axis=1
                 )
     valid = vmask_col[:, None] > 0.0  # [Bb, 1] -> broadcast
-    found_eff = (cnt > 0.0) | ~valid
+    # f32 mask (1.0/0.0), NOT bool: these flow through scf.for carries and
+    # Mosaic fails to legalize i1 vector carries (measured round 3)
+    found_eff = jnp.where(valid, (cnt > 0.0).astype(jnp.float32), 1.0)
     return found_eff, jnp.where(valid, w, 0.0), pos
 
 
@@ -123,7 +125,10 @@ def _phrase_block(
         sel = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) == p
         return jnp.sum(jnp.where(sel, v, jnp.zeros_like(v)), axis=1)
 
-    ones = jnp.ones((bb, db), dtype=jnp.bool_)
+    # all fori carries are f32 planes (Mosaic cannot legalize i1 vector
+    # carries in scf.for — measured round 3); masks are 1.0/0.0, AND is
+    # multiply, OR is maximum
+    ones = jnp.ones((bb, db), dtype=jnp.float32)
     zeros = jnp.zeros((bb, db), dtype=jnp.float32)
 
     def mem_body(p, carry):
@@ -133,8 +138,8 @@ def _phrase_block(
         tf_found, tw, _ = _phrase_term_stage(tft, tfw, pid, vm)
         bf_found, bw, _ = _phrase_term_stage(bft, bfw, pid, vm)
         return (
-            present & (tf_found | bf_found), t_all & tf_found,
-            b_all & bf_found, sum_tw + tw, sum_bw + bw,
+            present * jnp.maximum(tf_found, bf_found), t_all * tf_found,
+            b_all * bf_found, sum_tw + tw, sum_bw + bw,
         )
 
     present_all, t_all, b_all, sum_tw, sum_bw = jax.lax.fori_loop(
@@ -142,8 +147,8 @@ def _phrase_block(
     )
     hp = (phv[:, 0] > 0.0)[:, None]  # row has a phrase at all
     # positional chain, only where some doc could match at all
-    cand_t = t_all & present_all & hp
-    cand_b = b_all & present_all & hp
+    cand_t = (t_all * present_all > 0.0) & hp
+    cand_b = (b_all * present_all > 0.0) & hp
 
     @pl.when(jnp.any(cand_t | cand_b))
     def _():
@@ -152,8 +157,12 @@ def _phrase_block(
         vm0 = phv[:, 0]
         _, _, anchor_t = _phrase_term_stage(tft, tfw, pid0, vm0, tposT, ct)
         _, _, anchor_b = _phrase_term_stage(bft, bfw, pid0, vm0, bposT, cb)
-        hit_t0 = tuple(a < POS_REAL_MAX for a in anchor_t)
-        hit_b0 = tuple(a < POS_REAL_MAX for a in anchor_b)
+        hit_t0 = tuple(
+            (a < POS_REAL_MAX).astype(jnp.float32) for a in anchor_t
+        )
+        hit_b0 = tuple(
+            (a < POS_REAL_MAX).astype(jnp.float32) for a in anchor_b
+        )
 
         def chain_body(p, hits):
             hit_t, hit_b = hits
@@ -168,13 +177,15 @@ def _phrase_block(
                 m = jnp.zeros((bb, db), dtype=jnp.bool_)
                 for c in range(ct):
                     m |= pos_t[c] == anchor_t[c0] + fp
-                new_t.append(hit_t[c0] & (m | ~valid))
+                mf = jnp.where(valid, m.astype(jnp.float32), 1.0)
+                new_t.append(hit_t[c0] * mf)
             new_b = []
             for c0 in range(cb):
                 m = jnp.zeros((bb, db), dtype=jnp.bool_)
                 for c in range(cb):
                     m |= pos_b[c] == anchor_b[c0] + fp
-                new_b.append(hit_b[c0] & (m | ~valid))
+                mf = jnp.where(valid, m.astype(jnp.float32), 1.0)
+                new_b.append(hit_b[c0] * mf)
             return (tuple(new_t), tuple(new_b))
 
         # a 1-term phrase (pnb == 1) runs zero chain steps: it matches
@@ -182,12 +193,12 @@ def _phrase_block(
         hit_t, hit_b = jax.lax.fori_loop(1, pnb, chain_body, (hit_t0, hit_b0))
         ch_t = hit_t[0]
         for h in hit_t[1:]:
-            ch_t = ch_t | h
+            ch_t = jnp.maximum(ch_t, h)
         ch_b = hit_b[0]
         for h in hit_b[1:]:
-            ch_b = ch_b | h
-        chain_t_ref[:, :] = ch_t.astype(jnp.float32)
-        chain_b_ref[:, :] = ch_b.astype(jnp.float32)
+            ch_b = jnp.maximum(ch_b, h)
+        chain_t_ref[:, :] = ch_t
+        chain_b_ref[:, :] = ch_b
 
     # stale scratch when the pl.when was skipped is harmless: cand_* is
     # then all-false, and the chain bit only matters where cand_* holds

@@ -253,10 +253,13 @@ class QueryEngine:
             ghost.prewarm_wordlist()
         return (new_db, snapshot, index, model)
 
-    def commit_refresh(self, state) -> None:
-        """Swap in a prepared live state. Caller must exclude concurrent
-        readers (the server holds its write lock): the old store handles are
-        closed here and any reader still inside them would use-after-free."""
+    def commit_refresh(self, state):
+        """Swap in a prepared live state — O(pointer stores). Caller must
+        exclude concurrent readers (the server holds its write lock).
+        Returns the superseded Database (or None) for the CALLER to close
+        AFTER releasing the lock: closing a crawl-scale store flushes and
+        frees for seconds (measured 5.5 s at 512k docs), which must not
+        stall queries."""
         new_db, snapshot, index, model = state
         old_db = self.db if new_db is not None else None
         if new_db is not None:
@@ -264,8 +267,7 @@ class QueryEngine:
         self.model = model
         self._live = (snapshot, index, model)
         self.snapshot, self.index = snapshot, index
-        if old_db is not None:
-            old_db.close()
+        return old_db
 
     def refresh(self) -> None:
         """Rebuild the snapshot + device index from the store and swap
@@ -274,7 +276,9 @@ class QueryEngine:
         readers — see serve/server.py's reader-writer lock). Convenience
         form for batch jobs/tests: skips the off-lock warmup (the server's
         /refresh calls prepare_refresh() directly, which warms)."""
-        self.commit_refresh(self.prepare_refresh(warm=False))
+        old_db = self.commit_refresh(self.prepare_refresh(warm=False))
+        if old_db is not None:
+            old_db.close()
 
     # ------------------------------------------------------------------ #
     # device ranking

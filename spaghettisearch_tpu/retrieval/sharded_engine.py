@@ -114,27 +114,38 @@ class ShardedQueryEngine(QueryEngine):
         snapshot = build_snapshot(db)
         facts = self._build_sharded(snapshot)
         if warm:
+            import jax
+
             ghost = copy.copy(self)
             ghost.db = db
             ghost._live = (snapshot, facts)
             ghost.snapshot, ghost.index = snapshot, facts
-            ghost.warmup()
+            # the warm walk exists for the remote-TPU relay (fresh-compile
+            # + per-program settle costs); on the CPU mesh the geometry-
+            # keyed scorer cache + in-process jit cache already cover a
+            # same-geometry swap, and re-EXECUTING every program at
+            # half-million-doc scale costs minutes of the 1-core host
+            if jax.default_backend() != "cpu":
+                ghost.warmup()
             ghost.prewarm_hydration()
             ghost.prewarm_wordlist()
         return (new_db, snapshot, facts)
 
-    def commit_refresh(self, state) -> None:
+    def commit_refresh(self, state):
+        """O(pointer) swap; returns the superseded Database for the caller
+        to close OFF the serving lock (see QueryEngine.commit_refresh)."""
         new_db, snapshot, facts = state
         old_db = self.db if new_db is not None else None
         if new_db is not None:
             self.db = new_db
         self._live = (snapshot, facts)
         self.snapshot, self.index = snapshot, facts
-        if old_db is not None:
-            old_db.close()
+        return old_db
 
     def refresh(self) -> None:
-        self.commit_refresh(self.prepare_refresh(warm=False))
+        old_db = self.commit_refresh(self.prepare_refresh(warm=False))
+        if old_db is not None:
+            old_db.close()
 
     def _scorer(self, facts: _ShardedLive, topk: int):
         s = facts.scorers.get(topk)

