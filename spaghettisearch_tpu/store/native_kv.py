@@ -117,11 +117,20 @@ class NativeBackend:
             raise RuntimeError(f"fastkv_open failed for {path}")
         self.path = path
 
+    @property
+    def _hh(self):
+        """Live handle; a closed backend raises instead of passing NULL into
+        C (a superseded-then-used Database segfaulted here — r3)."""
+        h = self._h
+        if not h:
+            raise RuntimeError(f"fastkv backend is closed: {self.path}")
+        return h
+
     def get(self, key: str) -> str | None:
         out = ctypes.POINTER(ctypes.c_char)()
         out_len = ctypes.c_uint32()
         kb = key.encode()
-        if not self._lib.fastkv_get(self._h, kb, len(kb), ctypes.byref(out), ctypes.byref(out_len)):
+        if not self._lib.fastkv_get(self._hh, kb, len(kb), ctypes.byref(out), ctypes.byref(out_len)):
             return None
         try:
             return ctypes.string_at(out, out_len.value).decode()
@@ -130,11 +139,11 @@ class NativeBackend:
 
     def set(self, key: str, value: str) -> None:
         kb, vb = key.encode(), value.encode()
-        self._lib.fastkv_set(self._h, kb, len(kb), vb, len(vb))
+        self._lib.fastkv_set(self._hh, kb, len(kb), vb, len(vb))
 
     def delete(self, key: str) -> None:
         kb = key.encode()
-        self._lib.fastkv_delete(self._h, kb, len(kb))
+        self._lib.fastkv_delete(self._hh, kb, len(kb))
 
     def set_many(self, items: list[tuple[str, str]]) -> None:
         if not items:
@@ -144,11 +153,11 @@ class NativeBackend:
         klens = (ctypes.c_uint32 * len(items))(*[len(k) for k in keys])
         vlens = (ctypes.c_uint32 * len(items))(*[len(v) for v in vals])
         self._lib.fastkv_set_many(
-            self._h, len(items), b"".join(keys), klens, b"".join(vals), vlens
+            self._hh, len(items), b"".join(keys), klens, b"".join(vals), vlens
         )
 
     def items(self) -> Iterator[tuple[str, str]]:
-        it = self._lib.fastkv_iter_new(self._h)
+        it = self._lib.fastkv_iter_new(self._hh)
         k = ctypes.POINTER(ctypes.c_char)()
         v = ctypes.POINTER(ctypes.c_char)()
         klen = ctypes.c_uint32()
@@ -165,10 +174,10 @@ class NativeBackend:
             self._lib.fastkv_iter_free(it)
 
     def __len__(self) -> int:
-        return int(self._lib.fastkv_len(self._h))
+        return int(self._lib.fastkv_len(self._hh))
 
     def flush(self) -> None:
-        self._lib.fastkv_flush(self._h)
+        self._lib.fastkv_flush(self._hh)
 
     def compact(self) -> bool:
         """Rewrite the WAL from the live map. Returns False when the engine
@@ -176,7 +185,7 @@ class NativeBackend:
         opened, and rewriting would silently drop its rows (the crawl-
         subprocess-then-/refresh workflow). Compact only from the single
         writer process."""
-        ok = bool(self._lib.fastkv_compact(self._h))
+        ok = bool(self._lib.fastkv_compact(self._hh))
         if not ok:
             import logging
 
@@ -187,7 +196,7 @@ class NativeBackend:
         return ok
 
     def maybe_compact(self) -> None:
-        if self._lib.fastkv_log_bytes(self._h) > self.WAL_COMPACT_BYTES:
+        if self._lib.fastkv_log_bytes(self._hh) > self.WAL_COMPACT_BYTES:
             self.compact()
 
     def export_postings(self):
@@ -209,7 +218,7 @@ class NativeBackend:
         n_post = c.c_uint64()
         n_pos = c.c_uint64()
         n_rows = self._lib.fastkv_export_postings(
-            self._h, c.byref(row_keys), c.byref(row_offsets),
+            self._hh, c.byref(row_keys), c.byref(row_offsets),
             c.byref(doc_hashes), c.byref(weights),
             c.byref(pos_offsets), c.byref(positions),
             c.byref(n_post), c.byref(n_pos),
@@ -247,7 +256,7 @@ class NativeBackend:
         out_docs = c.POINTER(c.c_char)()
         out_sums = c.POINTER(c.c_double)()
         n = self._lib.fastkv_apply_term_weights(
-            self._h, raw_backend._h,
+            self._hh, raw_backend._hh,
             len(keys), keys.tobytes(),
             vals.ctypes.data_as(c.POINTER(c.c_double)),
             c.byref(out_docs), c.byref(out_sums),
