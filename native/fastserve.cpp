@@ -140,13 +140,10 @@ int64_t fv_gen_count(void* gen) {
 
 void fv_gen_free(void* gen) { delete (Gen*)gen; }
 
-// -> bytes written; -1: out_cap too small (caller grows + retries);
-// -2: a kept doc is not registered (caller uses the Python assembler)
-int64_t fv_assemble(void* gen, const int32_t* ids, const float* scores,
-                    int32_t k, const char* qtoks, int32_t n_q,
-                    const char* phtoks, const int32_t* ph_lens, int32_t n_ph,
-                    char* out, int64_t out_cap) {
-  Gen* g = (Gen*)gen;
+static int64_t assemble_row(Gen* g, const int32_t* ids, const float* scores,
+                            int32_t k, const char* qtoks, int32_t n_q,
+                            const char* phtoks, const int32_t* ph_lens,
+                            int32_t n_ph, char* out, int64_t out_cap) {
 
   // query-side views + 128-bit query hash (token blobs incl. NULs)
   std::vector<fsum::TokView> qt, pt;
@@ -235,6 +232,49 @@ int64_t fv_assemble(void* gen, const int32_t* ids, const float* scores,
   w.put("]", 1);
   if (w.overflow) return -1;
   return w.len;
+}
+
+// -> bytes written; -1: out_cap too small (caller grows + retries);
+// -2: a kept doc is not registered (caller uses the Python assembler)
+int64_t fv_assemble(void* gen, const int32_t* ids, const float* scores,
+                    int32_t k, const char* qtoks, int32_t n_q,
+                    const char* phtoks, const int32_t* ph_lens, int32_t n_ph,
+                    char* out, int64_t out_cap) {
+  return assemble_row((Gen*)gen, ids, scores, k, qtoks, n_q, phtoks, ph_lens,
+                      n_ph, out, out_cap);
+}
+
+// Whole-batch assembly in ONE call: the serving profile measured per-row
+// assembly from ~128 concurrent handler threads at ~3.5x its single-thread
+// CPU (context-switch + cache thrash on the 1-core host); the micro-batcher
+// thread instead assembles every row here back-to-back, cache-warm, and
+// handler threads only write finished bytes to their sockets.
+//
+// Row r uses ids[r*k..], scores[r*k..], qtoks blob [q_off[r], q_off[r+1]),
+// n_q[r] tokens, phrase blob [ph_off[r], ph_off[r+1]), ph_lens slice
+// [phl_off[r], phl_off[r+1]). Bodies are written contiguously into out;
+// out_lens[r] = row byte length, or -2 for a row that must fall back to the
+// Python assembler (unregistered doc). Returns total bytes, or -1 when
+// out_cap is too small (caller grows + retries).
+int64_t fv_assemble_batch(void* gen, const int32_t* ids, const float* scores,
+                          int32_t rows, int32_t k, const char* q_blob,
+                          const int64_t* q_off, const int32_t* n_q,
+                          const char* ph_blob, const int64_t* ph_off,
+                          const int32_t* ph_lens_flat, const int64_t* phl_off,
+                          char* out, int64_t out_cap, int64_t* out_lens) {
+  Gen* g = (Gen*)gen;
+  int64_t pos = 0;
+  for (int32_t r = 0; r < rows; r++) {
+    int64_t n = assemble_row(
+        g, ids + (int64_t)r * k, scores + (int64_t)r * k, k,
+        q_blob + q_off[r], n_q[r], ph_blob + ph_off[r],
+        ph_lens_flat + phl_off[r], (int32_t)(phl_off[r + 1] - phl_off[r]),
+        out + pos, out_cap - pos);
+    if (n == -1) return -1;
+    out_lens[r] = n;
+    if (n > 0) pos += n;
+  }
+  return pos;
 }
 
 }  // extern "C"

@@ -169,6 +169,31 @@ def _fetch_ranked(scores, ids) -> tuple[np.ndarray, np.ndarray]:
     return s, packed[n:].reshape(shape).astype(np.int32)
 
 
+class _RankHandle:
+    """A dispatched-but-unfetched batch rank. The device executes (and the
+    relay transfers) asynchronously after dispatch; finish() blocks for the
+    packed result. The micro-batcher uses the split to overlap batch N's
+    device execution with batch N-1's host-side response assembly."""
+
+    __slots__ = ("_packed", "_shape", "_inv", "_b_real")
+
+    def __init__(self, scores, ids, inv, b_real) -> None:
+        # pack on device: one d2h round trip (a relay RTT each) not two
+        self._packed = jnp.concatenate(
+            [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
+        )
+        self._shape = scores.shape
+        self._inv = inv
+        self._b_real = b_real
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        packed = np.asarray(self._packed)
+        n = packed.shape[0] // 2
+        s = packed[:n].reshape(self._shape)
+        i = packed[n:].reshape(self._shape).astype(np.int32)
+        return s[self._inv][: self._b_real], i[self._inv][: self._b_real]
+
+
 def _cap_levels(posting_cap: int) -> tuple[int, ...]:
     """Phrase-matcher posting-window levels. The matcher's cost is linear in
     the static cap (it gathers 2*cap candidate rows per section); round-1's
@@ -289,6 +314,14 @@ class QueryEngine:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Device-rank a batch. Returns (scores [B,K], doc_ids [B,K]);
         non-candidate slots have score -inf."""
+        return self.rank_async(parsed, topk, live).finish()
+
+    def rank_async(
+        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
+    ) -> _RankHandle:
+        """Dispatch a batch rank and return immediately; the device (and the
+        relay's d2h transfer) proceed while the host does other work. Call
+        .finish() on the returned handle for the (scores, ids) arrays."""
         if live is None:
             live = self._live
         snap, idx = live[0], live[1]
@@ -393,8 +426,7 @@ class QueryEngine:
                         jnp.asarray(term_ids), jnp.asarray(qlen),
                         jnp.asarray(topic_probs), topk=topk, qn=jnp.asarray(qn),
                     )
-                s, i = _fetch_ranked(scores, ids)
-                return s[inv][:b_real], i[inv][:b_real]
+                return _RankHandle(scores, ids, inv, b_real)
 
         # pad slot lands past the real doc range in the fold-in accumulator
         # and is dropped/sliced away
@@ -426,13 +458,12 @@ class QueryEngine:
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                     jnp.asarray(ph_fl), topk=topk, qn=jnp.asarray(qn),
                 )
-            s, i = _fetch_ranked(scores, ids)
-            return s[inv][:b_real], i[inv][:b_real]
+            return _RankHandle(scores, ids, inv, b_real)
 
     def _rank_fused(
         self, parsed: list[ParsedQuery], topk: int, live, b: int, q: int,
         q_real: int, b_real: int,
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> _RankHandle:
         """Fused mixed lane: keyword scoring + dense in-kernel phrase
         matching + fold + finalize + top-k as ONE device program with ONE
         packed fetch (ops/kernels/mixed.py). Replaces round-2's two-phase
@@ -498,8 +529,7 @@ class QueryEngine:
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid),
                 topk=topk, qn=jnp.asarray(qn), pn=jnp.asarray(pn),
             )
-            s, i = _fetch_ranked(scores, ids)
-            return s[inv][:b_real], i[inv][:b_real]
+            return _RankHandle(scores, ids, inv, b_real)
 
     def _phrase_weights(self, idx, model=None):
         """Posting-weight arrays the phrase matcher sums: the ranking

@@ -62,6 +62,17 @@ def _load_lib():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int64,
         ]
+        lib.fv_assemble_batch.restype = ctypes.c_int64
+        lib.fv_assemble_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
 
@@ -127,6 +138,68 @@ class HydrationGen:
                 continue
             return None  # -2: unregistered doc -> Python path
         return None
+
+    def assemble_batch(self, ids, scores, packed_rows) -> list[bytes | None] | None:
+        """Assemble a whole ranked batch in ONE GIL-released call (the
+        micro-batcher thread owns this; per-row assembly from ~128
+        concurrent handler threads measured ~3.5x the CPU from context
+        switch + cache thrash on the 1-core host). ids/scores are [R, K];
+        packed_rows[r] is native_summary.pack_query output for row r.
+        Returns a body per row (None where that row must take the Python
+        fallback), or None when the whole call cannot run."""
+        ids = np.ascontiguousarray(ids, dtype=np.int32)
+        scores = np.ascontiguousarray(scores, dtype=np.float32)
+        rows, k = ids.shape
+        q_parts: list[bytes] = []
+        ph_parts: list[bytes] = []
+        q_off = np.zeros(rows + 1, np.int64)
+        ph_off = np.zeros(rows + 1, np.int64)
+        phl_off = np.zeros(rows + 1, np.int64)
+        n_q = np.zeros(rows, np.int32)
+        ph_lens_flat: list[int] = []
+        for r, (qtoks, nq, phtoks, ph_lens, n_ph) in enumerate(packed_rows):
+            q_parts.append(qtoks)
+            ph_parts.append(phtoks)
+            n_q[r] = nq
+            ph_lens_flat.extend(ph_lens[i] for i in range(n_ph))
+            q_off[r + 1] = q_off[r] + len(qtoks)
+            ph_off[r + 1] = ph_off[r] + len(phtoks)
+            phl_off[r + 1] = len(ph_lens_flat)
+        q_blob = b"".join(q_parts)
+        ph_blob = b"".join(ph_parts)
+        phl = np.asarray(ph_lens_flat or [0], np.int32)
+        out_lens = np.zeros(rows, np.int64)
+        ids_p = ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        sc_p = scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        buf = _out_buf(max(1 << 22, rows * (1 << 16)))
+        for _ in range(4):
+            total = self._lib.fv_assemble_batch(
+                self._ptr, ids_p, sc_p, rows, k,
+                q_blob, q_off.ctypes.data_as(i64), n_q.ctypes.data_as(i32),
+                ph_blob, ph_off.ctypes.data_as(i64),
+                phl.ctypes.data_as(i32), phl_off.ctypes.data_as(i64),
+                buf, len(buf), out_lens.ctypes.data_as(i64),
+            )
+            if total >= 0:
+                break
+            buf = _out_buf(len(buf) * 2)
+        else:
+            return None
+        bodies: list[bytes | None] = []
+        pos = 0
+        # slice rows straight out of the ctypes buffer (one copy per row);
+        # string_at would first copy the WHOLE multi-MB batch buffer
+        mv = memoryview(buf)
+        for r in range(rows):
+            n = int(out_lens[r])
+            if n < 0:
+                bodies.append(None)
+                continue
+            bodies.append(bytes(mv[pos: pos + n]))
+            pos += n
+        return bodies
 
     def __del__(self) -> None:
         ptr, self._ptr = getattr(self, "_ptr", None), None

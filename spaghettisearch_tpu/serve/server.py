@@ -93,7 +93,12 @@ class SearchServer:
         with TRACER.span("serve.query"):
             t0 = time.perf_counter()
             if self.batcher is not None:
-                scores, ids, parsed, live = self.batcher.query_raw(query)
+                body, scores, ids, parsed, live = self.batcher.query_raw(query)
+                if body is not None:  # assembled natively on the batch worker
+                    log.debug("query %r -> %d bytes in %.1f ms",
+                              query, len(body),
+                              1e3 * (time.perf_counter() - t0))
+                    return body
             else:
                 with self._rank_lock.read():
                     from ..retrieval.engine import parse_query

@@ -45,15 +45,16 @@ def test_batcher_propagates_errors(engine):
         class Boom(Exception):
             pass
 
-        orig = engine.rank
+        orig_rank, orig_async = engine.rank, engine.rank_async
 
         def boom(*a, **k):
             raise Boom()
 
-        engine.rank = boom
+        # the batcher prefers rank_async; patch both so either path raises
+        engine.rank = engine.rank_async = boom
         with pytest.raises(Boom):
             batcher.query("anything")
-        engine.rank = orig
+        engine.rank, engine.rank_async = orig_rank, orig_async
         assert batcher.query("algorithm") is not None
     finally:
         batcher.shutdown()

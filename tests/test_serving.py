@@ -229,6 +229,59 @@ def test_native_assembler_escaping():
     assert got[0]["FinalRank"] == 2.5
 
 
+def test_native_batch_assembly_matches_per_row(prewarmed):
+    """fv_assemble_batch (one call per ranked batch, run by the
+    micro-batcher worker) must produce byte-identical bodies to the
+    per-row fv_assemble path for a mixed keyword/phrase batch."""
+    import numpy as np
+
+    from spaghettisearch_tpu.retrieval.native_summary import pack_query
+    from spaghettisearch_tpu.retrieval.summary import prepare_summary_query
+
+    eng = prewarmed
+    live = eng._live
+    gen = live[0]._native_hyd
+    queries = [q for q in QUERIES if not parse_query(q).is_empty]
+    parsed = [parse_query(q) for q in queries]
+    scores, ids = eng.rank(parsed, live=live)
+    scores = np.asarray(scores)
+    ids = np.asarray(ids)
+    packed = [
+        pack_query(prepare_summary_query(p.stripped, p.phrases))
+        for p in parsed
+    ]
+    bodies = gen.assemble_batch(ids, scores, packed)
+    assert bodies is not None and len(bodies) == len(queries)
+    for r, q in enumerate(queries):
+        want = gen.assemble(ids[r], scores[r], packed[r])
+        assert bodies[r] == want, q
+        assert json.loads(bodies[r]) == json.loads(
+            eng.hydrate_row_json(scores[r], ids[r], parsed[r], live)
+        ), q
+
+
+def test_batcher_returns_native_bodies(prewarmed):
+    """The micro-batcher's query_raw must hand back finished native bodies
+    parse-equal to the per-request hydration path."""
+    from spaghettisearch_tpu.serve.batcher import MicroBatcher
+    from spaghettisearch_tpu.utils.rwlock import RWLock
+
+    eng = prewarmed
+    b = MicroBatcher(eng, max_batch=8, max_wait_ms=5, lock=RWLock())
+    try:
+        for q in QUERIES:
+            body, scores_row, ids_row, parsed, live = b.query_raw(q)
+            if parse_query(q).is_empty:
+                assert body == b"[]"
+                continue
+            assert body is not None, q
+            assert json.loads(body) == json.loads(
+                eng.hydrate_row_json(scores_row, ids_row, parsed, live)
+            ), q
+    finally:
+        b.shutdown()
+
+
 # ---------------- fastloop abuse guards (VERDICT r2 weak #4) ------------- #
 
 
