@@ -44,6 +44,34 @@ from .engine import (
 _P_SHARD_MAX = P_LEVELS[-1]
 
 
+class _ShardedRankHandle:
+    """Dispatched-but-unfetched sharded batch rank (cf. engine._RankHandle):
+    scores+ids pack into one device array at dispatch, finish() blocks for
+    the single packed fetch, slices the real batch rows and masks padded
+    doc slots (which only appear with -inf scores) for hydration."""
+
+    __slots__ = ("_packed", "_shape", "_b_real", "_n_docs")
+
+    def __init__(self, scores, ids, b_real: int, n_docs: int) -> None:
+        self._packed = jnp.concatenate(
+            [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
+        )
+        self._shape = scores.shape
+        self._b_real = b_real
+        self._n_docs = n_docs
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        packed = np.asarray(self._packed)
+        n = packed.shape[0] // 2
+        scores = packed[:n].reshape(self._shape)[: self._b_real]
+        ids = packed[n:].reshape(self._shape).astype(np.int32)[: self._b_real]
+        pad_mask = ids >= self._n_docs
+        return (
+            np.where(pad_mask, -np.inf, scores),
+            np.where(pad_mask, 0, ids),
+        )
+
+
 class _ShardedLive:
     """Everything a request resolves through, swapped atomically as one
     object: snapshot-level facts for generic engine/server code (healthz,
@@ -168,6 +196,16 @@ class ShardedQueryEngine(QueryEngine):
     def rank(
         self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
     ) -> tuple[np.ndarray, np.ndarray]:
+        return self.rank_async(parsed, topk, live).finish()
+
+    def rank_async(
+        self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
+    ):
+        """Dispatch/fetch split for the micro-batcher pipeline (cf.
+        QueryEngine.rank_async): the shard_map program launches here, the
+        returned handle's finish() blocks for the packed fetch. MUST shadow
+        the inherited single-chip rank_async — that one walks the
+        DeviceIndex live structure this engine never builds."""
         if live is None:
             live = self._live
         snap, facts = live
@@ -246,23 +284,13 @@ class ShardedQueryEngine(QueryEngine):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
         with TRACER.span("rank.sharded"):
-            from .engine import _fetch_ranked
-
             scores, ids = self._scorer(facts, topk)(
                 sidx,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
                 jnp.asarray(ph_rows),
             )
-            scores, ids = _fetch_ranked(scores, ids)  # one relay RTT
-            scores = scores[:b_real]
-            ids = ids[:b_real]
-        # sharded ids are global doc slots over padded shards; slots past the
-        # real doc range only appear with -inf scores, mask them for hydration
-        pad_mask = ids >= snap.n_docs
-        scores = np.where(pad_mask, -np.inf, scores)
-        ids = np.where(pad_mask, 0, ids)
-        return scores, ids
+            return _ShardedRankHandle(scores, ids, b_real, snap.n_docs)
 
     def warmup(self, max_batch: int = WARM_B_MAX) -> None:  # pragma: no cover - timing
         """Walk the reachable sharded compile shapes (cf. QueryEngine.warmup):
