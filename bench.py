@@ -494,7 +494,8 @@ def _free_port() -> int:
 def bench_serve(
     n_pages: int = 100_000,
     duration_s: float = 20.0,
-    n_conns: int = 256,
+    n_conns: int = 512,  # must exceed pipeline-depth x max_batch or Little's
+    # law caps throughput below the server's capacity (3-stage batcher)
     warm_s: float = 15.0,
     n_queries: int = 4096,
 ) -> dict:

@@ -36,24 +36,28 @@ def main():
     eng = QueryEngine(db, snapshot=snap)
     eng.prewarm_hydration()
 
-    # fake device rank: instant, deterministic top-50 rows
+    # fake device rank: instant, and STABLE per query text — a real rank's
+    # top-50 is a function of the query, so repeat queries re-hit the native
+    # assembler's (doc, query) summary cache. (Random per-slot ids made
+    # every render a cache miss and overstated assemble by ~5x.)
     rng = np.random.default_rng(0)
     fake_scores = np.sort(rng.random((128, 50)).astype(np.float32), axis=1)[:, ::-1]
-    fake_ids = rng.integers(0, snap.n_docs, size=(128, 50)).astype(np.int32)
+    id_pool = rng.integers(0, snap.n_docs, size=(4096, 50)).astype(np.int32)
 
     class FakeHandle:
-        def __init__(self, b):
-            self.b = b
+        def __init__(self, parsed):
+            self.rows = np.asarray(
+                [hash(p.raw) % id_pool.shape[0] for p in parsed], np.int64
+            )
 
         def finish(self):
-            return fake_scores[: self.b], fake_ids[: self.b]
+            return fake_scores[: len(self.rows)], id_pool[self.rows]
 
     def fake_rank(parsed, topk=50, live=None):
-        b = len(parsed)
-        return fake_scores[:b], fake_ids[:b]
+        return FakeHandle(parsed).finish()
 
     eng.rank = fake_rank
-    eng.rank_async = lambda parsed, topk=50, live=None: FakeHandle(len(parsed))
+    eng.rank_async = lambda parsed, topk=50, live=None: FakeHandle(parsed)
 
     server = SearchServer(eng, batching=True)
     host, port = server.start_background(port=0)
@@ -138,6 +142,13 @@ def main():
     print(f"host-only serve: {total / dt:.0f} qps, "
           f"p50 {1e3 * lats[len(lats) // 2]:.1f} ms, conns={n_conns}, "
           f"mean_batch={server.batcher.stats.mean_batch:.1f}")
+    from spaghettisearch_tpu.utils.timing import TRACER
+
+    nb = max(server.batcher.stats.batches, 1)
+    for name, s in TRACER.report().items():
+        if name.startswith("batch."):
+            print(f"  {name}: {1e3 * s['total_s'] / nb:.2f} ms/batch "
+                  f"(count {s['count']}, mean {s['mean_ms']:.2f} ms)")
     if prof is not None:
         import pstats
 

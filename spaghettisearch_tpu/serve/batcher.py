@@ -20,6 +20,48 @@ from concurrent.futures import Future
 from contextlib import contextmanager
 from dataclasses import dataclass
 
+from ..utils.timing import TRACER
+
+
+def _parse_and_pack(text: str):
+    """parse_query + the packed summary-query blob, both pure functions of
+    the query text — cached because production traffic repeats queries
+    heavily and parse (regex + laundry + md5) measured ~1 ms per 128-batch
+    on the 1-core serving host."""
+    from ..retrieval.engine import parse_query
+
+    p = parse_query(text)
+    packed = None
+    if not p.is_empty:
+        from ..retrieval.summary import _packed_query, prepare_summary_query
+
+        packed = _packed_query(prepare_summary_query(p.stripped, p.phrases))
+    return p, packed
+
+
+_parse_cache: dict[str, tuple] = {}
+_PARSE_CACHE_MAX = 16384
+
+
+def _parse_cached(text: str):
+    hit = _parse_cache.get(text)
+    if hit is None:
+        hit = _parse_and_pack(text)
+        if len(_parse_cache) >= _PARSE_CACHE_MAX:  # rare: drop, stay simple
+            _parse_cache.clear()
+        _parse_cache[text] = hit
+    return hit[0]
+
+
+def _packed_cached(text: str):
+    hit = _parse_cache.get(text)
+    if hit is None:
+        hit = _parse_and_pack(text)
+        if len(_parse_cache) >= _PARSE_CACHE_MAX:
+            _parse_cache.clear()
+        _parse_cache[text] = hit
+    return hit[1]
+
 
 @dataclass
 class BatcherStats:
@@ -77,8 +119,25 @@ class MicroBatcher:
         self._queue: list[tuple[str, Future]] = []
         self._cv = threading.Condition()
         self._stop = False
+        import queue as _qmod
+
+        self._fetch_q: _qmod.Queue = _qmod.Queue(maxsize=1)
+        self._asm_q: _qmod.Queue = _qmod.Queue(maxsize=1)
+        # one token per fetch_q slot: the dispatcher acquires BEFORE slicing
+        # a batch, so requests arriving while downstream is busy still join
+        # the next batch instead of leaving it undersized
+        self._slots = threading.Semaphore(1)
+        self._inflight = 0  # batches past dispatch, not yet resolved (cv)
         self._worker = threading.Thread(target=self._run, daemon=True, name="microbatcher")
+        self._fetcher = threading.Thread(
+            target=self._run_fetch, daemon=True, name="microbatcher-fetch"
+        )
+        self._resolver = threading.Thread(
+            target=self._run_resolve, daemon=True, name="microbatcher-resolve"
+        )
         self._worker.start()
+        self._fetcher.start()
+        self._resolver.start()
 
     def query_raw(self, text: str, timeout: float | None = None):
         """-> (body, scores_row, ids_row, parsed, live): body is the
@@ -101,51 +160,102 @@ class MicroBatcher:
             return self.engine.hydrate_row(scores_row, ids_row, parsed, live)
 
     def _run(self) -> None:
-        # Two-stage software pipeline on one worker: dispatch batch N's
-        # device rank (async — the relay executes + transfers while the
-        # host works), THEN fetch + assemble + resolve batch N-1. Device
-        # execution of N overlaps host assembly of N-1; with both stages
-        # ~40-60 ms at saturation this nearly doubles serve throughput on
-        # the 1-core host. With no pending batch (light load) a batch is
-        # dispatched and resolved back-to-back — no added latency.
-        pending = None
+        # Stage 1 of the three-stage pipeline (dispatch -> fetch ->
+        # assemble/resolve, one thread each, depth-1 hand-off queues):
+        # coalesce requests, parse, launch the device rank (non-blocking),
+        # hand the in-flight job to the fetcher. The blocking device->host
+        # fetch (one relay RTT, GIL released during the transfer) then
+        # overlaps the NEXT batch's native assembly (also GIL-released), so
+        # at saturation the cycle is max(stage) instead of their sum —
+        # measured stages on the 1-core host: dispatch ~1 ms, fetch ~25-30
+        # ms through the relay, assemble ~10-45 ms. The depth-1 queues give
+        # backpressure: the dispatcher blocks on put while two batches are
+        # in flight, and the request queue refills meanwhile, so batches
+        # stay full. With no pending batch (light load) a batch flows
+        # through all three stages back-to-back — no added latency.
         while True:
-            with self._cv:
-                while not self._queue and not self._stop and pending is None:
+            with TRACER.span("batch.wait"), self._cv:
+                while not self._queue and not self._stop:
                     self._cv.wait()
                 if self._stop:
                     break
-                batch = None
-                if self._queue:
-                    # straggler wait (also with a batch in flight: its
-                    # device work runs regardless, and dispatching an
-                    # undersized batch wastes a whole program launch)
-                    deadline = time.monotonic() + self.max_wait_s
-                    while len(self._queue) < self.max_batch:
-                        remaining = deadline - time.monotonic()
-                        if remaining <= 0 or not self._cv.wait(
-                            timeout=remaining
-                        ):
-                            break
-                    batch = self._queue[: self.max_batch]
-                    self._queue = self._queue[self.max_batch:]
-            nxt = self._dispatch(batch) if batch else None
-            if pending is not None:
-                self._resolve(pending)
-            pending = nxt
-        if pending is not None:
-            self._resolve(pending)
+                # straggler wait: an undersized batch wastes a whole device
+                # program launch (the b-bucket pads it to full width), so
+                # give the batch up to max_wait to fill — but only while
+                # requests are actually ARRIVING. At saturation arrivals are
+                # bursty (a resolved batch re-arms its clients all at once),
+                # and once the burst is in, every other client is parked in
+                # an in-flight stage: waiting further is pure serial loss
+                # (measured ~30 ms/batch). 3 ms of silence ends the wait.
+                deadline = time.monotonic() + self.max_wait_s
+                while len(self._queue) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    n0 = len(self._queue)
+                    self._cv.wait(timeout=min(remaining, 0.003))
+                    if len(self._queue) == n0:
+                        break  # no arrivals in the idle gap
+            # downstream backpressure: block BEFORE slicing, so requests
+            # arriving while the pipeline is saturated join this batch
+            self._slots.acquire()
+            with self._cv:
+                batch = self._queue[: self.max_batch]
+                self._queue = self._queue[self.max_batch:]
+                if batch:
+                    self._inflight += 1
+            if not batch:
+                self._slots.release()
+                if self._stop:
+                    break
+                continue
+            job = self._dispatch(batch)
+            if job is not None:
+                self._fetch_q.put(job)
+            else:
+                with self._cv:
+                    self._inflight -= 1
+                self._slots.release()
+        self._fetch_q.put(None)
+
+    def _run_fetch(self) -> None:
+        """Stage 2: block for the dispatched batch's packed device->host
+        transfer (the handle's device work already ran while earlier
+        batches were being assembled)."""
+        while True:
+            job = self._fetch_q.get()
+            self._slots.release()  # the dispatcher may slice its next batch
+            if job is None:
+                self._asm_q.put(None)
+                return
+            batch, parsed, rows, live, handle = job
+            scores = ids = None
+            err = None
+            try:
+                if handle is not None:
+                    with _read(self._exec_lock), TRACER.span("batch.fetch"):
+                        scores, ids = handle.finish()
+            except Exception as e:  # noqa: BLE001 — fail the waiting requests
+                err = e
+            self._asm_q.put((batch, parsed, rows, live, scores, ids, err))
+
+    def _run_resolve(self) -> None:
+        """Stage 3: native whole-batch response assembly + future resolution."""
+        while True:
+            job = self._asm_q.get()
+            if job is None:
+                return
+            self._resolve(job)
 
     def _dispatch(self, batch):
         """Parse + launch one batch's device rank (non-blocking); returns
         the in-flight job, or None if the requests were failed."""
-        from ..retrieval.engine import parse_query
-
         try:
-            parsed = [parse_query(t) for t, _ in batch]
+            with TRACER.span("batch.parse"):
+                parsed = [_parse_cached(t) for t, _ in batch]
             rows = [i for i, p in enumerate(parsed) if not p.is_empty]
             handle = None
-            with _read(self._exec_lock):
+            with _read(self._exec_lock), TRACER.span("batch.dispatch"):
                 live = self.engine._live
                 if rows and live[1].n_docs > 0:
                     ranker = getattr(self.engine, "rank_async", None)
@@ -165,15 +275,25 @@ class MicroBatcher:
         return (batch, parsed, rows, live, handle)
 
     def _resolve(self, job) -> None:
-        """Fetch a dispatched batch's ranked rows, assemble the responses
-        natively, and resolve the waiting futures."""
-        batch, parsed, rows, live, handle = job
-        scores = ids = bodies = None
+        """Assemble a fetched batch's responses natively and resolve the
+        waiting futures."""
         try:
-            if handle is not None:
-                with _read(self._exec_lock):
-                    scores, ids = handle.finish()
-                    bodies = self._assemble(live, parsed, rows, scores, ids)
+            self._resolve_inner(job)
+        finally:
+            with self._cv:
+                self._inflight -= 1
+
+    def _resolve_inner(self, job) -> None:
+        batch, parsed, rows, live, scores, ids, err = job
+        bodies = None
+        if err is not None:
+            for _, fut in batch:
+                fut.set_exception(err)
+            return
+        try:
+            if scores is not None:
+                with _read(self._exec_lock), TRACER.span("batch.assemble"):
+                    bodies = self._assemble(live, batch, rows, scores, ids)
         except Exception as e:  # noqa: BLE001 — fail the waiting requests
             for _, fut in batch:
                 fut.set_exception(e)
@@ -181,15 +301,16 @@ class MicroBatcher:
         self.stats.batches += 1
         self.stats.queries += len(batch)
         row_of = {i: r for r, i in enumerate(rows)}
-        for i, (_, fut) in enumerate(batch):
-            r = row_of.get(i)
-            if r is None:
-                fut.set_result((b"[]", None, None, parsed[i], live))
-            else:
-                body = bodies[r] if bodies is not None else None
-                fut.set_result((body, scores[r], ids[r], parsed[i], live))
+        with TRACER.span("batch.resolve"):
+            for i, (_, fut) in enumerate(batch):
+                r = row_of.get(i)
+                if r is None or scores is None:
+                    fut.set_result((b"[]", None, None, parsed[i], live))
+                else:
+                    body = bodies[r] if bodies is not None else None
+                    fut.set_result((body, scores[r], ids[r], parsed[i], live))
 
-    def _assemble(self, live, parsed, rows, scores, ids):
+    def _assemble(self, live, batch, rows, scores, ids):
         """Native whole-batch response assembly (one GIL-released call, on
         this worker, under the serving read lock — the same invariant the
         per-request hydration relies on). None -> callers hydrate rows
@@ -197,15 +318,8 @@ class MicroBatcher:
         gen = getattr(live[0], "_native_hyd", None)
         if gen is None or getattr(self.engine, "use_topic_model", False):
             return None
-        from ..retrieval.summary import _packed_query, prepare_summary_query
-
         try:
-            packed = [
-                _packed_query(
-                    prepare_summary_query(parsed[i].stripped, parsed[i].phrases)
-                )
-                for i in rows
-            ]
+            packed = [_packed_cached(batch[i][0]) for i in rows]
             return gen.assemble_batch(ids, scores, packed)
         except Exception:  # noqa: BLE001 — assembly is an accelerator only
             return None
@@ -214,4 +328,8 @@ class MicroBatcher:
         with self._cv:
             self._stop = True
             self._cv.notify_all()
+        self._slots.release()  # unblock a dispatcher stuck on backpressure
+        # the stop sentinel flows down the pipeline, draining in-flight jobs
         self._worker.join(timeout=5)
+        self._fetcher.join(timeout=5)
+        self._resolver.join(timeout=5)
