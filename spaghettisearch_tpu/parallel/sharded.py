@@ -124,7 +124,45 @@ def _shard_csr(
         fw[s, docs_s, slot] = p["weights"][order]
         fj[s, docs_s, slot] = order.astype(np.int32)
 
+    # per-shard doc-major position planes for the fused mixed kernel
+    # (ops/kernels/mixed.py posT layout), stacked at the max unique-position
+    # count across shards; None when any shard is over the budget or the
+    # dense rows were truncated (those route to the sparse CSR matcher)
+    posT = None
+    pos_c = 0
+    if not truncated:
+        from ..retrieval.device_index import build_posT_raw
+        from ..ops.kernels.mixed import POS_BIG
+
+        shard_posT = []
+        for s, p in enumerate(parts):
+            # IMPORTANT: fj indexes the PADDED local posting space; the pad
+            # slot (post_width-1) must resolve to an empty position range,
+            # which the tail_fill'd stacked pos_offsets guarantee — rebuild
+            # that view here for the raw builder
+            n_post_local = p["doc_ids"].shape[0]
+            off_ext = np.full(post_width + 1, 0, np.int32)
+            off_ext[: n_post_local + 1] = p["pos_offsets"]
+            off_ext[n_post_local + 1 :] = p["pos_offsets"][-1]
+            built = build_posT_raw(
+                off_ext, p["positions"], n_post_local, post_width,
+                fj[s], docs_per_shard, POS_BIG,
+            )
+            if built is None:
+                shard_posT = None
+                break
+            shard_posT.append(built)
+        if shard_posT is not None:
+            pos_c = max(c for _, c in shard_posT)
+            posT = np.full(
+                (n_shards, pos_c * t_pad, docs_per_shard), POS_BIG, np.float32
+            )
+            for s, (arr, c) in enumerate(shard_posT):
+                posT[s, : c * t_pad] = arr
+
     return dict(
+        posT=posT,
+        pos_c=pos_c,
         # +1 word row as the sentinel empty row; pad rows repeat the final
         # offset so their postings ranges are empty
         offsets=stack("offsets", 0, rounded("offsets"), tail_fill=True),
@@ -168,6 +206,12 @@ class ShardedIndex:
     body_ftT: jax.Array = None
     body_fwT: jax.Array = None
     dense_truncated: bool = False  # some doc's dense row was capped
+    # doc-major position planes [S, C*T, Dl] for the fused mixed kernel
+    # (ops/kernels/mixed.py); None when over budget / rows truncated — the
+    # engine then serves phrases through the sparse matcher lane
+    title_posT: jax.Array | None = None
+    body_posT: jax.Array | None = None
+    has_zero_weight: bool = False  # some posting weight <= 0 (idf-0 corner)
 
     @classmethod
     def from_snapshot(
@@ -237,9 +281,9 @@ class ShardedIndex:
             posting_cap=posting_cap,
             pos_cap=-(-max(snap.title.max_positions, snap.body.max_positions, 1) // 8) * 8,
             title={k: put(v) for k, v in title_np.items()
-                   if k not in ("ft", "fw", "fj", "truncated")},
+                   if k not in ("ft", "fw", "fj", "truncated", "posT", "pos_c")},
             body={k: put(v) for k, v in body_np.items()
-                  if k not in ("ft", "fw", "fj", "truncated")},
+                  if k not in ("ft", "fw", "fj", "truncated", "posT", "pos_c")},
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
@@ -254,7 +298,23 @@ class ShardedIndex:
             body_ftT=put(np.ascontiguousarray(body_np["ft"].transpose(0, 2, 1))),
             body_fwT=put(np.ascontiguousarray(body_np["fw"].transpose(0, 2, 1))),
             dense_truncated=bool(title_np["truncated"] or body_np["truncated"]),
+            title_posT=(
+                put(title_np["posT"]) if title_np["posT"] is not None else None
+            ),
+            body_posT=(
+                put(body_np["posT"]) if body_np["posT"] is not None else None
+            ),
+            has_zero_weight=bool(
+                (snap.title.weights[: snap.title.n_postings] <= 0).any()
+                or (snap.body.weights[: snap.body.n_postings] <= 0).any()
+            ),
         )
+
+    @property
+    def pos_dense(self) -> bool:
+        """True when both sections carry the doc-major position layout the
+        fused mixed kernel streams (cf. DeviceIndex.pos_dense)."""
+        return self.title_posT is not None and self.body_posT is not None
 
 
 def scorer_meta(sidx: ShardedIndex) -> tuple:
@@ -265,13 +325,15 @@ def scorer_meta(sidx: ShardedIndex) -> tuple:
     return (
         sidx.mesh, sidx.axis, sidx.docs_per_shard,
         sidx.posting_cap, sidx.pos_cap, sidx.dense_truncated,
+        sidx.pos_dense, sidx.has_zero_weight,
     )
 
 
-def index_args(sidx: ShardedIndex) -> tuple:
-    """The 23 sharded arrays a scorer takes, in block order."""
+def index_args(sidx: ShardedIndex, mixed: bool = False) -> tuple:
+    """The 23 sharded arrays a scorer takes, in block order (+2 doc-major
+    position planes for the fused mixed scorer)."""
     t, bd = sidx.title, sidx.body
-    return (
+    base = (
         t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
         bd["offsets"], bd["doc_ids"], bd["weights"], bd["pos_offsets"], bd["positions"],
         sidx.mag_title, sidx.mag_body, sidx.pagerank,
@@ -279,6 +341,9 @@ def index_args(sidx: ShardedIndex) -> tuple:
         sidx.body_ft, sidx.body_fw, sidx.body_fj,
         sidx.title_ftT, sidx.title_fwT, sidx.body_ftT, sidx.body_fwT,
     )
+    if mixed:
+        return base + (sidx.title_posT, sidx.body_posT)
+    return base
 
 
 def make_sharded_scorer(
@@ -305,7 +370,7 @@ def make_sharded_scorer(
     doc-sharded index, and no data crosses the q axis. B must divide by n_q.
     """
     meta = scorer_meta(sidx_or_meta) if isinstance(sidx_or_meta, ShardedIndex) else sidx_or_meta
-    mesh, ax, dl, cap, pcap, dense_truncated = meta
+    mesh, ax, dl, cap, pcap, dense_truncated = meta[:6]
     if batch_axis is None:
         others = [a for a in mesh.axis_names if a != ax and mesh.shape[a] > 1]
         batch_axis = others[0] if others else None
@@ -462,6 +527,112 @@ def make_sharded_scorer(
         )
 
     run._jit = _run  # compile-count introspection (tests, /stats)
+    return run
+
+
+def make_sharded_mixed_scorer(
+    sidx_or_meta,
+    topk: int,
+    batch_axis: str | None = None,
+):
+    """The FUSED mixed lane on the mesh: keyword scoring + dense in-kernel
+    phrase matching + finalize + local top-k + all-gather merge as ONE
+    shard_map program with per-ROW phrase inputs (cf. the single-chip
+    engine._rank_fused / ops/scoring.py score_queries_mixed). Requires the
+    index to carry the doc-major position planes (ShardedIndex.pos_dense).
+
+    Returns run(sidx, term_ids [B,Q], qlen [B], topic_probs [B,C],
+    ph_ids [B,P], ph_valid [B,P] f32, qn [B], pn [B]) ->
+    (scores [B,K], global doc ids [B,K]). Reference-blend scoring only —
+    custom blends/BM25 keep the sparse two-phase lane."""
+    meta = (
+        scorer_meta(sidx_or_meta)
+        if isinstance(sidx_or_meta, ShardedIndex)
+        else sidx_or_meta
+    )
+    mesh, ax, dl, cap, pcap, dense_truncated, pos_dense, has_zero_w = meta
+    if not pos_dense or dense_truncated:
+        raise ValueError("mixed scorer needs the dense position layout")
+    if batch_axis is None:
+        others = [a for a in mesh.axis_names if a != ax and mesh.shape[a] > 1]
+        batch_axis = others[0] if others else None
+    bspec = P(batch_axis) if batch_axis else P()
+    k = topk
+    emit_counts = has_zero_w
+
+    def block(
+        t_off, t_did, t_w, t_poff, t_pos,
+        b_off, b_did, b_w, b_poff, b_pos,
+        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj, tftT, tfwT, bftT, bfwT,
+        tposT, bposT,
+        term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+    ):
+        (mt, mb, pr, tft, tfw, bft, bfw,
+         tftT, tfwT, bftT, bfwT, tposT, bposT) = jax.tree.map(
+            lambda a: a[0],
+            (mt, mb, pr, tft, tfw, bft, bfw,
+             tftT, tfwT, bftT, bfwT, tposT, bposT),
+        )
+        b = term_ids.shape[0]
+        if pallas_available():
+            from ..ops.kernels.mixed import pallas_mixed_scores_2sec
+
+            b_pad = -(-b // 8) * 8
+            pad = b_pad - b
+            tq = jnp.pad(term_ids, ((0, pad), (0, 0)),
+                         constant_values=jnp.iinfo(jnp.int32).max)
+            qn_p = jnp.pad(qn, (0, pad))
+            ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)),
+                           constant_values=jnp.iinfo(jnp.int32).max)
+            phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
+            pn_p = jnp.pad(pn, (0, pad))
+            ts, tc, bs, bc = pallas_mixed_scores_2sec(
+                tftT, tfwT, bftT, bfwT, tposT, bposT,
+                tq, qn_p, ph_p, phv_p, pn_p,
+                doc_block=256, emit_counts=emit_counts,
+            )
+            ts, bs = ts[:b], bs[:b]
+            tc = None if tc is None else tc[:b]
+            bc = None if bc is None else bc[:b]
+        else:
+            from ..ops.kernels.mixed import mixed_forward_scores
+
+            ts, tc, bs, bc = mixed_forward_scores(
+                tft, tfw, bft, bfw, tposT, bposT,
+                term_ids, ph_ids, ph_valid, n_blocks=4,
+            )
+        if tc is None:  # counts elided: candidacy <=> score > 0
+            tc = (ts + bs > 0).astype(ts.dtype)
+            bc = jnp.zeros_like(tc)
+        final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
+        scores, ids = jax.lax.top_k(final, min(k, dl))
+        ids = ids + jax.lax.axis_index(ax) * dl
+        all_scores = jax.lax.all_gather(scores, ax)  # [S, B, k]
+        all_ids = jax.lax.all_gather(ids, ax)
+        s = all_scores.shape[0]
+        flat_scores = jnp.moveaxis(all_scores, 0, 1).reshape(b, -1)
+        flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(b, -1)
+        top_s, pos = jax.lax.top_k(flat_scores, min(k, s * min(k, dl)))
+        top_i = jnp.take_along_axis(flat_ids, pos, axis=1)
+        return top_s, top_i
+
+    sharded = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=tuple([P(ax)] * 25 + [bspec] * 7),
+        out_specs=(bspec, bspec),
+        check_vma=False,
+    )
+
+    _run = jax.jit(sharded)
+
+    def run(sidx, term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn):
+        return _run(
+            *index_args(sidx, mixed=True),
+            term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+        )
+
+    run._jit = _run
     return run
 
 

@@ -50,6 +50,23 @@ POS_T_C_MAX = 32
 def _build_posT(
     csr: SectionCSR, fj: np.ndarray, d_pad: int, pos_big: float
 ) -> tuple[np.ndarray, int] | None:
+    """Doc-major positions for the fused phrase kernel (see build_posT_raw;
+    this wrapper unpacks a SectionCSR)."""
+    return build_posT_raw(
+        csr.pos_offsets, csr.positions, csr.n_postings, csr.doc_ids.shape[0],
+        fj, d_pad, pos_big,
+    )
+
+
+def build_posT_raw(
+    pos_offsets: np.ndarray,  # int32 [>= n_post+1] (padded tail repeats ok)
+    positions: np.ndarray,
+    n_post: int,
+    p_pad: int,  # padded posting-slot count fj indexes into
+    fj: np.ndarray,  # int32 [D, T] posting index per doc-term slot
+    d_pad: int,
+    pos_big: float,
+) -> tuple[np.ndarray, int] | None:
     """Doc-major positions for the fused phrase kernel:
 
         posT[c*T + t, d] = c-th UNIQUE position of doc d's term-slot t
@@ -62,9 +79,7 @@ def _build_posT(
     position count. Returns None when C would exceed POS_T_C_MAX or the
     array would exceed POS_T_BUDGET_BYTES."""
     d, t = fj.shape
-    n_post = csr.n_postings
-    p_pad = csr.doc_ids.shape[0]
-    pos_off = csr.pos_offsets.astype(np.int64)
+    pos_off = pos_offsets.astype(np.int64)
     if n_post == 0:
         return np.full((1 * t, d_pad), pos_big, np.float32), 1
     # dedupe positions WITHIN each posting first (they are sorted per
@@ -74,7 +89,7 @@ def _build_posT(
     plen = np.diff(pos_off[: n_post + 1])
     seg_first = np.zeros(l_total, bool)
     seg_first[pos_off[:n_post][plen > 0]] = True
-    raw = csr.positions[:l_total]
+    raw = positions[:l_total]
     keep = seg_first.copy()
     keep[1:] |= raw[1:] != raw[:-1]
     pos_u = raw[keep]

@@ -47,24 +47,30 @@ _P_SHARD_MAX = P_LEVELS[-1]
 class _ShardedRankHandle:
     """Dispatched-but-unfetched sharded batch rank (cf. engine._RankHandle):
     scores+ids pack into one device array at dispatch, finish() blocks for
-    the single packed fetch, slices the real batch rows and masks padded
-    doc slots (which only appear with -inf scores) for hydration."""
+    the single packed fetch, undoes the batch sort permutation (mixed lane),
+    slices the real batch rows and masks padded doc slots (which only
+    appear with -inf scores) for hydration."""
 
-    __slots__ = ("_packed", "_shape", "_b_real", "_n_docs")
+    __slots__ = ("_packed", "_shape", "_b_real", "_n_docs", "_inv")
 
-    def __init__(self, scores, ids, b_real: int, n_docs: int) -> None:
+    def __init__(self, scores, ids, b_real: int, n_docs: int, inv=None) -> None:
         self._packed = jnp.concatenate(
             [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
         )
         self._shape = scores.shape
         self._b_real = b_real
         self._n_docs = n_docs
+        self._inv = inv
 
     def finish(self) -> tuple[np.ndarray, np.ndarray]:
         packed = np.asarray(self._packed)
         n = packed.shape[0] // 2
-        scores = packed[:n].reshape(self._shape)[: self._b_real]
-        ids = packed[n:].reshape(self._shape).astype(np.int32)[: self._b_real]
+        scores = packed[:n].reshape(self._shape)
+        ids = packed[n:].reshape(self._shape).astype(np.int32)
+        if self._inv is not None:
+            scores, ids = scores[self._inv], ids[self._inv]
+        scores = scores[: self._b_real]
+        ids = ids[: self._b_real]
         pad_mask = ids >= self._n_docs
         return (
             np.where(pad_mask, -np.inf, scores),
@@ -193,6 +199,32 @@ class ShardedQueryEngine(QueryEngine):
             facts.scorers[topk] = s
         return s
 
+    def _mixed_scorer(self, facts: _ShardedLive, topk: int):
+        key_local = ("mixed", topk)
+        s = facts.scorers.get(key_local)
+        if s is None:
+            key = ("mixed", scorer_meta(facts.sidx), topk)
+            s = self._scorer_cache.get(key)
+            if s is None:
+                from ..parallel.sharded import make_sharded_mixed_scorer
+
+                s = make_sharded_mixed_scorer(key[1], topk=topk)
+                self._scorer_cache[key] = s
+            facts.scorers[key_local] = s
+        return s
+
+    def _use_mixed(self, sidx, parsed: list[ParsedQuery]) -> bool:
+        """Mirror of the single-chip fused-lane routing (engine.rank /
+        BlendedRanker.supports_mixed): reference blend + dense position
+        layout; BM25/custom blends and truncated dense rows keep the
+        sparse two-phase lane."""
+        return (
+            any(p.phrase_hashes for p in parsed)
+            and not self._bm25
+            and sidx.pos_dense
+            and not sidx.dense_truncated
+        )
+
     def rank(
         self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -219,6 +251,8 @@ class ShardedQueryEngine(QueryEngine):
         from .engine import _b_bucket
 
         b = max(_b_bucket(b_real), self.n_query_rows, 1)
+        if self._use_mixed(sidx, parsed):
+            return self._rank_fused(parsed, topk, live, b)
         q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
         p_real = max((len(p.phrase_hashes) for p in parsed), default=0)
         n_ph = sum(1 for p in parsed if p.phrase_hashes)
@@ -292,18 +326,106 @@ class ShardedQueryEngine(QueryEngine):
             )
             return _ShardedRankHandle(scores, ids, b_real, snap.n_docs)
 
+    def _rank_fused(
+        self, parsed: list[ParsedQuery], topk: int, live, b: int
+    ) -> _ShardedRankHandle:
+        """Fused mixed lane on the mesh (cf. QueryEngine._rank_fused): one
+        shard_map program per (b, q) bucket scores keywords AND matches
+        phrases densely in-kernel, per batch ROW — no compressed-bp axis, no
+        matcher fetch, one dispatch + one packed fetch per mixed batch.
+        Phrase width is the single static P_LEVELS[-1] pad (the kernel's
+        phrase loops are dynamic-trip, a wide pad column costs nothing)."""
+        snap, facts = live
+        sidx = facts.sidx
+        b_real = len(parsed)
+        q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
+        if q_real <= Q_BASE:
+            q = Q_BASE
+        else:
+            q = Q_CATCHALL
+            b = max(b, WARM_B_MAX)
+            if q_real > Q_CATCHALL:
+                import logging
+
+                logging.getLogger("spaghettisearch.engine").warning(
+                    "query has %d keyword terms; scoring the first %d",
+                    q_real, Q_CATCHALL,
+                )
+        p_lvl = _P_SHARD_MAX
+        p_real = max((len(p.phrase_hashes) for p in parsed), default=0)
+        if p_real > p_lvl:
+            import logging
+
+            logging.getLogger("spaghettisearch.engine").warning(
+                "phrase has %d terms; matching the first %d", p_real, p_lvl
+            )
+
+        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
+        qlen = np.zeros(b, dtype=np.float32)
+        qn = np.zeros(b, dtype=np.int32)
+        ph_ids = np.full((b, p_lvl), snap.n_words, dtype=np.int32)
+        ph_valid = np.zeros((b, p_lvl), dtype=np.float32)
+        pn = np.zeros(b, dtype=np.int32)
+        for i, pq in enumerate(parsed):
+            ids = snap.term_ids(pq.keyword_hashes)[:q]
+            term_ids[i, : len(ids)] = ids
+            qlen[i] = float(pq.query_len)
+            qn[i] = len(ids)
+            pids = snap.term_ids(pq.phrase_hashes)[:p_lvl]
+            ph_ids[i, : len(pids)] = pids
+            ph_valid[i, : len(pids)] = 1.0
+            pn[i] = len(pids)
+
+        topic_probs = np.zeros((b, facts.n_categories), dtype=np.float32)
+        if self.use_topic_model:
+            from .topics import compute_topic_probs
+
+            for i, pq in enumerate(parsed):
+                probs = compute_topic_probs(
+                    self.db, pq.keyword_hashes, fixed=self.topic_model_fixed
+                )
+                for j, c in enumerate(snap.categories):
+                    topic_probs[i, j] = probs.get(c, 0.0)
+
+        # phrase rows first (descending pn), then by keyword count: the
+        # kernel's 8-row blocks skip the phrase stage when pn == 0 and
+        # bound their compare loops by the block-max qn
+        perm = np.lexsort((-qn, -pn))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(b)
+        term_ids, qlen, qn, pn = term_ids[perm], qlen[perm], qn[perm], pn[perm]
+        ph_ids, ph_valid = ph_ids[perm], ph_valid[perm]
+        topic_probs = topic_probs[perm]
+
+        with TRACER.span("rank.sharded"):
+            scores, ids = self._mixed_scorer(facts, topk)(
+                sidx,
+                jnp.asarray(term_ids), jnp.asarray(qlen),
+                jnp.asarray(topic_probs), jnp.asarray(ph_ids),
+                jnp.asarray(ph_valid), jnp.asarray(qn), jnp.asarray(pn),
+            )
+            return _ShardedRankHandle(scores, ids, b_real, snap.n_docs, inv)
+
     def warmup(self, max_batch: int = WARM_B_MAX) -> None:  # pragma: no cover - timing
         """Walk the reachable sharded compile shapes (cf. QueryEngine.warmup):
-        per batch BUCKET ({B_SMALL, WARM_B_MAX}) the keyword program, the
-        single-phrase program (bp=1) and the all-phrase program (bp=b);
-        plus the one catch-all (WARM_B_MAX, Q_CATCHALL, bp=WARM_B_MAX,
-        p=_P_SHARD_MAX)."""
+        per batch BUCKET ({B_SMALL, WARM_B_MAX}) the keyword program plus —
+        fused mixed lane active — one mixed (b, Q_BASE) program (pn/qn are
+        dynamic, so one program covers 1-phrase through all-phrase), or —
+        sparse lane — the single-phrase (bp=1) and all-phrase (bp=b)
+        matcher programs; plus the rare catch-alls (q=Q_CATCHALL) for both
+        the keyword-only and the phrase grammar."""
         from .engine import B_SMALL
 
         if self.index.n_docs == 0:
             return
         kw = parse_query("warmup")
         ph = parse_query('"warm up"')
+        mixed = self._use_mixed(self.index.sidx, [ph])
+        rare_kw = ParsedQuery(
+            raw="", stripped="", phrases=[],
+            keyword_hashes=["0" * 32] * (Q_BASE + 1),
+            phrase_hashes=[],
+        )
         rare = ParsedQuery(
             raw="", stripped="", phrases=["w"],
             keyword_hashes=["0" * 32] * (Q_BASE + 1),
@@ -312,7 +434,8 @@ class ShardedQueryEngine(QueryEngine):
         for b in sorted({max(B_SMALL, self.n_query_rows, 1),
                          max(max_batch, self.n_query_rows, 1)}):
             self.rank([kw] * b, topk=MAX_RESULTS)
-            self.rank([ph] + [kw] * (b - 1), topk=MAX_RESULTS)  # bp=1
-            if b > 1:
+            self.rank([ph] + [kw] * (b - 1), topk=MAX_RESULTS)  # mixed/bp=1
+            if b > 1 and not mixed:
                 self.rank([ph] * b, topk=MAX_RESULTS)  # bp=b
-        self.rank([rare], topk=MAX_RESULTS)  # the catch-all program
+        self.rank([rare], topk=MAX_RESULTS)  # phrase catch-all program
+        self.rank([rare_kw], topk=MAX_RESULTS)  # keyword catch-all program

@@ -308,3 +308,72 @@ def test_sharded_engine_phrase_rows_cross_query_axis(db):
             assert [r["Url"] for r in b_] == [r["Url"] for r in a], (shards, rows, q)
             for x, y in zip(a, b_):
                 assert y["FinalRank"] == pytest.approx(x["FinalRank"], rel=1e-5)
+
+
+def test_sharded_mixed_lane_routed_and_matches(db):
+    """The fused mixed lane (parallel/sharded.py make_sharded_mixed_scorer)
+    must actually serve phrase batches on pos-dense sharded indexes — and
+    match the single-chip engine score-for-score across the phrase grammar
+    edge cases (1-term phrase, phrase-only, all-phrase batch, phrase with
+    zero matches)."""
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = QueryEngine(db)
+    sharded_eng = ShardedQueryEngine(db, n_shards=4)
+    sidx = sharded_eng.index.sidx
+    assert sidx.pos_dense and not sidx.dense_truncated
+    phrase = None
+    for h in single.snapshot.doc_hashes:
+        raw = db.cached_doc(h)
+        if raw:
+            toks = laundry(" ".join(raw.decode().split("<p>")[1].split("</p>")[0].split()))
+            if len(toks) >= 3:
+                phrase = f'"{toks[0]} {toks[1]} {toks[2]}"'
+                one = f'"{toks[1]}"'
+                break
+    batches = [
+        [phrase, one, '"quantum galaxy algorithm"', f"{phrase} database"],
+        [phrase] * 3,  # all-phrase batch
+        [f"ranking {one}"],
+    ]
+    for queries in batches:
+        parsed = [parse_query(q) for q in queries]
+        assert sharded_eng._use_mixed(sidx, parsed)  # the lane is LIVE
+        s_sh, i_sh = sharded_eng.rank(parsed)
+        s_1, i_1 = single.rank(parsed)
+        for r in range(len(queries)):
+            k = int((s_1[r] > -np.inf).sum())
+            assert np.array_equal(i_sh[r][:k], i_1[r][:k]), queries[r]
+            assert np.allclose(s_sh[r][:k], s_1[r][:k], rtol=1e-5), queries[r]
+            assert not np.isfinite(s_sh[r][k:]).any()
+    # the mixed scorer object itself must be what served those batches
+    assert any(isinstance(k, tuple) and k and k[0] == "mixed"
+               for k in sharded_eng.index.scorers)
+
+
+def test_sharded_no_posT_falls_back_to_sparse_lane(db):
+    """An index without the dense position layout (budget/C-width refusal)
+    must keep serving phrases through the sparse matcher lane, with
+    identical results."""
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = QueryEngine(db)
+    sharded_eng = ShardedQueryEngine(db, n_shards=4)
+    sidx = sharded_eng.index.sidx
+    sidx.title_posT = None  # simulate a refused posT build
+    sharded_eng.index.scorers.clear()
+    sharded_eng._scorer_cache.clear()
+    queries = ['"algorithm database"', "galaxy ranking"]
+    parsed = [parse_query(q) for q in queries]
+    assert not sharded_eng._use_mixed(sidx, parsed)
+    s_sh, i_sh = sharded_eng.rank(parsed)
+    s_1, i_1 = single.rank(parsed)
+    for r in range(len(queries)):
+        k = int((s_1[r] > -np.inf).sum())
+        assert np.array_equal(i_sh[r][:k], i_1[r][:k]), queries[r]
+        assert np.allclose(s_sh[r][:k], s_1[r][:k], rtol=1e-5), queries[r]

@@ -170,7 +170,10 @@ def test_shard_build_matches_independent_impl(seed, n_shards):
     t_pad = max(int(per_doc.max(initial=0)), 1)
     got = _shard_csr(csr, n_shards, dl, t_pad)
     want = _shard_csr_vectorized(csr, n_shards, dl, t_pad)
-    assert got.keys() == want.keys()
+    # the oracle covers the CSR + forward views; posT/pos_c (the mixed
+    # kernel's position planes) are equivalence-tested against the
+    # single-chip engine in test_sharded.py
+    assert want.keys() <= got.keys()
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
 
