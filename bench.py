@@ -467,12 +467,15 @@ def bench_index(n_pages: int = 1000) -> dict:
     rng = random.Random(0)
     pages = [make_page(rng, i, n_pages, "http://bench.local") for i in range(n_pages)]
     ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
-    db = Database(None)
-    t0 = time.perf_counter()
-    with db.bulk():
-        for url, html in pages:
-            index_page(db, html, url, last_modified=ts)
-    dt = time.perf_counter() - t0
+    # best of 3: the 1-core host is shared, run-to-run noise is 2x
+    dt = float("inf")
+    for _ in range(3):
+        db = Database(None)
+        t0 = time.perf_counter()
+        with db.bulk():
+            for url, html in pages:
+                index_page(db, html, url, last_modified=ts)
+        dt = min(dt, time.perf_counter() - t0)
     return {
         "metric": "bulk_index_pages_per_s",
         "value": round(n_pages / dt, 1),

@@ -30,12 +30,19 @@ from ..text.page import ParsedPage, parse_page
 from ..utils.hashing import md5_hex
 
 
-def _round_f32(values: list[float]) -> list[float]:
-    """Postings are float32 on device and in the reference; keep the store
-    consistent with what the device will see."""
-    import numpy as np
+import struct
 
-    return np.asarray(values, dtype=np.float32).astype(float).tolist()
+_F32 = struct.Struct("<f")
+
+
+def _f32(x: float) -> float:
+    """Round one value through float32: postings are float32 on device and
+    in the reference, so the store must hold what the device will see.
+    Only normTF needs this — positions are small integers (and the -100
+    sentinel), exactly representable in f32 below 2^24 tokens/doc. The
+    per-posting numpy round-trip this replaces was ~16% of the bulk
+    indexing profile."""
+    return _F32.unpack(_F32.pack(x))[0]
 
 
 def index_page(
@@ -122,23 +129,25 @@ def index_page(
 def _set_section_postings(db: Database, section: str, stats, doc_hash: str) -> None:
     """Write [normTF, pos...] rows for every term of one section
     (reference: indexer/indexer.go:350-408)."""
-    max_freq = stats.max_freq
+    max_freq = float(stats.max_freq)
     if max_freq == 0:
         return
     inv = db.inverted(section)
     raw = db.inverted_raw(section)
+    bulk = inv._cache is not None
     with db.word.batch() as bw_word, inv.batch() as bw_inv, raw.batch() as bw_raw:
         for word, positions in stats.pos.items():
             word_hash = md5_hex(word)
             if word_hash not in db.word:
                 bw_word.set(word_hash, word)
-            norm_tf = float(len(positions)) / float(max_freq)
-            row = inv.get(word_hash) or {}
-            row[doc_hash] = _round_f32([norm_tf] + sorted(positions))
-            bw_inv.set(word_hash, row)
-            rrow = raw.get(word_hash) or {}
-            rrow[doc_hash] = _round_f32([norm_tf])[0]
-            bw_raw.set(word_hash, rrow)
+            norm_tf = _f32(len(positions) / max_freq)
+            row = inv.get_row_for_update(word_hash)
+            row[doc_hash] = [norm_tf] + sorted(positions)
+            rrow = raw.get_row_for_update(word_hash)
+            rrow[doc_hash] = norm_tf
+            if not bulk:
+                bw_inv.set(word_hash, row)
+                bw_raw.set(word_hash, rrow)
 
 
 def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str]) -> None:
@@ -193,7 +202,7 @@ def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str
 
             for w in anchor_words:
                 word_hash = md5_hex(w)
-                norm_tf = float(counts[w]) / float(max_freq)
+                norm_tf = _f32(float(counts[w]) / float(max_freq))
                 row = pending_rows.get(word_hash)
                 if row is None:
                     row = db.inv_title.get(word_hash)
@@ -201,13 +210,13 @@ def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str
                     row = {}
                     if word_hash not in db.word:
                         bw_word.set(word_hash, w)
-                row[kid] = _round_f32([norm_tf] + sorted(positions[w]))
+                row[kid] = [norm_tf] + sorted(positions[w])
                 pending_rows[word_hash] = row
                 bw_anchor.set(word_hash, row)
                 rrow = pending_raw.get(word_hash)
                 if rrow is None:
                     rrow = raw.get(word_hash) or {}
-                rrow[kid] = _round_f32([norm_tf])[0]
+                rrow[kid] = norm_tf
                 pending_raw[word_hash] = rrow
                 bw_raw.set(word_hash, rrow)
 

@@ -154,6 +154,21 @@ class Table:
             return
         self._kv.set(key, json.dumps(self.spec.encode(value)))
 
+    def get_row_for_update(self, key: str) -> Any:
+        """Bulk-mode fast path for read-modify-write rows: fetch-or-create
+        the mutable dict row and mark it dirty in ONE call (the indexer's
+        per-word loop paid four Table dispatches per posting). Outside bulk
+        mode the caller must still write the returned row back with set()."""
+        c = self._cache
+        if c is None:
+            return self.get(key) or {}
+        row = c.get(key)
+        if type(row) is not dict:  # absent or _DELETED: load/create
+            row = self.get(key) or {}
+            c[key] = row
+        self._dirty.add(key)
+        return row
+
     def delete(self, key: str) -> None:
         if self._cache is not None:
             self._cache[key] = _DELETED

@@ -48,8 +48,14 @@ def clean_url(u: str) -> str:
     return _URL_WS.sub("", u)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def resolve_href(href: str, base_url: str) -> str | None:
-    """Resolve an <a href> into a cleaned absolute-ish URL, or None to skip."""
+    """Resolve an <a href> into a cleaned absolute-ish URL, or None to skip.
+    Cached: pages repeat hrefs (nav bars, footers) and urljoin measured
+    ~20% of the tokenizer profile."""
     if not href or href[0] == "#" or href.startswith(("javascript", "mailto")):
         return None
     if href.endswith("/"):

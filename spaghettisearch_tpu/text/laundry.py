@@ -18,22 +18,28 @@ from ..config import META_POSITION
 from .porter2 import stem
 from .stopwords import is_stopword
 
-_NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")
-_TOKEN = re.compile(r"\S+")
+#: one pass: tokens are exactly the alphanumeric runs — identical to the
+#: reference's substitute-non-alnum-then-split (parser.go:177-193), without
+#: materializing the substituted copy of the whole text
+_ALNUM_RUN = re.compile(r"[a-zA-Z0-9]+")
 
 # corpora are Zipf-distributed: the same words stem over and over
 _stem = lru_cache(maxsize=1 << 17)(stem)
 
 
+@lru_cache(maxsize=1 << 17)
+def _clean_token(raw: str) -> str | None:
+    """lowercase -> Porter2 stem -> stopword gate, one cache entry per raw
+    token (None = dropped). Collapses three per-token steps into one dict
+    hit on the Zipf-repeated path."""
+    s = stem(raw.lower())
+    return None if is_stopword(s) else s
+
+
 def laundry(text: str) -> list[str]:
     """Clean raw text into a list of stemmed, stopword-filtered tokens."""
-    text = _NON_ALNUM.sub(" ", text)
-    out: list[str] = []
-    for raw in _TOKEN.findall(text):
-        cleaned = _stem(raw.lower())
-        if not is_stopword(cleaned):
-            out.append(cleaned)
-    return out
+    clean = _clean_token
+    return [c for raw in _ALNUM_RUN.findall(text) if (c := clean(raw)) is not None]
 
 
 def term_stats(
@@ -44,12 +50,13 @@ def term_stats(
     Body/title words get their 0-based position; meta words append the
     sentinel META_POSITION and still count toward frequency.
     """
-    freq: dict[str, int] = {}
     pos: dict[str, list[float]] = {}
+    setdefault = pos.setdefault
     for p, w in enumerate(words):
-        pos.setdefault(w, []).append(float(p))
-        freq[w] = freq.get(w, 0) + 1
+        setdefault(w, []).append(float(p))
     for w in meta or ():
-        pos.setdefault(w, []).append(META_POSITION)
-        freq[w] = freq.get(w, 0) + 1
+        setdefault(w, []).append(META_POSITION)
+    # freq is derivable: one count per recorded position (meta included),
+    # and dict comprehension order matches the old insertion order
+    freq = {w: len(ps) for w, ps in pos.items()}
     return freq, pos
