@@ -42,7 +42,7 @@ namespace {
 
 struct Doc {
   std::string frag;  // pre-serialized static fields, without closing '}'
-  std::string text;  // summary-visible words, space-joined utf-8
+  fsum::TokDoc tok;  // summary text, pre-tokenized ONCE at registration
   bool set = false;
 };
 
@@ -157,7 +157,7 @@ void fv_gen_set(void* gen, int32_t doc_id, const char* frag, int32_t frag_len,
   if (doc_id < 0 || (size_t)doc_id >= g->docs.size()) return;
   Doc& d = g->docs[doc_id];
   d.frag.assign(frag, frag_len);
-  d.text.assign(text, text_len);
+  fsum::build_tokdoc(text, text_len, &d.tok);
   d.set = true;
 }
 
@@ -219,12 +219,12 @@ static int64_t assemble_row(Gen* g, const int32_t* ids, const float* scores,
       }
     }
     if (!hit) {
-      int n = fsum::render(d.text.data(), (int)d.text.size(), qt, pt, ph_lens,
-                           n_ph, t_render.data(), (int)t_render.size());
+      int n = fsum::render_tok(d.tok, qt, pt, ph_lens, n_ph, t_render.data(),
+                               (int)t_render.size());
       while (n < 0 && t_render.size() < (1u << 24)) {
         t_render.resize(t_render.size() * 2);
-        n = fsum::render(d.text.data(), (int)d.text.size(), qt, pt, ph_lens,
-                         n_ph, t_render.data(), (int)t_render.size());
+        n = fsum::render_tok(d.tok, qt, pt, ph_lens, n_ph, t_render.data(),
+                             (int)t_render.size());
       }
       if (n < 0) n = 0;  // pathological: empty summary
       json_escape(t_render.data(), n, &t_escaped);

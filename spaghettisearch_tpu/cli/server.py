@@ -38,7 +38,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--noBatching", action="store_true")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force the JAX backend (e.g. cpu to serve without "
+                         "an accelerator; JAX_PLATFORMS env can be too late "
+                         "when sitecustomize imports jax first)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     # NOTE: the serving process must NOT run the store GC daemon — compaction
