@@ -76,10 +76,12 @@ def main() -> None:
     print("fixture store built", flush=True)
 
     log = open("/tmp/soak_server.log", "wb")
+    cmd = [sys.executable, "-m", "spaghettisearch_tpu.cli.server",
+           "--db", ROOT, "--port", str(PORT)]
+    if "--cpu" in sys.argv:  # relay outages: soak the serving stack on CPU
+        cmd += ["--platform", "cpu"]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "spaghettisearch_tpu.cli.server",
-         "--db", ROOT, "--port", str(PORT)],
-        stdout=log, stderr=subprocess.STDOUT, cwd=repo,
+        cmd, stdout=log, stderr=subprocess.STDOUT, cwd=repo,
     )
     try:
         deadline = time.monotonic() + 1500

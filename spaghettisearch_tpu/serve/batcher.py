@@ -174,11 +174,17 @@ class MicroBatcher:
         # stay full. With no pending batch (light load) a batch flows
         # through all three stages back-to-back — no added latency.
         while True:
-            with TRACER.span("batch.wait"), self._cv:
+            with self._cv:
                 while not self._queue and not self._stop:
                     self._cv.wait()
                 if self._stop:
                     break
+            # downstream backpressure FIRST: while the pipeline is full this
+            # blocks, and every request arriving meanwhile joins the batch
+            # sliced below (acquiring after the wait left real-TPU batches
+            # at ~102/128 — arrivals during the block missed their batch)
+            self._slots.acquire()
+            with TRACER.span("batch.wait"), self._cv:
                 # straggler wait: an undersized batch wastes a whole device
                 # program launch (the b-bucket pads it to full width), so
                 # give the batch up to max_wait to fill — but only while
@@ -188,7 +194,7 @@ class MicroBatcher:
                 # an in-flight stage: waiting further is pure serial loss
                 # (measured ~30 ms/batch). 3 ms of silence ends the wait.
                 deadline = time.monotonic() + self.max_wait_s
-                while len(self._queue) < self.max_batch:
+                while len(self._queue) < self.max_batch and not self._stop:
                     remaining = deadline - time.monotonic()
                     if remaining <= 0:
                         break
@@ -196,10 +202,6 @@ class MicroBatcher:
                     self._cv.wait(timeout=min(remaining, 0.003))
                     if len(self._queue) == n0:
                         break  # no arrivals in the idle gap
-            # downstream backpressure: block BEFORE slicing, so requests
-            # arriving while the pipeline is saturated join this batch
-            self._slots.acquire()
-            with self._cv:
                 batch = self._queue[: self.max_batch]
                 self._queue = self._queue[self.max_batch:]
                 if batch:
