@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--noBatching", action="store_true")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
+    ap.add_argument("--resultCache", type=int, default=0,
+                    help="cache up to N finished /query responses per "
+                         "refresh generation (0 = off; benchmarks run "
+                         "uncached)")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                     help="force the JAX backend (e.g. cpu to serve without "
                          "an accelerator; JAX_PLATFORMS env can be too late "
@@ -92,7 +96,9 @@ def main(argv: list[str] | None = None) -> None:
 
         TRACER.reset()  # /stats should reflect live traffic, not warmup
     print(f"\nServer is running on port {args.port}")
-    SearchServer(engine, batching=not args.noBatching).serve(port=args.port)
+    SearchServer(
+        engine, batching=not args.noBatching, result_cache=args.resultCache,
+    ).serve(port=args.port)
 
 
 if __name__ == "__main__":

@@ -127,6 +127,13 @@ class FastHTTPFrontend:
                         "queries": s.batcher.stats.queries,
                         "mean_batch": round(s.batcher.stats.mean_batch, 2),
                     }
+                if s._rcache_size:
+                    stats["result_cache"] = {
+                        "size": len(s._rcache),
+                        "capacity": s._rcache_size,
+                        "hits": s._rcache_hits,
+                        "misses": s._rcache_misses,
+                    }
                 return _resp(200, json.dumps(stats).encode())
             return self._static(path)
         return _resp(404, b'{"error": "not found"}')

@@ -20,6 +20,7 @@ import logging
 import os
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote, urlsplit
 
@@ -62,6 +63,11 @@ class SearchServer:
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
         http_opts: dict | None = None,  # FastHTTPFrontend guard overrides
         # (read_timeout, max_header, max_body, max_connections)
+        result_cache: int = 0,  # >0: LRU of finished /query response bytes,
+        # keyed by (refresh generation, query text). Off by default so
+        # benchmarks measure serving, not cache hits; production query
+        # streams are heavily repeated and a hit skips rank+assembly
+        # entirely. Invalidation is by generation: /refresh bumps it.
     ) -> None:
         self.engine = engine
         self.static_dir = static_dir
@@ -69,6 +75,12 @@ class SearchServer:
         self.http_opts = dict(http_opts or {})
         self._fast = None
         self._httpd: ThreadingHTTPServer | None = None
+        self._rcache_size = int(result_cache)
+        self._rcache: "OrderedDict[tuple[int, str], bytes]" = OrderedDict()
+        self._rcache_lock = threading.Lock()
+        self._rcache_gen = 0
+        self._rcache_hits = 0
+        self._rcache_misses = 0
         # reader-writer serving lock: queries (rank dispatch + store
         # hydration + wordlist) are readers and run concurrently across
         # handler threads; /refresh is the writer, held only for the live
@@ -90,6 +102,24 @@ class SearchServer:
         """The wire fast path: ranked rows hydrate straight into response
         bytes from the per-doc JSON fragment cache (no per-request dict
         building / re-serialization of static fields)."""
+        if self._rcache_size:
+            key = (self._rcache_gen, query)
+            with self._rcache_lock:
+                hit = self._rcache.get(key)
+                if hit is not None:
+                    self._rcache.move_to_end(key)
+                    self._rcache_hits += 1
+                    return hit
+                self._rcache_misses += 1
+            body = self._query_json_uncached(query)
+            with self._rcache_lock:
+                self._rcache[key] = body
+                while len(self._rcache) > self._rcache_size:
+                    self._rcache.popitem(last=False)
+            return body
+        return self._query_json_uncached(query)
+
+    def _query_json_uncached(self, query: str) -> bytes:
         with TRACER.span("serve.query"):
             t0 = time.perf_counter()
             if self.batcher is not None:
@@ -150,6 +180,9 @@ class SearchServer:
             built = time.perf_counter()
             with self._rank_lock.write():
                 old_db = self.engine.commit_refresh(state)
+                # response cache: new generation, old entries age out of
+                # the LRU (their keys can never match again)
+                self._rcache_gen += 1
             lock_held = time.perf_counter() - built
             if old_db is not None:
                 # closing a crawl-scale store takes seconds (flush + free,
@@ -274,6 +307,13 @@ class SearchServer:
                             "batches": server.batcher.stats.batches,
                             "queries": server.batcher.stats.queries,
                             "mean_batch": round(server.batcher.stats.mean_batch, 2),
+                        }
+                    if server._rcache_size:
+                        stats["result_cache"] = {
+                            "size": len(server._rcache),
+                            "capacity": server._rcache_size,
+                            "hits": server._rcache_hits,
+                            "misses": server._rcache_misses,
                         }
                     self._send_json(stats)
                 else:

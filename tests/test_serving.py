@@ -372,3 +372,48 @@ def test_fastloop_abrupt_close_and_recovery(engine):
             assert json.loads(resp.read())["ok"] is True
     finally:
         server.shutdown()
+
+
+def test_result_cache_hits_and_refresh_invalidation(db, tmp_path):
+    """Opt-in response cache: identical bytes on a hit, LRU-bounded, and a
+    /refresh bumps the generation so stale responses can never serve."""
+    import shutil
+
+    root = str(tmp_path / "rc_db")
+    shutil.copytree(db.root, root)
+    from spaghettisearch_tpu.store.tables import Database
+
+    db2 = Database(root)
+    eng = QueryEngine(db2)
+    server = SearchServer(eng, batching=True, result_cache=4)
+    try:
+        a1 = server.handle_query_json("algorithm database")
+        a2 = server.handle_query_json("algorithm database")
+        assert a1 == a2 and server._rcache_hits == 1
+        # LRU bound: capacity 4, 5 distinct queries evict the oldest
+        for q in ("q1", "q2", "q3", "q4"):
+            server.handle_query_json(q)
+        assert len(server._rcache) == 4
+        gen0 = server._rcache_gen
+        # refresh bumps the generation: same query re-executes
+        import spaghettisearch_tpu.index.indexer as ix
+        from datetime import datetime, timezone
+
+        ix.index_page(
+            db2,
+            b"<html><title>fresh algorithm</title><p>algorithm database "
+            b"entirely fresh page</p></html>",
+            "http://test.local/fresh-rc",
+            last_modified=datetime(2030, 1, 1, tzinfo=timezone.utc),
+        )
+        server.handle_refresh()
+        assert server._rcache_gen == gen0 + 1
+        misses0 = server._rcache_misses
+        a3 = server.handle_query_json("algorithm database")
+        assert server._rcache_misses == misses0 + 1
+        # the fresh doc is only visible post-refresh — proving the cached
+        # pre-refresh bytes were not served
+        assert b"fresh-rc" in a3 and b"fresh-rc" not in a1
+    finally:
+        server.shutdown()
+        db2.close()
