@@ -701,7 +701,29 @@ def bench_parity(n_pages: int = 100_000, n_queries: int = 1000) -> dict:
         1 for a, b in zip(got_all, want_all)
         if [d for d, _ in a] == [d for d, _ in b]
     ) / max(len(got_all), 1)
+    # classify residual top-50 divergences: a divergence is TIE-EXPLAINED
+    # when every differing position holds docs whose oracle scores are
+    # equal (any order is then a valid insertion-sort outcome, reference
+    # util.go:48-54); anything else would be a real misorder
+    n_div = n_tie = 0
+    for a, b in zip(got_all, want_all):
+        if [d for d, _ in a] == [d for d, _ in b]:
+            continue
+        n_div += 1
+        bmap = dict(b)
+        tie_ok = len(a) == len(b)
+        if tie_ok:
+            for (da, _), (db_, sb) in zip(a, b):
+                if da == db_:
+                    continue
+                sa = bmap.get(da)
+                if sa is None or abs(sa - sb) > 1e-6 * max(abs(sb), 1e-9):
+                    tie_ok = False
+                    break
+        n_tie += tie_ok
     return {
+        "order_divergences_at_50": n_div,
+        "divergences_tie_explained": n_tie,
         "metric": "recall_at_10_vs_reference_oracle_100k",
         "value": round(report.recall_at_k, 6),
         "unit": "recall",
