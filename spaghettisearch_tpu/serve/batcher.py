@@ -329,7 +329,14 @@ class MicroBatcher:
     def shutdown(self) -> None:
         with self._cv:
             self._stop = True
+            pending = self._queue
+            self._queue = []
             self._cv.notify_all()
+        # never-dispatched requests fail immediately instead of waiting out
+        # the (generous, compile-sized) result timeout
+        for _, fut in pending:
+            if not fut.done():
+                fut.set_exception(RuntimeError("server shutting down"))
         self._slots.release()  # unblock a dispatcher stuck on backpressure
         # the stop sentinel flows down the pipeline, draining in-flight jobs
         self._worker.join(timeout=5)
