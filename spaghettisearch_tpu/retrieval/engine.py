@@ -1242,4 +1242,13 @@ class QueryEngine:
             cache = live[0]._wordlist
         if not prefix:
             return list(cache)
-        return [w for w in cache if w.startswith(prefix)]
+        # the cache is sorted: prefix matches are one contiguous run
+        import bisect
+
+        lo = bisect.bisect_left(cache, prefix)
+        out: list[str] = []
+        for i in range(lo, len(cache)):
+            if not cache[i].startswith(prefix):
+                break
+            out.append(cache[i])
+        return out
