@@ -117,8 +117,8 @@ def _shard_csr(
         order = keep[np.argsort(p["doc_ids"][keep], kind="stable")]
         docs_s = p["doc_ids"][order]
         row_off = np.zeros(docs_per_shard + 1, np.int64)
-        np.add.at(row_off, docs_s + 1, 1)
-        row_off = np.cumsum(row_off)
+        # bincount+cumsum, NOT np.add.at (10-30x slower on multi-M arrays)
+        row_off[1:] = np.cumsum(np.bincount(docs_s, minlength=docs_per_shard))
         slot = np.arange(len(order), dtype=np.int64) - row_off[docs_s]
         ft[s, docs_s, slot] = w_of[order]
         fw[s, docs_s, slot] = p["weights"][order]

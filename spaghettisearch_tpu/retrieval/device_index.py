@@ -87,37 +87,62 @@ def build_posT_raw(
     # its posting or differs from its predecessor)
     l_total = int(pos_off[n_post])
     plen = np.diff(pos_off[: n_post + 1])
-    seg_first = np.zeros(l_total, bool)
-    seg_first[pos_off[:n_post][plen > 0]] = True
     raw = positions[:l_total]
-    keep = seg_first.copy()
-    keep[1:] |= raw[1:] != raw[:-1]
-    pos_u = raw[keep]
-    seg = np.repeat(np.arange(n_post, dtype=np.int64), plen)
-    uniq = np.bincount(seg[keep], minlength=n_post)
-    c = int(uniq.max(initial=1))
-    c = max(c, 1)
-    if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
-        return None
-    # deduped offsets, extended over padded posting slots (empty ranges)
-    off_u = np.zeros(p_pad + 1, np.int64)
-    off_u[1 : n_post + 1] = np.cumsum(uniq)
-    off_u[n_post + 1 :] = off_u[n_post]
+    seg_first = np.zeros(max(l_total, 1), bool)
+    seg_first[pos_off[:n_post][plen > 0]] = True
+    # an element is a true intra-posting duplicate iff it equals its
+    # predecessor AND does not open its posting (boundary equality between
+    # consecutive postings is not a duplicate)
+    dup = np.empty(max(l_total, 1), bool)
+    dup[0] = False
+    if l_total:
+        dup[1:] = (raw[1:] == raw[:-1]) & ~seg_first[1:]
+    if l_total == 0 or not bool(dup.any()):
+        # fast path — no posting has an intra-posting duplicate: body
+        # positions are unique by construction and titles only duplicate
+        # the -100 sentinel, so this skips the dedup gather pass
+        # (measured the dominant cost of the 1M sharded index build)
+        c = max(int(plen.max(initial=1)), 1)
+        if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
+            return None
+        pos_u = raw
+        off_u = np.zeros(p_pad + 1, np.int64)
+        off_u[: n_post + 1] = pos_off[: n_post + 1]
+        off_u[n_post + 1 :] = off_u[n_post]
+    else:
+        keep = ~dup[:l_total]
+        pos_u = raw[keep]
+        # unique count per posting from the kept-prefix sums (no
+        # repeat/bincount: both were multi-second at 52M postings)
+        ksum = np.zeros(l_total + 1, np.int64)
+        np.cumsum(keep, out=ksum[1:])
+        uniq = ksum[pos_off[1 : n_post + 1]] - ksum[pos_off[:n_post]]
+        c = max(int(uniq.max(initial=1)), 1)
+        if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
+            return None
+        # deduped offsets, extended over padded posting slots (empty ranges)
+        off_u = np.zeros(p_pad + 1, np.int64)
+        off_u[1 : n_post + 1] = np.cumsum(uniq)
+        off_u[n_post + 1 :] = off_u[n_post]
     out = np.full((c * t, d_pad), pos_big, np.float32)
     l_guard = max(len(pos_u) - 1, 0)
-    pos_u = np.concatenate([pos_u, [pos_big]]) if len(pos_u) else np.array([pos_big])
+    pos_u = (
+        np.concatenate([pos_u, [pos_big]]).astype(np.float32)
+        if len(pos_u) else np.array([pos_big], np.float32)
+    )
+    # int32 halves the index-math bandwidth (safe: position-list lengths
+    # are far below 2^31; keep int64 for a pathological giant section)
+    off_u32 = off_u.astype(np.int32) if off_u[-1] < 2**31 - c - 1 else off_u
     chunk = max(1, (64 << 20) // max(t * c * 4, 1))  # bound transient memory
-    ar_c = np.arange(c, dtype=np.int64)
+    ar_c = np.arange(c, dtype=np.int32)
     for d0 in range(0, d, chunk):
         d1 = min(d0 + chunk, d)
         fj_blk = fj[d0:d1]  # [db, T]
-        start = off_u[fj_blk]
-        end = off_u[fj_blk + 1]
-        idx = start[..., None] + ar_c  # [db, T, C]
+        start = off_u32[fj_blk]
+        end = off_u32[fj_blk + 1]
+        idx = start[..., None] + ar_c  # [db, T, C] int32
         valid = idx < end[..., None]
-        pos = np.where(
-            valid, pos_u[np.minimum(idx, l_guard)], pos_big
-        ).astype(np.float32)
+        pos = np.where(valid, pos_u[np.minimum(idx, l_guard)], pos_big)
         # [db, T, C] -> [C*T, db]
         out[:, d0:d1] = pos.transpose(2, 1, 0).reshape(c * t, d1 - d0)
     return out, c
