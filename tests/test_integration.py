@@ -143,9 +143,14 @@ def test_refresh_under_load_native_backend(tmp_path):
     stop = time.time() + 4.0
 
     def q():
+        # keyword AND phrase traffic: phrases ride the fused mixed lane,
+        # whose posT planes swap with the live tuple on every refresh
+        qs = ("algorithm database", '"algorithm database"', 'x "algorithm"')
+        i = 0
         while time.time() < stop:
             try:
-                srv.handle_query("algorithm database")
+                srv.handle_query(qs[i % len(qs)])
+                i += 1
             except Exception as e:  # noqa: BLE001
                 errors.append(repr(e))
 
