@@ -515,6 +515,9 @@ def bench_serve(
     db, snap = load_bench_corpus(root)
     queries = bench_queries(snap, n_queries, seed=5, phrase_every=8, db=db)
     db.close()
+    # first-ever warmup of the 1M shapes can settle for minutes through the
+    # relay (FINDINGS: mixed family 100-440 s per program); scale the wait
+    up_wait_s = 1200 if n_pages <= 200_000 else 3600
 
     port = _free_port()
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -528,7 +531,7 @@ def bench_serve(
             stdout=log, stderr=subprocess.STDOUT, cwd=repo,
         )
     try:
-        deadline = time.monotonic() + 1200  # warmup compiles through the relay
+        deadline = time.monotonic() + up_wait_s  # warmup compiles via relay
         up = False
         while time.monotonic() < deadline:
             if proc.poll() is not None:
@@ -639,7 +642,7 @@ def bench_serve(
             pass
         qps = total / dt
         return {
-            "metric": "serve_http_qps_100k_docs_full_contract",
+            "metric": f"serve_http_qps_{n_pages // 1000}k_docs_full_contract",
             "value": round(qps, 1),
             "unit": "qps",
             "vs_baseline": round(qps / 2000.0, 3),  # round-2 target: 2k QPS
@@ -957,6 +960,12 @@ def main() -> None:
         if mode == "serve":
             print(json.dumps(bench_serve()))
             return
+        if mode == "serve1m":
+            # BASELINE ladder rung 5, single-chip form: full-contract HTTP
+            # serving over the 1M-doc crawl-built corpus (builds the corpus
+            # on first use — ~1-2 h host-side; cached after)
+            print(json.dumps(bench_serve(n_pages=1_000_000)))
+            return
         if mode == "sharded":
             print(json.dumps(bench_sharded()))
             return
@@ -993,6 +1002,10 @@ def emit_results(out_path: str) -> None:
         ("index", bench_index),
         ("sharded", bench_sharded),
     ]
+    # serve-at-1M joins the artifact only when its corpus is already built
+    # (first build is a ~1-2 h host-side job; `--mode serve1m` triggers it)
+    if os.path.exists(os.path.join(BENCH_DIR, "corpus1000k", "BUILT.json")):
+        stages.insert(5, ("serve1m", lambda: bench_serve(n_pages=1_000_000)))
     for name, fn in stages:
         t0 = time.perf_counter()
         try:
