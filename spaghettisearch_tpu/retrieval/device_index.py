@@ -42,8 +42,11 @@ POS_MAT_BUDGET_BYTES = 512 << 20
 #: doc-major positions (posT, the fused mixed kernel's stream layout) are
 #: built while C*T_pad*D_pad*4 bytes per section stays under this budget
 #: AND the per-posting unique-position count stays <= POS_T_C_MAX; the
-#: engine falls back to the sparse two-phase phrase lane when absent
-POS_T_BUDGET_BYTES = 2 << 30
+#: engine falls back to the sparse two-phase phrase lane when absent.
+#: 4 GiB keeps the mixed lane live at the 1M-doc single-chip tier (body
+#: posT there measures 3.1 GiB at C=7, T=120; whole-index footprint incl.
+#: [B, D] scoring transients ~10 GB on a 16 GB chip)
+POS_T_BUDGET_BYTES = 4 << 30
 POS_T_C_MAX = 32
 
 
