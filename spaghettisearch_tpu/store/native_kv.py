@@ -14,6 +14,22 @@ import subprocess
 import threading
 from typing import Iterator
 
+def _copy_native(ptr, nbytes: int, dtype, count: int):
+    """Copy `nbytes` from a ctypes pointer into a numpy array.
+
+    NOT ctypes.string_at: its size parameter is a C int, so any buffer
+    >= 2 GiB raises "Negative size passed to PyBytes_FromStringAndSize"
+    (hit by export_postings at the 1M-doc tier — 77M postings x 32-byte
+    doc hashes is 2.5 GB). A from_address char-array view has no such
+    limit and frombuffer(...).copy() is the same single memcpy."""
+    import numpy as np
+
+    buf = (ctypes.c_char * nbytes).from_address(
+        ctypes.cast(ptr, ctypes.c_void_p).value
+    )
+    return np.frombuffer(buf, dtype=dtype, count=count).copy()
+
+
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
@@ -228,9 +244,10 @@ class NativeBackend:
         np_, pp = int(n_post.value), int(n_pos.value)
 
         def arr(ptr, dtype, count, itemsize):
-            out = np.frombuffer(
-                c.string_at(ptr, count * itemsize), dtype=dtype, count=count
-            ).copy() if count else np.zeros(0, dtype)
+            out = (
+                _copy_native(ptr, count * itemsize, dtype, count)
+                if count else np.zeros(0, dtype)
+            )
             self._lib.fastkv_free(c.cast(ptr, c.POINTER(c.c_char)))
             return out
 
@@ -263,12 +280,10 @@ class NativeBackend:
         )
         if n < 0:
             return None
-        docs = np.frombuffer(
-            c.string_at(out_docs, 32 * n), dtype="S32", count=n
-        ).copy() if n else np.zeros(0, "S32")
-        sums = np.frombuffer(
-            c.string_at(out_sums, 8 * n), dtype=np.float64, count=n
-        ).copy() if n else np.zeros(0, np.float64)
+        docs = (_copy_native(out_docs, 32 * n, "S32", n)
+                if n else np.zeros(0, "S32"))
+        sums = (_copy_native(out_sums, 8 * n, np.float64, n)
+                if n else np.zeros(0, np.float64))
         self._lib.fastkv_free(out_docs)
         self._lib.fastkv_free(c.cast(out_sums, c.POINTER(c.c_char)))
         return docs, sums

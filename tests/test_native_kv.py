@@ -115,3 +115,30 @@ def test_torn_tail_record_recovered(tmp_path):
     assert b2.get("good") == "value"
     assert len(b2) == 1
     b2.close()
+
+
+def test_copy_native_handles_buffers_past_2gib():
+    """ctypes.string_at takes a C int size, so >= 2 GiB exports raised
+    'Negative size passed to PyBytes_FromStringAndSize' (hit by the 1M-doc
+    corpus build: 77M postings x 32-byte hashes). _copy_native must not
+    share that limit."""
+    import ctypes
+
+    import numpy as np
+
+    # small-buffer equivalence with the string_at formulation
+    src = np.arange(1000, dtype=np.float64)
+    ptr = src.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    out = native._copy_native(ptr, src.nbytes, np.float64, len(src))
+    assert np.array_equal(out, src)
+    out[0] = -1.0  # a copy, not a view
+    assert src[0] == 0.0
+
+    # past the 2 GiB string_at wall (this box has 125 GB RAM; the copy is
+    # one memcpy, ~1 s)
+    n = (2**31 + (8 << 20)) // 8
+    big = np.zeros(n, dtype=np.float64)
+    big[0], big[-1] = 1.5, 2.5
+    bptr = big.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    bout = native._copy_native(bptr, big.nbytes, np.float64, n)
+    assert bout.shape == (n,) and bout[0] == 1.5 and bout[-1] == 2.5
