@@ -501,6 +501,8 @@ def bench_serve(
     # law caps throughput below the server's capacity (3-stage batcher)
     warm_s: float = 15.0,
     n_queries: int = 4096,
+    big_batch: bool = False,  # --bigBatch server (256-row bucket) + the
+    # connection count Little's law then needs
 ) -> dict:
     """End-to-end HTTP serving throughput at the FULL Rank_combined contract
     (reference: cmd/server/server.go:32-52 + retrieval/get_metadata.go): a
@@ -515,9 +517,13 @@ def bench_serve(
     db, snap = load_bench_corpus(root)
     queries = bench_queries(snap, n_queries, seed=5, phrase_every=8, db=db)
     db.close()
+    if big_batch:
+        n_conns = max(n_conns, 1024)
     # first-ever warmup of the 1M shapes can settle for minutes through the
     # relay (FINDINGS: mixed family 100-440 s per program); scale the wait
     up_wait_s = 1200 if n_pages <= 200_000 else 3600
+    if big_batch:
+        up_wait_s += 1200  # two extra mixed-family settles
 
     port = _free_port()
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -527,7 +533,8 @@ def bench_serve(
             [sys.executable, "-m", "spaghettisearch_tpu.cli.server",
              "--db", os.path.join(root, "store"),
              "--snapshot", os.path.join(root, "snapshot"),
-             "--port", str(port)],
+             "--port", str(port)]
+            + (["--bigBatch"] if big_batch else []),
             stdout=log, stderr=subprocess.STDOUT, cwd=repo,
         )
     try:
@@ -650,6 +657,7 @@ def bench_serve(
             "p99_ms": round(1e3 * float(lats[int(len(lats) * 0.99)]), 2) if len(lats) else None,
             "requests": total,
             "connections": n_conns,
+            "big_batch": big_batch,
             "mean_batch": (stats.get("microbatcher") or {}).get("mean_batch"),
             "rank_device_ms": (stats.get("rank.device") or {}).get("mean_ms"),
             "serve_query_ms": (stats.get("serve.query") or {}).get("mean_ms"),
@@ -958,7 +966,7 @@ def main() -> None:
             print(json.dumps(bench_mixed()))
             return
         if mode == "serve":
-            print(json.dumps(bench_serve()))
+            print(json.dumps(bench_serve(big_batch="--bigBatch" in sys.argv)))
             return
         if mode == "serve1m":
             # BASELINE ladder rung 5, single-chip form: full-contract HTTP

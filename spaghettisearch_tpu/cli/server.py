@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--meshBatch", type=int, default=1,
                     help="with --meshShards: query-data-parallel rows of a "
                          "2-D mesh")
+    ap.add_argument("--bigBatch", action="store_true",
+                    help="serve with a 256-row micro-batch ceiling (adds "
+                         "the B_BIG program bucket; single-chip engine "
+                         "only). Pays ~2 extra mixed-family warmup settles "
+                         "through a remote-TPU relay; wins when the wall "
+                         "is per-execution relay overhead, not the kernel")
     ap.add_argument("--noBatching", action="store_true")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
@@ -76,6 +82,13 @@ def main(argv: list[str] | None = None) -> None:
         cls = ShardedQueryEngine
         kwargs["n_shards"] = args.meshShards
         kwargs["n_query_rows"] = args.meshBatch
+        if args.bigBatch:
+            logging.getLogger("spaghettisearch.serve").warning(
+                "--bigBatch is single-chip only; ignoring with --meshShards"
+            )
+            args.bigBatch = False
+    elif args.bigBatch:
+        kwargs["big_batch"] = True
     engine = cls(
         db, snapshot=snapshot, use_topic_model=args.topicModel,
         topic_model_fixed=args.topicModel and not args.topicQuirk,
@@ -98,6 +111,7 @@ def main(argv: list[str] | None = None) -> None:
     print(f"\nServer is running on port {args.port}")
     SearchServer(
         engine, batching=not args.noBatching, result_cache=args.resultCache,
+        max_batch=256 if args.bigBatch else 128,
     ).serve(port=args.port)
 
 

@@ -112,6 +112,10 @@ def _pow2(n: int) -> int:
 # --------------------------------------------------------------------- #
 WARM_B_MAX = 128
 B_SMALL = 16  # low-latency bucket for trickle traffic / CLI single queries
+B_BIG = 256  # opt-in wide bucket (engine.big_batch / server --bigBatch):
+# when the serving wall is a per-execution relay overhead rather than the
+# kernel itself, amortizing it over 256 rows beats any block tune; costs 2
+# extra mixed-family programs' warmup settle, so it is OFF by default
 _MATCH_FETCH_K = 256  # matcher fetch compression width (top-K real matches)
 MATCHER_BP = (1, 4, 16)  # phrase-matcher vmap widths (chunked above 16)
 Q_BASE = 4
@@ -130,11 +134,16 @@ def _p_level(n: int) -> int:
 
 
 def _b_bucket(n: int) -> int:
-    """Batch bucket: {B_SMALL, WARM_B_MAX}. Two programs per family, not
-    eight: kernel-side qn dispatch makes pad rows nearly free, and the
-    serving program set must stay small (first use of each program after
-    the warmup flood costs seconds through the relay)."""
-    return B_SMALL if n <= B_SMALL else WARM_B_MAX
+    """Batch bucket: {B_SMALL, WARM_B_MAX} (+B_BIG for batches the opt-in
+    256-row batcher emits). Few programs per family, not eight: kernel-side
+    qn dispatch makes pad rows nearly free, and the serving program set must
+    stay small (first use of each program after the warmup flood costs
+    seconds through the relay)."""
+    if n <= B_SMALL:
+        return B_SMALL
+    if n <= WARM_B_MAX:
+        return WARM_B_MAX
+    return B_BIG
 
 
 def _bp_bucket(n: int) -> int:
@@ -217,6 +226,12 @@ class QueryEngine:
     # still yields zero probabilities; fixed=True seeds at 1 (usable model)
     topic_model_fixed: bool = False
     device: object | None = None
+    # opt-in B_BIG=256 batch bucket (see the compile-shape policy header).
+    # Only meaningful with a fused-mixed-capable index: the legacy sparse
+    # lane's program families were never warmed at 256 (rank_async ignores
+    # the flag there). The catch-all (q > Q_BASE) program moves to
+    # (B_BIG, Q_CATCHALL) so exactly one catch-all exists per family.
+    big_batch: bool = False
 
     def __post_init__(self) -> None:
         if self.snapshot is None:
@@ -327,6 +342,16 @@ class QueryEngine:
         snap, idx = live[0], live[1]
         model = live[2] if len(live) > 2 else self.model
         b_real = len(parsed)
+        has_phrase = any(p.phrase_hashes for p in parsed)
+        fused = has_phrase and getattr(model, "supports_mixed", None) is not None \
+            and model.supports_mixed(idx)
+        # with big_batch the warmed catch-all lives at (B_BIG, Q_CATCHALL)
+        # for fused-lane and keyword-only batches; the legacy sparse phrase
+        # lane keeps its (WARM_B_MAX, ...) families
+        b_catch = (
+            B_BIG if self.big_batch and (fused or not has_phrase)
+            else WARM_B_MAX
+        )
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
         # compile its own XLA program
@@ -337,8 +362,8 @@ class QueryEngine:
         else:
             # rare long-keyword shape -> the single warmed catch-all program
             q = Q_CATCHALL
-            if b < WARM_B_MAX:
-                b = WARM_B_MAX
+            if b < b_catch:
+                b = b_catch
             if q_real > Q_CATCHALL:
                 import logging
 
@@ -346,10 +371,6 @@ class QueryEngine:
                     "query has %d keyword terms; scoring the first %d",
                     q_real, Q_CATCHALL,
                 )
-
-        has_phrase = any(p.phrase_hashes for p in parsed)
-        fused = has_phrase and getattr(model, "supports_mixed", None) is not None \
-            and model.supports_mixed(idx)
         if fused:
             return self._rank_fused(parsed, topk, live, b, q, q_real, b_real)
         matches: list[tuple[np.ndarray, ...]] = []
@@ -744,19 +765,28 @@ class QueryEngine:
 
         from functools import partial as _partial
 
-        for b in (B_SMALL, max_batch):
+        # with big_batch the single catch-all moves to (B_BIG, Q_CATCHALL):
+        # the 1-row catch-all jobs below reach it through rank_async's
+        # b_catch forcing, so no extra catch-all jobs are needed
+        buckets = (B_SMALL, max_batch) + (
+            (B_BIG,) if self.big_batch and max_batch < B_BIG else ()
+        )
+        for b in buckets:
             jobs.append(_partial(self.rank, [kw] * b, MAX_RESULTS))  # keyword (b, Q_BASE)
         jobs.append(_partial(self.rank, [kw_long], MAX_RESULTS))  # keyword catch-all
 
         if fused_ok:
             # the fused mixed lane's whole program space: (b, q) in
-            # {(16, Q_BASE), (128, Q_BASE), (128, Q_CATCHALL)} — phrase
-            # length is dynamic in-kernel, not a compile shape
-            for b in (B_SMALL, max_batch):
+            # {(16, Q_BASE), (128, Q_BASE), (128, Q_CATCHALL)} (+ the B_BIG
+            # bucket when opted in) — phrase length is dynamic in-kernel,
+            # not a compile shape
+            for b in buckets:
                 jobs.append(_partial(self.rank, [ph] * b, MAX_RESULTS))
             jobs.append(_partial(self.rank, [ph_n(2, kws=Q_BASE + 1)], MAX_RESULTS))
         else:
             # legacy two-phase lane: matcher bp buckets + fold programs
+            # (B_BIG never routes here — rank_async drops the flag for
+            # phrase batches without the fused lane)
             for b in (B_SMALL, max_batch):
                 jobs.append(_partial(self.rank, [ph] * b, MAX_RESULTS))
             for n in (P_BASE + 1, P_LEVELS[-1]):  # long-phrase buckets (bp=1)
@@ -904,8 +934,10 @@ class QueryEngine:
         batches = [
             [kw_q],                      # keyword (B_SMALL, Q_BASE)
             [kw_q] * WARM_B_MAX,         # keyword (WARM_B_MAX, Q_BASE)
-            [kw_long],                   # keyword catch-all (WARM_B_MAX, Q_CATCHALL)
+            [kw_long],                   # keyword catch-all ((b_catch, Q_CATCHALL))
         ]
+        if self.big_batch:
+            batches.append([kw_q] * B_BIG)  # keyword (B_BIG, Q_BASE)
         fused_ok = bool(
             getattr(self.model, "supports_mixed", None)
             and self.model.supports_mixed(idx)
@@ -921,6 +953,8 @@ class QueryEngine:
                 [ph_q] + [kw_q] * (WARM_B_MAX - 1),    # (WARM_B_MAX, Q_BASE)
                 [P(kws=[kw_hash] * (Q_BASE + 1), phs=[kw_hash, wh2])],
             ]
+            if self.big_batch:
+                batches.append([ph_q] + [kw_q] * (B_BIG - 1))  # (B_BIG, Q_BASE)
         else:
             # df bands aligned to BOTH the matcher cap levels and the
             # e-fold levels (a single-term phrase of df=D matches ~D docs,

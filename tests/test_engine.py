@@ -141,3 +141,37 @@ def test_batched_phrase_queries_equal_single(engine, db):
         assert [r["Url"] for r in got] == [r["Url"] for r in want], q
         assert [r["FinalRank"] for r in got] == [r["FinalRank"] for r in want], q
     assert any(batched[i] for i in range(len(phrases)))  # real phrase hits
+
+
+def test_big_batch_bucket_equals_chunked(db):
+    """big_batch=True routes >128-row batches to the B_BIG=256 bucket; the
+    padded wide program must score row-for-row like the default engine
+    ranking the same queries in <=128-row chunks (incl. phrases and a
+    long-keyword catch-all row)."""
+    from spaghettisearch_tpu.retrieval.engine import _b_bucket
+
+    assert _b_bucket(129) == 256 and _b_bucket(128) == 128
+
+    eng_big = QueryEngine(db, big_batch=True)
+    eng_ref = QueryEngine(db, snapshot=eng_big.snapshot, index=eng_big.index)
+    texts = []
+    words = [w for w in VOCAB if w not in ("the", "of")]
+    for i in range(200):
+        if i % 7 == 3:
+            texts.append(f'"{words[i % len(words)]} {words[(i + 1) % len(words)]}"')
+        elif i % 29 == 11:  # long-keyword catch-all row (q > Q_BASE)
+            texts.append(" ".join(words[(i + j) % len(words)] for j in range(6)))
+        else:
+            texts.append(
+                " ".join(words[(i * 3 + j) % len(words)] for j in range(1 + i % 3))
+            )
+    parsed = [parse_query(t) for t in texts]
+    s_big, i_big = eng_big.rank(parsed, topk=10)
+    assert s_big.shape == (200, 10)
+    for lo in range(0, 200, 100):
+        s_ref, i_ref = eng_ref.rank(parsed[lo : lo + 100], topk=10)
+        np.testing.assert_allclose(
+            s_big[lo : lo + 100], s_ref, rtol=1e-5, atol=1e-6)
+        finite = np.isfinite(s_ref)
+        np.testing.assert_array_equal(
+            i_big[lo : lo + 100][finite], i_ref[finite])

@@ -417,3 +417,45 @@ def test_result_cache_hits_and_refresh_invalidation(db, tmp_path):
     finally:
         server.shutdown()
         db2.close()
+
+
+def test_big_batch_server_coalesces_past_128(engine):
+    """--bigBatch wiring: a 256-row micro-batch through SearchServer must
+    resolve every request with the same results the default server gives
+    (exercises the B_BIG bucket end-to-end: batcher slice > 128, engine
+    padding, inverse permutation, native assembly). Uses the live engine's
+    state, not the raw db fixture — the refresh test closes that handle."""
+    import threading
+
+    eng = QueryEngine(engine.db, snapshot=engine.snapshot,
+                      index=engine.index, big_batch=True)
+    server = SearchServer(eng, batching=True, max_batch=256)
+    ref = SearchServer(
+        QueryEngine(engine.db, snapshot=engine.snapshot, index=engine.index),
+        batching=True,
+    )
+    texts = [QUERIES[i % 4] for i in range(160)]
+    results = [None] * len(texts)
+
+    # stall the batcher's first slice so all 160 requests coalesce
+    barrier = threading.Barrier(len(texts) + 1)
+
+    def worker(i):
+        barrier.wait()
+        results[i] = server.handle_query_json(texts[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(texts))]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    batches = server.batcher.stats.batches
+    assert server.batcher.stats.queries == len(texts)
+    want = {t: ref.handle_query_json(t) for t in set(texts)}
+    for t, r in zip(texts, results):
+        assert json.loads(r) == json.loads(want[t])
+    server.batcher.shutdown()
+    ref.batcher.shutdown()
+    assert batches >= 1
