@@ -768,9 +768,10 @@ class QueryEngine:
         # with big_batch the single catch-all moves to (B_BIG, Q_CATCHALL):
         # the 1-row catch-all jobs below reach it through rank_async's
         # b_catch forcing, so no extra catch-all jobs are needed
-        buckets = (B_SMALL, max_batch) + (
-            (B_BIG,) if self.big_batch and max_batch < B_BIG else ()
-        )
+        buckets = tuple(dict.fromkeys(
+            (B_SMALL, WARM_B_MAX, max_batch)
+            + ((B_BIG,) if self.big_batch else ())
+        ))
         for b in buckets:
             jobs.append(_partial(self.rank, [kw] * b, MAX_RESULTS))  # keyword (b, Q_BASE)
         jobs.append(_partial(self.rank, [kw_long], MAX_RESULTS))  # keyword catch-all

@@ -44,6 +44,7 @@ def _jit_cache_sizes():
         scoring.score_queries_forward_phrase,
         scoring.score_queries,
         scoring.score_queries_fused,
+        scoring.score_queries_mixed,  # the fused mixed lane's program
         blended._custom_score,
         bm25._bm25_score_csr,
         phrase.match_phrase_fwd_batch,
@@ -96,6 +97,29 @@ def test_no_fresh_compiles_after_warmup(wide_db):
 
     before = _jit_cache_sizes()
     for batch in _adversarial_queries('"glorp blip"'):
+        res = eng.query_batch(batch)
+        assert len(res) == len(batch)
+    after = _jit_cache_sizes()
+    assert after == before, f"{after - before} fresh compiles after warmup"
+
+
+def test_no_fresh_compiles_after_warmup_big_batch(wide_db):
+    """big_batch engines add the B_BIG=256 bucket; warmup must cover it so
+    batcher slices past 128 rows (and the relocated (B_BIG, Q_CATCHALL)
+    catch-all) never compile live."""
+    from spaghettisearch_tpu.retrieval.engine import B_BIG
+
+    eng = QueryEngine(wide_db, big_batch=True)
+    eng.warmup()
+
+    long_kw = " ".join(f"zzterm{i}" for i in range(7))
+    big_batches = [
+        ["algorithm"] * (B_BIG - 37),                      # keyword B_BIG
+        (['"algorithm ranking"', "galaxy"] * 80)[:170],    # mixed B_BIG
+        [long_kw] + ["algorithm"] * 140,                   # B_BIG catch-all
+    ]
+    before = _jit_cache_sizes()
+    for batch in _adversarial_queries('"glorp blip"') + big_batches:
         res = eng.query_batch(batch)
         assert len(res) == len(batch)
     after = _jit_cache_sizes()
