@@ -20,7 +20,7 @@ def server():
 
 
 def _get(url):
-    with urllib.request.urlopen(url, timeout=30) as r:
+    with urllib.request.urlopen(url, timeout=120) as r:
         return r.status, json.loads(r.read())
 
 
@@ -31,7 +31,7 @@ def _post(url, payload):
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=30) as r:
+    with urllib.request.urlopen(req, timeout=120) as r:
         return r.status, json.loads(r.read())
 
 
@@ -67,7 +67,7 @@ def test_wordlist(server):
 
 
 def test_static_ui(server):
-    with urllib.request.urlopen(server + "/", timeout=30) as r:
+    with urllib.request.urlopen(server + "/", timeout=120) as r:
         body = r.read().decode()
     assert r.status == 200
     assert "SpaghettiSearch" in body
