@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> None:
                          "through a remote-TPU relay; wins when the wall "
                          "is per-execution relay overhead, not the kernel")
     ap.add_argument("--noBatching", action="store_true")
+    ap.add_argument("--fetchers", type=int, default=2,
+                    help="concurrent device->host fetch threads in the "
+                         "micro-batcher (overlapped relay RTTs)")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
     ap.add_argument("--resultCache", type=int, default=0,
@@ -111,7 +114,7 @@ def main(argv: list[str] | None = None) -> None:
     print(f"\nServer is running on port {args.port}")
     SearchServer(
         engine, batching=not args.noBatching, result_cache=args.resultCache,
-        max_batch=256 if args.bigBatch else 128,
+        max_batch=256 if args.bigBatch else 128, n_fetchers=args.fetchers,
     ).serve(port=args.port)
 
 

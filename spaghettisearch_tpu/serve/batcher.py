@@ -104,6 +104,7 @@ class MicroBatcher:
         max_wait_ms: float = 25.0,
         result_timeout_s: float = 300.0,
         lock=None,
+        n_fetchers: int = 2,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -121,22 +122,35 @@ class MicroBatcher:
         self._stop = False
         import queue as _qmod
 
-        self._fetch_q: _qmod.Queue = _qmod.Queue(maxsize=1)
-        self._asm_q: _qmod.Queue = _qmod.Queue(maxsize=1)
+        # >1 fetcher overlaps device->host transfers: through the remote-TPU
+        # relay each packed fetch is dominated by a ~25 ms RTT, so with a
+        # single fetch thread the pipeline can never beat one batch per RTT
+        # regardless of device speed; concurrent fetches overlap those RTTs
+        # (the device stream itself stays serial — only the transfer waits
+        # overlap). Batches may then resolve out of order, which is safe:
+        # every job carries its own futures and its own `live` state.
+        self._n_fetchers = max(1, int(n_fetchers))
+        self._fetch_q: _qmod.Queue = _qmod.Queue(maxsize=self._n_fetchers)
+        self._asm_q: _qmod.Queue = _qmod.Queue(maxsize=self._n_fetchers)
         # one token per fetch_q slot: the dispatcher acquires BEFORE slicing
         # a batch, so requests arriving while downstream is busy still join
         # the next batch instead of leaving it undersized
-        self._slots = threading.Semaphore(1)
+        self._slots = threading.Semaphore(self._n_fetchers)
+        self._fetchers_live = self._n_fetchers  # guarded by _cv's lock
         self._inflight = 0  # batches past dispatch, not yet resolved (cv)
         self._worker = threading.Thread(target=self._run, daemon=True, name="microbatcher")
-        self._fetcher = threading.Thread(
-            target=self._run_fetch, daemon=True, name="microbatcher-fetch"
-        )
+        self._fetchers = [
+            threading.Thread(
+                target=self._run_fetch, daemon=True, name=f"microbatcher-fetch-{i}"
+            )
+            for i in range(self._n_fetchers)
+        ]
         self._resolver = threading.Thread(
             target=self._run_resolve, daemon=True, name="microbatcher-resolve"
         )
         self._worker.start()
-        self._fetcher.start()
+        for t in self._fetchers:
+            t.start()
         self._resolver.start()
 
     def query_raw(self, text: str, timeout: float | None = None):
@@ -161,7 +175,8 @@ class MicroBatcher:
 
     def _run(self) -> None:
         # Stage 1 of the three-stage pipeline (dispatch -> fetch ->
-        # assemble/resolve, one thread each, depth-1 hand-off queues):
+        # assemble/resolve; one dispatcher, n_fetchers fetch threads, one
+        # assembler; hand-off queues sized to the fetch pool):
         # coalesce requests, parse, launch the device rank (non-blocking),
         # hand the in-flight job to the fetcher. The blocking device->host
         # fetch (one relay RTT, GIL released during the transfer) then
@@ -218,7 +233,8 @@ class MicroBatcher:
                 with self._cv:
                     self._inflight -= 1
                 self._slots.release()
-        self._fetch_q.put(None)
+        for _ in range(self._n_fetchers):
+            self._fetch_q.put(None)
 
     def _run_fetch(self) -> None:
         """Stage 2: block for the dispatched batch's packed device->host
@@ -226,10 +242,14 @@ class MicroBatcher:
         batches were being assembled)."""
         while True:
             job = self._fetch_q.get()
-            self._slots.release()  # the dispatcher may slice its next batch
             if job is None:
-                self._asm_q.put(None)
+                with self._cv:
+                    self._fetchers_live -= 1
+                    last = self._fetchers_live == 0
+                if last:  # the stop sentinel reaches the resolver exactly once
+                    self._asm_q.put(None)
                 return
+            self._slots.release()  # the dispatcher may slice its next batch
             batch, parsed, rows, live, handle = job
             scores = ids = None
             err = None
@@ -338,7 +358,8 @@ class MicroBatcher:
             if not fut.done():
                 fut.set_exception(RuntimeError("server shutting down"))
         self._slots.release()  # unblock a dispatcher stuck on backpressure
-        # the stop sentinel flows down the pipeline, draining in-flight jobs
+        # the stop sentinels flow down the pipeline, draining in-flight jobs
         self._worker.join(timeout=5)
-        self._fetcher.join(timeout=5)
+        for t in self._fetchers:
+            t.join(timeout=5)
         self._resolver.join(timeout=5)

@@ -58,6 +58,8 @@ class SearchServer:
         batching: bool = True,
         max_batch: int = 128,
         max_wait_ms: float = 25.0,
+        n_fetchers: int = 2,  # concurrent device->host fetch threads
+        # (overlapped relay RTTs — see MicroBatcher)
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
@@ -94,7 +96,7 @@ class SearchServer:
 
             self.batcher = MicroBatcher(
                 engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                lock=self._rank_lock,
+                lock=self._rank_lock, n_fetchers=n_fetchers,
             )
 
     # ------------------------------------------------------------------ #
