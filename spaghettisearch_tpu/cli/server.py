@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> None:
                          "through a remote-TPU relay; wins when the wall "
                          "is per-execution relay overhead, not the kernel")
     ap.add_argument("--noBatching", action="store_true")
-    ap.add_argument("--fetchers", type=int, default=2,
+    ap.add_argument("--fetchers", type=int, default=1,
                     help="concurrent device->host fetch threads in the "
                          "micro-batcher (overlapped relay RTTs)")
     ap.add_argument("--noWarmup", action="store_true",

@@ -104,7 +104,7 @@ class MicroBatcher:
         max_wait_ms: float = 25.0,
         result_timeout_s: float = 300.0,
         lock=None,
-        n_fetchers: int = 2,
+        n_fetchers: int = 1,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -129,6 +129,10 @@ class MicroBatcher:
         # (the device stream itself stays serial — only the transfer waits
         # overlap). Batches may then resolve out of order, which is safe:
         # every job carries its own futures and its own `live` state.
+        # Default 1: on the 1-core serving host the extra pipeline depth
+        # under-fills batches (Little's law) and the host, not the RTT, is
+        # the measured wall (2,296 qps f1/512conn vs 2,241 f2/512 vs 2,045
+        # f2/768 — FINDINGS round 3). Raise it on multi-core hosts.
         self._n_fetchers = max(1, int(n_fetchers))
         self._fetch_q: _qmod.Queue = _qmod.Queue(maxsize=self._n_fetchers)
         self._asm_q: _qmod.Queue = _qmod.Queue(maxsize=self._n_fetchers)

@@ -58,8 +58,9 @@ class SearchServer:
         batching: bool = True,
         max_batch: int = 128,
         max_wait_ms: float = 25.0,
-        n_fetchers: int = 2,  # concurrent device->host fetch threads
-        # (overlapped relay RTTs — see MicroBatcher)
+        n_fetchers: int = 1,  # concurrent device->host fetch threads
+        # (overlapped relay RTTs — see MicroBatcher; >1 pays off only on
+        # multi-core serving hosts)
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
