@@ -777,6 +777,18 @@ def bench_mixed(n_pages: int = 100_000, n_batches: int = 12) -> dict:
             eng.rank(b)
         best = min(best, time.perf_counter() - t0)
     qps = n_batches * 128 / best
+    # pipelined variant: queue every batch's device dispatch, then fetch —
+    # overlaps device execution with the per-batch relay RTTs the serial
+    # loop pays in sequence (the micro-batcher's dispatch/fetch split does
+    # exactly this in production serving)
+    best_p = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        handles = [eng.rank_async(b) for b in batches]
+        for h in handles:
+            h.finish()
+        best_p = min(best_p, time.perf_counter() - t0)
+    qps_p = n_batches * 128 / best_p
     return {
         "metric": "engine_mixed_qps_100k_docs",
         "value": round(qps, 1),
@@ -785,6 +797,7 @@ def bench_mixed(n_pages: int = 100_000, n_batches: int = 12) -> dict:
         # target for the mixed grammar is 2k engine-level (VERDICT r2 #3)
         "vs_baseline": round(qps / 2000.0, 3),
         "batch_ms_p50": round(best / n_batches * 1e3, 1),
+        "pipelined_qps": round(qps_p, 1),
         "phrase_share": round(
             sum(1 for b in batches for p in b if p.phrase_hashes)
             / (n_batches * 128), 3,
