@@ -660,7 +660,7 @@ def bench_serve(
             "requests": total,
             "connections": n_conns,
             "big_batch": big_batch,
-            "fetchers": n_fetchers or 2,
+            "fetchers": n_fetchers or 1,  # server CLI default
             "mean_batch": (stats.get("microbatcher") or {}).get("mean_batch"),
             "rank_device_ms": (stats.get("rank.device") or {}).get("mean_ms"),
             "serve_query_ms": (stats.get("serve.query") or {}).get("mean_ms"),

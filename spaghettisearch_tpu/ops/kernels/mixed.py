@@ -346,6 +346,54 @@ def pallas_mixed_scores_2sec(
     return out[0], None, out[1], None
 
 
+def mixed_scores_padded(
+    title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
+    term_ids, qn, ph_ids, ph_valid, pn,
+    *, doc_block: int = 256, emit_counts: bool = True,
+):
+    """Row-pad to the kernel's 8-row blocks, run the Pallas mixed kernel,
+    slice back to the real batch, and derive candidacy counts when elided
+    (all index weights > 0 ⇒ candidacy ⟺ score > 0). The single canonical
+    pad/dispatch contract for BOTH the single-chip engine
+    (ops/scoring.py score_queries_mixed) and the mesh scorer
+    (parallel/sharded.py make_sharded_mixed_scorer) — the two paths must
+    score identically (tests/test_sharded.py), so the padding sentinel,
+    doc_block choice and count rule live here exactly once.
+
+    doc_block defaults to 256, not the keyword kernels' 512: the posT tiles
+    and the phrase-stage temporaries share VMEM with the keyword sweep."""
+    b = term_ids.shape[0]
+    pad = -(-b // 8) * 8 - b
+    imax = jnp.iinfo(jnp.int32).max
+    tq = jnp.pad(term_ids, ((0, pad), (0, 0)), constant_values=imax)
+    if qn is None:
+        qn = jnp.full((b,), term_ids.shape[1], jnp.int32)
+    qn_p = jnp.pad(qn, (0, pad))
+    ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)), constant_values=imax)
+    phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
+    pn_p = jnp.pad(pn, (0, pad))
+    ts, tc, bs, bc = pallas_mixed_scores_2sec(
+        title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
+        tq, qn_p, ph_p, phv_p, pn_p,
+        doc_block=doc_block, emit_counts=emit_counts,
+    )
+    ts, bs = ts[:b], bs[:b]
+    tc = None if tc is None else tc[:b]
+    bc = None if bc is None else bc[:b]
+    return derive_mixed_counts(ts, tc, bs, bc)
+
+
+def derive_mixed_counts(ts, tc, bs, bc):
+    """Fill in the candidacy counts the count-elided kernel variant drops:
+    valid iff every index weight is positive (DeviceIndex.has_zero_weight
+    guards the df==N idf-zero corner) — then candidacy ⟺ score > 0, and the
+    title count carries the whole flag (finalize sums tc+bc)."""
+    if tc is None:
+        tc = (ts + bs > 0).astype(ts.dtype)
+        bc = jnp.zeros_like(tc)
+    return ts, tc, bs, bc
+
+
 # --------------------------------------------------------------------- #
 # XLA reference formulation (CPU tests, sharded meshes, oracle checks)
 # --------------------------------------------------------------------- #

@@ -345,38 +345,20 @@ def score_queries_mixed(
     if pn is None:
         pn = (ph_valid.sum(axis=1)).astype(jnp.int32)
     if use_pallas:
-        from .kernels.mixed import pallas_mixed_scores_2sec
+        from .kernels.mixed import mixed_scores_padded
 
-        b_pad = -(-b // 8) * 8
-        pad = b_pad - b
-        tq = jnp.pad(term_ids, ((0, pad), (0, 0)),
-                     constant_values=jnp.iinfo(jnp.int32).max)
-        qn_p = jnp.pad((qn if qn is not None else
-                        jnp.full((b,), term_ids.shape[1], jnp.int32)), (0, pad))
-        ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)),
-                       constant_values=jnp.iinfo(jnp.int32).max)
-        phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
-        pn_p = jnp.pad(pn, (0, pad))
-        ts, tc, bs, bc = pallas_mixed_scores_2sec(
+        ts, tc, bs, bc = mixed_scores_padded(
             title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
-            title_posT, body_posT, tq, qn_p, ph_p, phv_p, pn_p,
-            # 256 (not the keyword kernels' 512): the posT tiles and the
-            # phrase-stage temporaries share VMEM with the keyword sweep
-            doc_block=256, emit_counts=emit_counts,
+            title_posT, body_posT, term_ids, qn, ph_ids, ph_valid, pn,
+            emit_counts=emit_counts,
         )
-        ts, bs = ts[:b], bs[:b]
-        tc = None if tc is None else tc[:b]
-        bc = None if bc is None else bc[:b]
     else:
-        from .kernels.mixed import mixed_forward_scores
+        from .kernels.mixed import derive_mixed_counts, mixed_forward_scores
 
-        ts, tc, bs, bc = mixed_forward_scores(
+        ts, tc, bs, bc = derive_mixed_counts(*mixed_forward_scores(
             title_fwd.ft, title_fwd.fw, body_fwd.ft, body_fwd.fw,
             title_posT, body_posT, term_ids, ph_ids, ph_valid, n_blocks,
-        )
-    if tc is None:  # counts elided: all weights > 0, candidacy <=> score > 0
-        tc = (ts + bs > 0).astype(ts.dtype)
-        bc = jnp.zeros_like(tc)
+        ))
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )

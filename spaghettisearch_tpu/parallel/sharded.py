@@ -575,35 +575,23 @@ def make_sharded_mixed_scorer(
         )
         b = term_ids.shape[0]
         if pallas_available():
-            from ..ops.kernels.mixed import pallas_mixed_scores_2sec
+            from ..ops.kernels.mixed import mixed_scores_padded
 
-            b_pad = -(-b // 8) * 8
-            pad = b_pad - b
-            tq = jnp.pad(term_ids, ((0, pad), (0, 0)),
-                         constant_values=jnp.iinfo(jnp.int32).max)
-            qn_p = jnp.pad(qn, (0, pad))
-            ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)),
-                           constant_values=jnp.iinfo(jnp.int32).max)
-            phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
-            pn_p = jnp.pad(pn, (0, pad))
-            ts, tc, bs, bc = pallas_mixed_scores_2sec(
+            ts, tc, bs, bc = mixed_scores_padded(
                 tftT, tfwT, bftT, bfwT, tposT, bposT,
-                tq, qn_p, ph_p, phv_p, pn_p,
-                doc_block=256, emit_counts=emit_counts,
+                term_ids, qn, ph_ids, ph_valid, pn,
+                emit_counts=emit_counts,
             )
-            ts, bs = ts[:b], bs[:b]
-            tc = None if tc is None else tc[:b]
-            bc = None if bc is None else bc[:b]
         else:
-            from ..ops.kernels.mixed import mixed_forward_scores
+            from ..ops.kernels.mixed import (
+                derive_mixed_counts,
+                mixed_forward_scores,
+            )
 
-            ts, tc, bs, bc = mixed_forward_scores(
+            ts, tc, bs, bc = derive_mixed_counts(*mixed_forward_scores(
                 tft, tfw, bft, bfw, tposT, bposT,
                 term_ids, ph_ids, ph_valid, n_blocks=4,
-            )
-        if tc is None:  # counts elided: candidacy <=> score > 0
-            tc = (ts + bs > 0).astype(ts.dtype)
-            bc = jnp.zeros_like(tc)
+            ))
         final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
         scores, ids = jax.lax.top_k(final, min(k, dl))
         ids = ids + jax.lax.axis_index(ax) * dl

@@ -162,20 +162,25 @@ def _e_levels(n_docs: int) -> tuple[int, ...]:
     return tuple(sorted({E_BASE, min(1024, full), min(8192, full), full}))
 
 
-def _fetch_ranked(scores, ids) -> tuple[np.ndarray, np.ndarray]:
-    """Fetch a (scores, ids) pair in ONE device->host round trip. Through
-    the TPU relay every fetch costs a full RTT (~25 ms measured), so the two
-    arrays are packed on device and split on host. Doc ids are exact as f32
-    up to 2^24 docs (16.7M — far above single-chip capacity)."""
-    shape = scores.shape
-    packed = np.asarray(
-        jnp.concatenate(
-            [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
+class _MultiRankHandle:
+    """finish()-compatible concatenation of several chunk handles: batches
+    wider than the warmed program set are SPLIT at dispatch instead of
+    routing to a never-warmed batch width (a live compile through the relay
+    stalls the batch for seconds to minutes) or overflowing the fill
+    buffers (IndexError past B_BIG). All chunks are dispatched before any
+    is fetched, so the device executions queue back-to-back."""
+
+    __slots__ = ("_handles",)
+
+    def __init__(self, handles) -> None:
+        self._handles = handles
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        parts = [h.finish() for h in self._handles]
+        return (
+            np.concatenate([p[0] for p in parts], axis=0),
+            np.concatenate([p[1] for p in parts], axis=0),
         )
-    )
-    n = packed.shape[0] // 2
-    s = packed[:n].reshape(shape)
-    return s, packed[n:].reshape(shape).astype(np.int32)
 
 
 class _RankHandle:
@@ -352,6 +357,15 @@ class QueryEngine:
             B_BIG if self.big_batch and (fused or not has_phrase)
             else WARM_B_MAX
         )
+        if b_real > b_catch:
+            # wider than any warmed program for this lane (the micro-batcher
+            # never emits these, but /query_batch accepts arbitrary lists):
+            # split rather than compile a live batch shape — or overflow
+            # the (b, q) fill buffers outright past B_BIG
+            return _MultiRankHandle([
+                self.rank_async(parsed[i : i + b_catch], topk, live)
+                for i in range(0, b_real, b_catch)
+            ])
         # bucket the batch axis to a power of two: the micro-batcher emits
         # arbitrary coalesced sizes, and every distinct b would otherwise
         # compile its own XLA program

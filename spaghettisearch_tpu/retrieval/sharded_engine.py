@@ -248,8 +248,15 @@ class ShardedQueryEngine(QueryEngine):
         # shapes, each a multi-minute shard_map compile at 512k-doc scale —
         # measured as the sharded soak's warmup wall), also rounded up to
         # the query-row mesh axis
-        from .engine import _b_bucket
+        from .engine import _b_bucket, _MultiRankHandle
 
+        if b_real > WARM_B_MAX:
+            # wider than any warmed shard_map program (warmup() stops at
+            # WARM_B_MAX): split instead of compiling a live batch shape
+            return _MultiRankHandle([
+                self.rank_async(parsed[i : i + WARM_B_MAX], topk, live)
+                for i in range(0, b_real, WARM_B_MAX)
+            ])
         b = max(_b_bucket(b_real), self.n_query_rows, 1)
         if self._use_mixed(sidx, parsed):
             return self._rank_fused(parsed, topk, live, b)

@@ -43,24 +43,22 @@ _parse_cache: dict[str, tuple] = {}
 _PARSE_CACHE_MAX = 16384
 
 
-def _parse_cached(text: str):
+def _cached(text: str) -> tuple:
     hit = _parse_cache.get(text)
     if hit is None:
         hit = _parse_and_pack(text)
         if len(_parse_cache) >= _PARSE_CACHE_MAX:  # rare: drop, stay simple
             _parse_cache.clear()
         _parse_cache[text] = hit
-    return hit[0]
+    return hit
+
+
+def _parse_cached(text: str):
+    return _cached(text)[0]
 
 
 def _packed_cached(text: str):
-    hit = _parse_cache.get(text)
-    if hit is None:
-        hit = _parse_and_pack(text)
-        if len(_parse_cache) >= _PARSE_CACHE_MAX:
-            _parse_cache.clear()
-        _parse_cache[text] = hit
-    return hit[1]
+    return _cached(text)[1]
 
 
 @dataclass
@@ -141,7 +139,6 @@ class MicroBatcher:
         # the next batch instead of leaving it undersized
         self._slots = threading.Semaphore(self._n_fetchers)
         self._fetchers_live = self._n_fetchers  # guarded by _cv's lock
-        self._inflight = 0  # batches past dispatch, not yet resolved (cv)
         self._worker = threading.Thread(target=self._run, daemon=True, name="microbatcher")
         self._fetchers = [
             threading.Thread(
@@ -223,8 +220,6 @@ class MicroBatcher:
                         break  # no arrivals in the idle gap
                 batch = self._queue[: self.max_batch]
                 self._queue = self._queue[self.max_batch:]
-                if batch:
-                    self._inflight += 1
             if not batch:
                 self._slots.release()
                 if self._stop:
@@ -234,8 +229,6 @@ class MicroBatcher:
             if job is not None:
                 self._fetch_q.put(job)
             else:
-                with self._cv:
-                    self._inflight -= 1
                 self._slots.release()
         for _ in range(self._n_fetchers):
             self._fetch_q.put(None)
@@ -303,13 +296,6 @@ class MicroBatcher:
     def _resolve(self, job) -> None:
         """Assemble a fetched batch's responses natively and resolve the
         waiting futures."""
-        try:
-            self._resolve_inner(job)
-        finally:
-            with self._cv:
-                self._inflight -= 1
-
-    def _resolve_inner(self, job) -> None:
         batch, parsed, rows, live, scores, ids, err = job
         bodies = None
         if err is not None:

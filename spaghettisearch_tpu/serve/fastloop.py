@@ -97,6 +97,10 @@ class FastHTTPFrontend:
                 payload = json.loads(body or b"{}")
             except json.JSONDecodeError:
                 return _resp(400, b'{"error": "bad json"}')
+            if not isinstance(payload, dict):
+                # a bare list/scalar body raised AttributeError (HTTP 500)
+                # on payload.get — malformed input is the client's fault
+                return _resp(400, b'{"error": "payload must be a JSON object"}')
             if path == "/query":
                 return _resp(200, s.handle_query_json(str(payload.get("query", ""))))
             if path == "/query_batch":

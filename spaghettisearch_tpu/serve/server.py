@@ -274,6 +274,10 @@ class SearchServer:
                 except json.JSONDecodeError:
                     self._send_json({"error": "bad json"}, 400)
                     return
+                if not isinstance(payload, dict):
+                    self._send_json(
+                        {"error": "payload must be a JSON object"}, 400)
+                    return
                 if parts.path == "/query":
                     self._send_json_bytes(
                         server.handle_query_json(str(payload.get("query", "")))

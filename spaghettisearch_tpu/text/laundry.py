@@ -23,10 +23,6 @@ from .stopwords import is_stopword
 #: materializing the substituted copy of the whole text
 _ALNUM_RUN = re.compile(r"[a-zA-Z0-9]+")
 
-# corpora are Zipf-distributed: the same words stem over and over
-_stem = lru_cache(maxsize=1 << 17)(stem)
-
-
 @lru_cache(maxsize=1 << 17)
 def _clean_token(raw: str) -> str | None:
     """lowercase -> Porter2 stem -> stopword gate, one cache entry per raw

@@ -310,6 +310,26 @@ def test_fastloop_slow_header_client_dropped(engine):
         server.shutdown()
 
 
+def test_fastloop_non_object_payload_400(engine):
+    """A bare JSON list/scalar body is a client error (400), not a 500:
+    payload.get on a list raised AttributeError before the guard."""
+    import socket
+
+    server, port = _guarded_server(engine)
+    try:
+        for body in (b'["algorithm"]', b'"algorithm"', b"3"):
+            c = socket.create_connection(("127.0.0.1", port), timeout=5)
+            req = (b"POST /query_batch HTTP/1.1\r\nHost: t\r\n"
+                   b"Content-Type: application/json\r\nContent-Length: "
+                   + str(len(body)).encode() + b"\r\n\r\n" + body)
+            c.sendall(req)
+            got = c.recv(4096)
+            assert b"400" in got.split(b"\r\n", 1)[0], body
+            c.close()
+    finally:
+        server.shutdown()
+
+
 def test_fastloop_oversized_header_rejected(engine):
     import socket
 

@@ -163,6 +163,27 @@ def test_wide_phrase_results_match_oracle(wide_db):
         assert got[d] == pytest.approx(v, rel=2e-4, abs=1e-5)
 
 
+def test_oversized_batches_chunk_to_warmed_widths(wide_db):
+    """Batches wider than any warmed program (arbitrary /query_batch
+    payloads — the micro-batcher never emits them) split into warmed-width
+    chunks instead of compiling a live batch shape, and past B_BIG=256 the
+    old fill loop overflowed outright (IndexError). Results must match the
+    per-query answers row for row."""
+    eng = QueryEngine(wide_db)
+    eng.warmup()
+    parsed = [
+        parse_query(q)
+        for q in (["algorithm", '"glorp blip"', "galaxy ranking"] * 100)[:300]
+    ]
+    before = _jit_cache_sizes()
+    s_all, i_all = eng.rank(parsed)
+    assert _jit_cache_sizes() == before, "oversized batch compiled live"
+    assert s_all.shape[0] == len(parsed) == i_all.shape[0]
+    # chunking preserves per-row scoring (row 0 via the 16-wide bucket)
+    s_one, i_one = eng.rank(parsed[:1])
+    np.testing.assert_allclose(s_all[0], s_one[0], rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def truncated_db():
     """One pathological doc whose distinct-term count exceeds the (patched)
