@@ -664,6 +664,15 @@ def bench_serve(
             "mean_batch": (stats.get("microbatcher") or {}).get("mean_batch"),
             "rank_device_ms": (stats.get("rank.device") or {}).get("mean_ms"),
             "serve_query_ms": (stats.get("serve.query") or {}).get("mean_ms"),
+            # per-stage pipeline spans (ms/batch): rank.device above is the
+            # ASYNC dispatch only — the device-execution wait lands in
+            # batch.fetch, so these are what locate the wall (host assemble
+            # vs device+RTT) at each corpus tier
+            "spans_ms": {
+                k: (stats.get(f"batch.{k}") or {}).get("mean_ms")
+                for k in ("wait", "parse", "dispatch", "fetch",
+                          "assemble", "resolve")
+            },
         }
     finally:
         proc.terminate()
