@@ -54,28 +54,51 @@ def pallas_available() -> bool:
 # ---------------------------------------------------------------------- #
 
 
-def exact_top_k(scores: jax.Array, k: int, block: int = 1 << 20) -> tuple[jax.Array, jax.Array]:
+def exact_top_k(
+    scores: jax.Array, k: int, chunk: int = 128, chunk_min_docs: int = 1 << 18
+) -> tuple[jax.Array, jax.Array]:
     """Exact top-k over the doc axis.
 
-    Plain lax.top_k wins up to ~1M docs on v5e (experiments/topk_probe.py:
-    two-stage block variants measured slower at D=100k); beyond `block`,
-    switch to two-stage — exact, since every global top-k element is top-k
-    within its block."""
+    Plain lax.top_k wins at small D but costs ~30 ms for k=50 over
+    [128, 1M] on v5e (~50x over the HBM read floor; experiments/
+    probe1m_decomp.py). Large D takes the chunk-max route:
+
+      1. per-128-doc-chunk max             (bandwidth-bound reduce)
+      2. lax.top_k over the [B, D/128] chunk maxima
+      3. gather the k winning chunks       ([B, k*128] candidates)
+      4. exact lax.top_k over the candidates
+
+    Value-exact: every element > v_k (the k-th value) lives in a chunk
+    whose max > v_k, and at most k chunks can have max > v_k, so step 2
+    keeps all of them. Tie semantics at exactly v_k can pick different
+    (equal-scoring) doc ids than plain lax.top_k when v_k ties span
+    chunks; the selected order is normalized to (score desc, id asc) —
+    lax.top_k's rule — so divergence is confined to which tied-at-v_k id
+    fills the tail (the reference's tie order is map-iteration
+    nondeterministic anyway, retrieval/util.go:48-54; bench --mode parity
+    classifies these as tie-explained)."""
     b, d = scores.shape
     k = min(k, d)
-    if d <= 4 * block:
+    if d < chunk_min_docs or d < 2 * chunk * k:
         return jax.lax.top_k(scores, k)
-    m = -(-d // block)
-    pad = m * block - d
-    xp = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-    blocks = xp.reshape(b, m, block)
-    kb = min(k, block)
-    bs, bi = jax.lax.top_k(blocks, kb)  # [B, M, kb]
-    base = (jnp.arange(m, dtype=jnp.int32) * block)[None, :, None]
-    cand_s = bs.reshape(b, m * kb)
-    cand_i = (bi + base).reshape(b, m * kb)
-    top_s, pos = jax.lax.top_k(cand_s, k)
-    return top_s, jnp.take_along_axis(cand_i, pos, axis=1)
+    pad = (-d) % chunk
+    xp = (
+        jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        if pad
+        else scores
+    )
+    m = xp.shape[1] // chunk
+    ch = xp.reshape(b, m, chunk)
+    cmax = ch.max(axis=2)  # [B, M]
+    _, ci = jax.lax.top_k(cmax, k)  # [B, k] winning chunk ids
+    cand = jnp.take_along_axis(ch, ci[:, :, None], axis=1).reshape(b, k * chunk)
+    tv, tp = jax.lax.top_k(cand, k)  # [B, k] positions into cand
+    tid = (
+        jnp.take_along_axis(ci, tp // chunk, axis=1) * chunk + tp % chunk
+    ).astype(jnp.int32)
+    # normalize tie order to lax.top_k's (score desc, then lowest id)
+    neg_s, tid = jax.lax.sort((-tv, tid), num_keys=2, dimension=1)
+    return -neg_s, tid
 
 
 # ---------------------------------------------------------------------- #

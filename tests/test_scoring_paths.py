@@ -65,12 +65,39 @@ def test_exact_top_k_matches_lax():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(7, 5000)).astype(np.float32))
     want_s, _ = jax.lax.top_k(x, 20)
-    got_s, got_i = exact_top_k(x, 20, block=256)
+    got_s, got_i = exact_top_k(x, 20)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s))
     # returned ids must address the right values
     np.testing.assert_allclose(
         np.take_along_axis(np.asarray(x), np.asarray(got_i), 1), np.asarray(got_s)
     )
+
+
+def test_exact_top_k_chunk_max_path():
+    """The large-D chunk-max route (per-128-chunk max -> top-k chunks ->
+    gather -> exact top-k) must match lax.top_k on tie-free data, including
+    -inf non-candidate tails and a non-chunk-multiple doc count."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    for d, k in ((400_000, 50), (262_144 + 37, 10)):
+        x_np = rng.normal(size=(3, d)).astype(np.float32)
+        x_np[rng.random((3, d)) < 0.6] = -np.inf  # non-candidates
+        x = jnp.asarray(x_np)
+        want_s, want_i = jax.lax.top_k(x, k)
+        got_s, got_i = exact_top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+        finite = np.isfinite(np.asarray(want_s))
+        np.testing.assert_array_equal(
+            np.asarray(got_i)[finite], np.asarray(want_i)[finite]
+        )
+        assert got_i.dtype == jnp.int32
+    # ties: values exact, order normalized to (score desc, id asc)
+    x_np = np.zeros((1, 300_000), np.float32)
+    x_np[0, [7, 250_000]] = 5.0
+    got_s, got_i = exact_top_k(jnp.asarray(x_np), 3)
+    assert np.asarray(got_s).tolist() == [[5.0, 5.0, 0.0]]
+    assert np.asarray(got_i)[0, :2].tolist() == [7, 250_000]
 
 
 def test_fused_kernel_matches_unfused(engine):
