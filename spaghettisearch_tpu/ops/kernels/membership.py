@@ -42,11 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _q_levels(q: int) -> list[int]:
-    """Power-of-two specialization levels up to q (plus q itself)."""
+    """Specialization levels up to q: 1, 2, 3, then powers of two (plus q
+    itself). Level 3 is load-bearing — 3-keyword queries are ~30% of the
+    df-weighted bench mix and were paying the q=4 sweep (a 4th phantom
+    compare pass over the whole [T, D] forward index per 8-query block;
+    at 1M docs that pass costs ~ms, probe1m_decomp.py)."""
     levels = []
     lev = 1
     while lev < q:
         levels.append(lev)
+        if lev == 2 and q > 3:
+            levels.append(3)
         lev *= 2
     levels.append(q)
     return levels
