@@ -96,6 +96,48 @@ def main():
         ms = t_queued(lambda topk=topk, counts=counts: run(topk, counts))
         print(f"{label}: {ms:.1f} ms ({b * 1e3 / ms:.0f} qps)", flush=True)
 
+    # hot-term dense cache split (device_index._build_hot_cache)
+    hm = idx.hot_body_map
+    print(f"hot terms cached: {0 if hm is None else len(hm)}", flush=True)
+    if hm is not None:
+        from spaghettisearch_tpu.retrieval.engine import QueryEngine
+
+        t2, ql2, qn2, qnb2, sids2 = QueryEngine._fill_keyword_rows(
+            parsed[:b], b, q, snap, hm
+        )
+        order = np.lexsort((-qn2, -qnb2))
+        t2, ql2, qn2 = t2[order], ql2[order], qn2[order]
+        qnb2, sids2 = qnb2[order], sids2[order]
+        print(f"hot-split qnb histogram: "
+              f"{np.bincount(qnb2, minlength=q + 1).tolist()}", flush=True)
+        jt2, jql2, jqn2 = jnp.asarray(t2), jnp.asarray(ql2), jnp.asarray(qn2)
+        jqnb2, jsids2 = jnp.asarray(qnb2), jnp.asarray(sids2)
+
+        def run_hot(topk, counts):
+            return score_queries_forward(
+                idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body,
+                idx.pagerank, jt2, jql2, tp, jqn2, jqnb2, jsids2,
+                idx.hot_body_w, topk=topk, use_pallas=up, emit_counts=counts,
+            )
+
+        def run_base(topk, counts):
+            # same rows/order, full sweep (cold-first is a valid layout)
+            return score_queries_forward(
+                idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body,
+                idx.pagerank, jt2, jql2, tp, jqn2, topk=topk,
+                use_pallas=up, emit_counts=counts,
+            )
+
+        ms = t_queued(lambda: run_hot(50, hzw))
+        print(f"HOT engine config: {ms:.1f} ms ({b * 1e3 / ms:.0f} qps)",
+              flush=True)
+        hs, hi = run_hot(50, hzw)
+        bs_, bi_ = run_base(50, hzw)
+        ok = np.allclose(np.asarray(hs), np.asarray(bs_), rtol=1e-5, atol=1e-6)
+        same_ids = float((np.asarray(hi) == np.asarray(bi_)).mean())
+        print(f"hot vs full-sweep: scores_close={ok} id_agree={same_ids:.4f}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -58,7 +58,30 @@ class BlendedRanker:
             and self.scale == SCORE_SCALE
         )
 
-    def score_keywords(self, index, term_ids, qlen, topic_probs, topk=None, qn=None):
+    def supports_hot(self, index) -> bool:
+        """True when the hot-term dense body-weight cache can serve this
+        (index, model): the cache exists (DeviceIndex gates it on zero
+        weights / truncation) and the blend is the reference formula."""
+        return index.hot_body_w is not None and self.is_reference_blend()
+
+    def _hot_args(self, index, term_ids, qn, qnb, hot_sids):
+        """Normalize the hot-split arguments so every caller (live rank,
+        warmup, settle) compiles the SAME program signature: when the index
+        carries the hot cache, missing qnb/hot_sids default to the no-split
+        values (qnb=qn or full width, hot_sids all -1)."""
+        if not self.supports_hot(index):
+            return None, None, None
+        b, q = term_ids.shape
+        if qnb is None:
+            qnb = qn if qn is not None else jnp.full((b,), q, jnp.int32)
+        if hot_sids is None:
+            hot_sids = jnp.full((b, q), -1, jnp.int32)
+        return qnb, hot_sids, index.hot_body_w
+
+    def score_keywords(
+        self, index, term_ids, qlen, topic_probs, topk=None, qn=None,
+        qnb=None, hot_sids=None,
+    ):
         """Keyword batch -> (scores [B,K], doc ids [B,K]) on device. qn is
         the per-row active term count (batch sorted descending by it): the
         kernel skips compare sweeps past each 8-query block's max."""
@@ -67,10 +90,11 @@ class BlendedRanker:
             # measured on-chip: the 2-kernel + XLA-finalize composition beats
             # the fully-fused kernel (12.1 vs 15.7 ms/256-batch on 100k docs)
             # — see ops/kernels/fused.py; keep the unfused production path
+            qnb, hot_sids, hot_w = self._hot_args(index, term_ids, qn, qnb, hot_sids)
             return _scoring.score_queries_forward(
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
-                term_ids, qlen, topic_probs, qn, topk=k,
+                term_ids, qlen, topic_probs, qn, qnb, hot_sids, hot_w, topk=k,
                 use_pallas=_scoring.pallas_available(),
                 emit_counts=index.has_zero_weight,
             )
@@ -79,14 +103,16 @@ class BlendedRanker:
     def score_with_phrase(
         self, index, term_ids, qlen, topic_probs,
         ph_docs, ph_tw, ph_bw, ph_fl, topk=None, qn=None,
+        qnb=None, hot_sids=None,
     ):
         k = min(topk or self.topk, index.n_docs) or 1
         if self.is_reference_blend():
+            qnb, hot_sids, hot_w = self._hot_args(index, term_ids, qn, qnb, hot_sids)
             return _scoring.score_queries_forward_phrase(
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
                 term_ids, qlen, topic_probs,
-                ph_docs, ph_tw, ph_bw, ph_fl, qn, topk=k,
+                ph_docs, ph_tw, ph_bw, ph_fl, qn, qnb, hot_sids, hot_w, topk=k,
                 use_pallas=_scoring.pallas_available(),
                 emit_counts=index.has_zero_weight,
             )
@@ -103,15 +129,18 @@ class BlendedRanker:
     def score_mixed(
         self, index, term_ids, qlen, topic_probs,
         ph_ids, ph_valid, topk=None, qn=None, pn=None,
+        qnb=None, hot_sids=None,
     ):
         """Fused keyword+phrase lane: ONE device program per mixed batch
         (dense phrase matching in-kernel, ops/kernels/mixed.py)."""
         k = min(topk or self.topk, index.n_docs) or 1
+        qnb, hot_sids, hot_w = self._hot_args(index, term_ids, qn, qnb, hot_sids)
         return _scoring.score_queries_mixed(
             index.title.fwd, index.body.fwd,
             index.title.posT, index.body.posT,
             index.mag_title, index.mag_body, index.pagerank,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+            qnb, hot_sids, hot_w,
             topk=k,
             use_pallas=_scoring.pallas_available(),
             emit_counts=index.has_zero_weight,

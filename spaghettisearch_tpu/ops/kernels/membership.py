@@ -110,9 +110,15 @@ def _kernel(
 
 
 def _kernel2(
-    qn_ref, tq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
+    qn_ref, qnb_ref, tq_ref, btq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
     *out_refs, b_block: int, q: int, emit_counts: bool,
 ):
+    """Two sections, one grid sweep. The body sweep has its OWN term tile
+    (btq) and per-block count (qnb): with the hot-term split active, btq
+    holds only the cold slots (hot slots sentinel-masked) so hot terms'
+    body contribution comes solely from the caller's dense matmul; with
+    the split inactive the caller passes btq=tq, qnb=qn and this matches
+    the previous shared-tile kernel exactly."""
     tft = tft_ref[:]
     tfw = tfw_ref[:]
     bft = bft_ref[:]
@@ -121,21 +127,24 @@ def _kernel2(
     def b_body(bi, _):
         row = bi * b_block
         tq = tq_ref[pl.ds(row, b_block), :]
+        btq = btq_ref[pl.ds(row, b_block), :]
 
-        def emit(q_eff):
+        def emit_t(q_eff):
             s, c = _section_scores_unrolled(tft, tfw, tq, q_eff, emit_counts)
+            out_refs[0][pl.ds(row, b_block), :] = s
             if emit_counts:
-                out_refs[0][pl.ds(row, b_block), :] = s
                 out_refs[1][pl.ds(row, b_block), :] = c
-                s, c = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+
+        def emit_b(q_eff):
+            s, c = _section_scores_unrolled(bft, bfw, btq, q_eff, emit_counts)
+            if emit_counts:
                 out_refs[2][pl.ds(row, b_block), :] = s
                 out_refs[3][pl.ds(row, b_block), :] = c
             else:
-                out_refs[0][pl.ds(row, b_block), :] = s
-                s, _ = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
                 out_refs[1][pl.ds(row, b_block), :] = s
 
-        _dispatch_q(qn_ref[bi], q, emit)
+        _dispatch_q(qn_ref[bi], q, emit_t)
+        _dispatch_q(qnb_ref[bi], q, emit_b)
         return 0
 
     jax.lax.fori_loop(0, tq_ref.shape[0] // b_block, b_body, 0)
@@ -166,16 +175,22 @@ def pallas_forward_scores_2sec(
     b_block: int = 8,
     emit_counts: bool = True,
     interpret: bool = False,
+    qnb: jax.Array | None = None,  # i32 [B] cold-term counts (hot split)
 ):
-    """Both sections in ONE kernel pass (shared tq tile, one grid sweep):
+    """Both sections in ONE kernel pass (shared grid sweep):
     -> (title score, title count, body score, body count), each [B, D];
     counts are None when emit_counts=False (candidacy <=> score > 0, valid
     iff every index weight is positive). ~5% over two separate passes on
-    the 100k headline shapes."""
+    the 100k headline shapes. With qnb (hot-term split, cold slots first)
+    the body sweep reads a sentinel-masked term tile bounded by qnb."""
+    from ..scoring import mask_cold
+
     tt, d = title_ftT.shape
     tb = body_ftT.shape[0]
     b, q = term_ids.shape
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    body_tq = mask_cold(term_ids, qnb) if qnb is not None else term_ids
+    qnb_eff = qnb if qnb is not None else qn
     kernel = functools.partial(_kernel2, b_block=b_block, q=q, emit_counts=emit_counts)
     n_out = 4 if emit_counts else 2
     out = pl.pallas_call(
@@ -183,6 +198,8 @@ def pallas_forward_scores_2sec(
         grid=(d // doc_block,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -195,8 +212,8 @@ def pallas_forward_scores_2sec(
         out_shape=[jax.ShapeDtypeStruct((b, d), jnp.float32)] * n_out,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(_qn_blocks(term_ids, qn, b_block), term_ids,
-      title_ftT, title_fwT, body_ftT, body_fwT)
+    )(_qn_blocks(term_ids, qn, b_block), _qn_blocks(term_ids, qnb_eff, b_block),
+      term_ids, body_tq, title_ftT, title_fwT, body_ftT, body_fwT)
     if emit_counts:
         return out[0], out[1], out[2], out[3]
     return out[0], None, out[1], None

@@ -208,7 +208,7 @@ def _phrase_block(
 
 
 def _kernel_mixed(
-    qn_ref, pn_ref, tq_ref, ph_ref, phv_ref,
+    qn_ref, qnb_ref, pn_ref, tq_ref, btq_ref, ph_ref, phv_ref,
     tft_ref, tfw_ref, bft_ref, bfw_ref, tposT_ref, bposT_ref,
     *refs, b_block: int, q: int, ct: int, cb: int, emit_counts: bool,
 ):
@@ -225,21 +225,27 @@ def _kernel_mixed(
     def b_body(bi, _):
         row = bi * b_block
         tq = tq_ref[pl.ds(row, b_block), :]
+        btq = btq_ref[pl.ds(row, b_block), :]
 
-        def emit_kw(q_eff):
+        # the body keyword sweep has its own term tile/count: with the
+        # hot-term split, btq holds only cold slots (hot body weight comes
+        # from the caller's dense matmul); otherwise btq=tq, qnb=qn
+        def emit_kw_t(q_eff):
             s, c = _section_scores_unrolled(tft, tfw, tq, q_eff, emit_counts)
+            out_refs[0][pl.ds(row, b_block), :] = s
             if emit_counts:
-                out_refs[0][pl.ds(row, b_block), :] = s
                 out_refs[1][pl.ds(row, b_block), :] = c
-                s, c = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
+
+        def emit_kw_b(q_eff):
+            s, c = _section_scores_unrolled(bft, bfw, btq, q_eff, emit_counts)
+            if emit_counts:
                 out_refs[2][pl.ds(row, b_block), :] = s
                 out_refs[3][pl.ds(row, b_block), :] = c
             else:
-                out_refs[0][pl.ds(row, b_block), :] = s
-                s, _ = _section_scores_unrolled(bft, bfw, tq, q_eff, emit_counts)
                 out_refs[1][pl.ds(row, b_block), :] = s
 
-        _dispatch_q(qn_ref[bi], q, emit_kw)
+        _dispatch_q(qn_ref[bi], q, emit_kw_t)
+        _dispatch_q(qnb_ref[bi], q, emit_kw_b)
 
         @pl.when(pn_ref[bi] > 0)
         def _():
@@ -286,6 +292,7 @@ def pallas_mixed_scores_2sec(
     b_block: int = 8,
     emit_counts: bool = True,
     interpret: bool = False,
+    qnb: jax.Array | None = None,  # i32 [B] cold-term counts (hot split)
 ):
     """Fused keyword + phrase scoring, both sections, one grid sweep.
 
@@ -297,6 +304,8 @@ def pallas_mixed_scores_2sec(
 
     The batch should be sorted phrase-rows-first (then by descending qn)
     so phrase-free 8-row blocks skip the phrase stage."""
+    from ..scoring import mask_cold
+
     tt, d = title_ftT.shape
     tb = body_ftT.shape[0]
     ct = title_posT.shape[0] // tt
@@ -304,6 +313,8 @@ def pallas_mixed_scores_2sec(
     b, q = term_ids.shape
     p = ph_ids.shape[1]
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    body_tq = mask_cold(term_ids, qnb) if qnb is not None else term_ids
+    qnb_eff = qnb if qnb is not None else qn
     kernel = functools.partial(
         _kernel_mixed, b_block=b_block, q=q, ct=ct, cb=cb,
         emit_counts=emit_counts,
@@ -318,6 +329,8 @@ def pallas_mixed_scores_2sec(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -338,8 +351,8 @@ def pallas_mixed_scores_2sec(
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(_qn_blocks(term_ids, qn, b_block), pn_blocks, term_ids,
-      ph_ids, ph_valid,
+    )(_qn_blocks(term_ids, qn, b_block), _qn_blocks(term_ids, qnb_eff, b_block),
+      pn_blocks, term_ids, body_tq, ph_ids, ph_valid,
       title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT)
     if emit_counts:
         return out[0], out[1], out[2], out[3]
@@ -350,6 +363,7 @@ def mixed_scores_padded(
     title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
     term_ids, qn, ph_ids, ph_valid, pn,
     *, doc_block: int = 256, emit_counts: bool = True,
+    qnb=None, derive: bool = True,
 ):
     """Row-pad to the kernel's 8-row blocks, run the Pallas mixed kernel,
     slice back to the real batch, and derive candidacy counts when elided
@@ -369,17 +383,20 @@ def mixed_scores_padded(
     if qn is None:
         qn = jnp.full((b,), term_ids.shape[1], jnp.int32)
     qn_p = jnp.pad(qn, (0, pad))
+    qnb_p = None if qnb is None else jnp.pad(qnb, (0, pad))
     ph_p = jnp.pad(ph_ids, ((0, pad), (0, 0)), constant_values=imax)
     phv_p = jnp.pad(ph_valid, ((0, pad), (0, 0)))
     pn_p = jnp.pad(pn, (0, pad))
     ts, tc, bs, bc = pallas_mixed_scores_2sec(
         title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
         tq, qn_p, ph_p, phv_p, pn_p,
-        doc_block=doc_block, emit_counts=emit_counts,
+        doc_block=doc_block, emit_counts=emit_counts, qnb=qnb_p,
     )
     ts, bs = ts[:b], bs[:b]
     tc = None if tc is None else tc[:b]
     bc = None if bc is None else bc[:b]
+    if not derive:  # caller folds hot-term scores first, then derives
+        return ts, tc, bs, bc
     return derive_mixed_counts(ts, tc, bs, bc)
 
 
@@ -406,16 +423,19 @@ def mixed_forward_scores(
     ph_ids,  # int32 [B, P]
     ph_valid,  # f32 [B, P]
     n_blocks: int = 16,
+    qnb=None,  # i32 [B] cold-term counts (hot split; cold slots first)
 ):
     """Pure-XLA twin of the Pallas mixed kernel (same math, doc-blocked via
     lax.map). -> (ts, tc, bs, bc) each [B, D], phrase folded in; counts add
     the phrase candidacy flag."""
-    from ..scoring import forward_section_scores
+    from ..scoring import forward_section_scores, mask_cold
 
     d = title_ft.shape[0]
     b = term_ids.shape[0]
     ts, tc = forward_section_scores(title_ft, title_fw, term_ids, n_blocks)
-    bs, bc = forward_section_scores(body_ft, body_fw, term_ids, n_blocks)
+    bs, bc = forward_section_scores(
+        body_ft, body_fw, mask_cold(term_ids, qnb), n_blocks
+    )
 
     p = ph_ids.shape[1]
     tt = title_ft.shape[1]

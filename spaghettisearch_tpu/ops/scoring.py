@@ -166,7 +166,7 @@ def forward_section_scores(
     return score, count
 
 
-def _pad_batch(term_ids, qn):
+def _pad_batch(term_ids, qn, qnb=None):
     """Pad the batch to a multiple of 8 for the Pallas kernels. Pad rows get
     sentinel terms and qn=0 so their whole 8-query block's compare loop is
     skipped at runtime."""
@@ -177,7 +177,52 @@ def _pad_batch(term_ids, qn):
     )
     if qn is not None:
         qn = jnp.pad(qn.astype(jnp.int32), (0, b_pad - b))
-    return tq, qn, b
+    if qnb is not None:
+        qnb = jnp.pad(qnb.astype(jnp.int32), (0, b_pad - b))
+    return tq, qn, qnb, b
+
+
+def mask_cold(term_ids: jax.Array, qnb: jax.Array | None) -> jax.Array:
+    """Replace slots past each row's cold-term count with the sentinel.
+
+    The hot-split layout puts a query's COLD terms in slots [0, qnb) and
+    its hot terms after (the title sweep reads all of them); the body sweep
+    must see only the cold slots — masking per ROW matters because the
+    Pallas dispatch bounds the compare loop per 8-query BLOCK max, so a
+    row's hot slots below the block max would otherwise be swept AND
+    matmul-added (double count)."""
+    if qnb is None:
+        return term_ids
+    q = term_ids.shape[1]
+    return jnp.where(
+        jnp.arange(q, dtype=jnp.int32)[None, :] < qnb[:, None],
+        term_ids,
+        jnp.iinfo(jnp.int32).max,
+    )
+
+
+def hot_body_scores(hot_w: jax.Array, hot_sids: jax.Array) -> jax.Array:
+    """Sum of a query's hot-term dense body-weight rows, as a one-hot f32
+    matmul on the MXU: [B, H] @ [H, D] -> [B, D]. hot_sids pads with -1
+    (never matches the iota). Exact per element (adding true zeros never
+    changes an f32 sum; duplicate query terms raise the one-hot entry to
+    their multiplicity, matching the sweep's per-occurrence counting);
+    summation GROUPING differs from the sweep only at ulp level, inside
+    the parity tolerance."""
+    h = hot_w.shape[0]
+    onehot = (
+        (hot_sids[:, :, None] == jnp.arange(h, dtype=jnp.int32)[None, None, :])
+        .astype(jnp.float32)
+        .sum(axis=1)
+    )  # [B, H]
+    # HIGHEST: true-f32 accumulation. The TPU default lowers f32 dots to
+    # bf16 passes (~1e-3 rel err) — measured 0.8% of top-50 ids flipping
+    # vs the sweep; full precision restores 1e-7-level score parity
+    return jnp.dot(
+        onehot, hot_w,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _section_scores(
@@ -192,7 +237,7 @@ def _section_scores(
         return forward_section_scores(fwd.ft, fwd.fw, term_ids, n_blocks)
     from .kernels.membership import pallas_forward_scores
 
-    tq, qn, b = _pad_batch(term_ids, qn)
+    tq, qn, _, b = _pad_batch(term_ids, qn)
     score, count = pallas_forward_scores(
         fwd.ftT, fwd.fwT, tq, qn, doc_block=512, emit_counts=emit_counts
     )
@@ -201,20 +246,25 @@ def _section_scores(
 
 def _both_section_scores(
     title_fwd, body_fwd, term_ids, n_blocks: int, use_pallas: bool,
-    qn=None, emit_counts=True,
+    qn=None, emit_counts=True, qnb=None,
 ):
     """Title and body in one Pallas pass on TPU (shared tq, one grid sweep);
-    falls back to per-section XLA elsewhere."""
+    falls back to per-section XLA elsewhere. With qnb (the hot-split cold
+    term count, cold slots first) the BODY sweep covers only the cold
+    slots — the hot terms' body contribution comes from the caller's
+    hot_body_scores matmul; the title sweep always covers every slot."""
     if not use_pallas:
         ts, tc = forward_section_scores(title_fwd.ft, title_fwd.fw, term_ids, n_blocks)
-        bs, bc = forward_section_scores(body_fwd.ft, body_fwd.fw, term_ids, n_blocks)
+        bs, bc = forward_section_scores(
+            body_fwd.ft, body_fwd.fw, mask_cold(term_ids, qnb), n_blocks
+        )
         return ts, tc, bs, bc
     from .kernels.membership import pallas_forward_scores_2sec
 
-    tq, qn, b = _pad_batch(term_ids, qn)
+    tq, qn, qnb, b = _pad_batch(term_ids, qn, qnb)
     ts, tc, bs, bc = pallas_forward_scores_2sec(
         title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT, tq, qn,
-        doc_block=512, emit_counts=emit_counts,
+        doc_block=512, emit_counts=emit_counts, qnb=qnb,
     )
     return (
         ts[:b],
@@ -267,6 +317,9 @@ def score_queries_forward(
     query_len: jax.Array,  # f32 [B]
     topic_probs: jax.Array,  # f32 [B, C]
     qn: jax.Array | None = None,  # i32 [B] active term counts (sorted desc)
+    qnb: jax.Array | None = None,  # i32 [B] cold-term count (hot split)
+    hot_sids: jax.Array | None = None,  # i32 [B, QH] hot slots, -1 pad
+    hot_w: jax.Array | None = None,  # f32 [H, D] dense hot body weights
     *,
     topk: int,
     n_blocks: int = 16,
@@ -275,8 +328,14 @@ def score_queries_forward(
 ) -> tuple[jax.Array, jax.Array]:
     """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
     ts, tc, bs, bc = _both_section_scores(
-        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts,
+        qnb=qnb,
     )
+    if hot_w is not None and hot_sids is not None:
+        hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
+        bs = bs + hot
+        if bc is not None:  # true-count path: hot candidacy must count too
+            bc = bc + (hot > 0).astype(bs.dtype)
     if tc is None:  # counts elided: all weights > 0, candidacy <=> score > 0
         tc = (ts + bs > 0).astype(ts.dtype)
         bc = jnp.zeros_like(tc)
@@ -301,6 +360,9 @@ def score_queries_forward_phrase(
     phrase_body_w: jax.Array,  # f32 [B, E]
     phrase_flag: jax.Array,  # f32 [B, E]
     qn: jax.Array | None = None,
+    qnb: jax.Array | None = None,
+    hot_sids: jax.Array | None = None,
+    hot_w: jax.Array | None = None,
     *,
     topk: int,
     n_blocks: int = 16,
@@ -317,8 +379,14 @@ def score_queries_forward_phrase(
     brow = jnp.arange(b)[:, None]
 
     ts, tc, bs, bc = _both_section_scores(
-        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts
+        title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts,
+        qnb=qnb,
     )
+    if hot_w is not None and hot_sids is not None:
+        hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
+        bs = bs + hot
+        if bc is not None:
+            bc = bc + (hot > 0).astype(bs.dtype)
 
     pacc = jnp.zeros((b, n_docs + 1, 3), dtype=ts.dtype)
     pacc = pacc.at[brow, phrase_doc_ids].add(
@@ -354,6 +422,9 @@ def score_queries_mixed(
     ph_valid: jax.Array,  # f32 [B, P]
     qn: jax.Array | None = None,
     pn: jax.Array | None = None,  # i32 [B] active phrase slots
+    qnb: jax.Array | None = None,
+    hot_sids: jax.Array | None = None,
+    hot_w: jax.Array | None = None,
     *,
     topk: int,
     n_blocks: int = 16,
@@ -368,20 +439,29 @@ def score_queries_mixed(
     if pn is None:
         pn = (ph_valid.sum(axis=1)).astype(jnp.int32)
     if use_pallas:
-        from .kernels.mixed import mixed_scores_padded
+        from .kernels.mixed import derive_mixed_counts, mixed_scores_padded
 
+        # derive candidacy AFTER the hot fold: a doc matched only by a hot
+        # body term must still become a candidate
         ts, tc, bs, bc = mixed_scores_padded(
             title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
             title_posT, body_posT, term_ids, qn, ph_ids, ph_valid, pn,
-            emit_counts=emit_counts,
+            emit_counts=emit_counts, qnb=qnb, derive=False,
         )
     else:
         from .kernels.mixed import derive_mixed_counts, mixed_forward_scores
 
-        ts, tc, bs, bc = derive_mixed_counts(*mixed_forward_scores(
+        ts, tc, bs, bc = mixed_forward_scores(
             title_fwd.ft, title_fwd.fw, body_fwd.ft, body_fwd.fw,
             title_posT, body_posT, term_ids, ph_ids, ph_valid, n_blocks,
-        ))
+            qnb=qnb,
+        )
+    if hot_w is not None and hot_sids is not None:
+        hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
+        bs = bs + hot
+        if bc is not None:
+            bc = bc + (hot > 0).astype(bs.dtype)
+    ts, tc, bs, bc = derive_mixed_counts(ts, tc, bs, bc)
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )

@@ -49,6 +49,48 @@ POS_MAT_BUDGET_BYTES = 512 << 20
 POS_T_BUDGET_BYTES = 4 << 30
 POS_T_C_MAX = 32
 
+#: hot-term dense weight cache (body section): the H highest-df terms get
+#: their exact [D_pad] tf-idf rows stored dense in HBM, so a query's hot
+#: terms cost ONE f32 MXU matmul (one-hot [B,H] @ W [H,D]) instead of a
+#: full [T, D] VPU compare sweep EACH — the sweep cost is per-term and
+#: df-independent, while df-weighted query mixes concentrate on exactly
+#: these terms (top-512 covers 42% of df-weighted samples on the 1M bench
+#: corpus; probe1m_decomp.py measured the sweep at ~80 ms/128-batch there).
+#: Cold terms keep the sweep. H = min(HOT_H_MAX, budget / (D_pad*4)).
+#: The matmul reads the WHOLE [H, D] matrix per batch, so H is capped by
+#: the bandwidth trade, not just HBM: at H=4096/100k docs the 1.6 GB read
+#: cost exceeded the sweep savings (probe1m_decomp), at H=512 both tiers
+#: win (2 GB HBM at 1M docs, ~2.5 ms/batch read vs ~30 ms sweep saved).
+HOT_W_BUDGET_BYTES = 2 << 30
+HOT_H_MAX = 512
+
+
+def _build_hot_cache(
+    csr: SectionCSR, d_pad: int
+) -> tuple[np.ndarray, dict[int, int]] | None:
+    """Dense [H_pad, D_pad] f32 weight rows for the top-H df terms plus the
+    term-id -> hot-slot map. None when the section is empty or the budget
+    leaves no useful H. Only valid for candidacy-by-score engines (all
+    weights > 0): callers gate on has_zero_weight."""
+    n_post = csr.n_postings
+    if n_post == 0:
+        return None
+    n_words = csr.post_offsets.shape[0] - 1
+    df = np.diff(csr.post_offsets[: n_words + 1])
+    h = min(HOT_H_MAX, int(HOT_W_BUDGET_BYTES // max(d_pad * 4, 1)), n_words)
+    if h < 8:
+        return None
+    top = np.argsort(-df, kind="stable")[:h]
+    top = top[df[top] > 0]
+    if top.size == 0:
+        return None
+    h_pad = _round_up(int(top.size), 128)  # MXU tile alignment; pad rows 0
+    w = np.zeros((h_pad, d_pad), np.float32)
+    for slot, wid in enumerate(top.tolist()):
+        s, e = int(csr.post_offsets[wid]), int(csr.post_offsets[wid + 1])
+        w[slot, csr.doc_ids[s:e]] = csr.weights[s:e]
+    return w, {int(wid): slot for slot, wid in enumerate(top.tolist())}
+
 
 def _build_posT(
     csr: SectionCSR, fj: np.ndarray, d_pad: int, pos_big: float
@@ -270,6 +312,11 @@ class DeviceIndex:
     n_words: int
     posting_cap: int  # covers max df across both sections
     pos_cap: int  # covers max positions per posting
+    # hot-term dense body-weight cache (see _build_hot_cache); None when
+    # the index has zero weights (candidacy needs true counts), is
+    # dense-truncated (scoring routes through CSR), or the budget bars it
+    hot_body_w: jax.Array | None = None  # f32 [H_pad, D_pad]
+    hot_body_map: dict[int, int] | None = None  # term id -> hot slot
 
     @classmethod
     def from_snapshot(cls, snap: IndexSnapshot, device=None) -> "DeviceIndex":
@@ -287,13 +334,26 @@ class DeviceIndex:
             pr = np.zeros((snap.n_docs, 1), dtype=np.float32)
         posting_cap = _round_up(max(snap.title.max_df, snap.body.max_df, 1))
         pos_cap = _round_up(max(snap.title.max_positions, snap.body.max_positions, 1), 8)
+        title = DeviceSection.from_csr(
+            snap.title, snap.n_docs, d_pad, device, pos_cap=pos_cap
+        )
+        body = DeviceSection.from_csr(
+            snap.body, snap.n_docs, d_pad, device, pos_cap=pos_cap
+        )
+        hot_w = hot_map = None
+        if not (
+            title.has_zero_weight
+            or body.has_zero_weight
+            or title.dense_truncated
+            or body.dense_truncated
+        ):
+            built = _build_hot_cache(snap.body, d_pad)
+            if built is not None:
+                hot_np, hot_map = built
+                hot_w = put(hot_np)
         return cls(
-            title=DeviceSection.from_csr(
-                snap.title, snap.n_docs, d_pad, device, pos_cap=pos_cap
-            ),
-            body=DeviceSection.from_csr(
-                snap.body, snap.n_docs, d_pad, device, pos_cap=pos_cap
-            ),
+            title=title,
+            body=body,
             mag_title=put(pad_docs(snap.mag_title)),
             mag_body=put(pad_docs(snap.mag_body)),
             pagerank=put(pad_docs(pr)),
@@ -303,6 +363,8 @@ class DeviceIndex:
             n_words=snap.n_words,
             posting_cap=posting_cap,
             pos_cap=pos_cap,
+            hot_body_w=hot_w,
+            hot_body_map=hot_map,
         )
 
     @property

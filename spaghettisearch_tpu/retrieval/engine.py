@@ -414,14 +414,10 @@ class QueryEngine:
                 if b < WARM_B_MAX:
                     b = WARM_B_MAX
 
-        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
-        qlen = np.zeros(b, dtype=np.float32)
-        qn = np.zeros(b, dtype=np.int32)  # active term slots per row
-        for i, p in enumerate(parsed):
-            ids = snap.term_ids(p.keyword_hashes)[:q]
-            term_ids[i, : len(ids)] = ids
-            qlen[i] = float(p.query_len)
-            qn[i] = len(ids)
+        hot_map = self._hot_map(model, idx)
+        term_ids, qlen, qn, qnb, hot_sids = self._fill_keyword_rows(
+            parsed, b, q, snap, hot_map
+        )
 
         topic_probs = np.zeros((b, idx.n_categories), dtype=np.float32)
         if self.use_topic_model:
@@ -440,12 +436,20 @@ class QueryEngine:
         # sort the batch by descending term count: each Pallas 8-query block
         # then runs its compare loop only to the block max, so 1-2 term
         # queries stop paying for phantom Q_BASE pad slots (results are
-        # inverse-permuted back to request order below)
-        perm = np.argsort(-qn, kind="stable")
+        # inverse-permuted back to request order below). With the hot-term
+        # split the BODY sweep (the dominant cost) is bounded by qnb, so
+        # cold-term count is the primary key
+        perm = np.lexsort((-qn, -qnb))
         inv = np.empty_like(perm)
         inv[perm] = np.arange(b)
-        term_ids, qlen, qn = term_ids[perm], qlen[perm], qn[perm]
+        term_ids, qlen, qn, qnb = term_ids[perm], qlen[perm], qn[perm], qnb[perm]
+        hot_sids = hot_sids[perm]
         topic_probs = topic_probs[perm]
+        hot_kw = (
+            {"qnb": jnp.asarray(qnb), "hot_sids": jnp.asarray(hot_sids)}
+            if hot_map is not None
+            else {}
+        )
 
         if not has_phrase:
             # fast path: forward-membership scorer (no scatter/gather)
@@ -460,6 +464,7 @@ class QueryEngine:
                         idx,
                         jnp.asarray(term_ids), jnp.asarray(qlen),
                         jnp.asarray(topic_probs), topk=topk, qn=jnp.asarray(qn),
+                        **hot_kw,
                     )
                 return _RankHandle(scores, ids, inv, b_real)
 
@@ -492,6 +497,7 @@ class QueryEngine:
                     jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                     jnp.asarray(ph_docs), jnp.asarray(ph_tw), jnp.asarray(ph_bw),
                     jnp.asarray(ph_fl), topk=topk, qn=jnp.asarray(qn),
+                    **hot_kw,
                 )
             return _RankHandle(scores, ids, inv, b_real)
 
@@ -522,17 +528,14 @@ class QueryEngine:
                 "phrase has %d terms; matching the first %d", p_real, p_lvl
             )
 
-        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
-        qlen = np.zeros(b, dtype=np.float32)
-        qn = np.zeros(b, dtype=np.int32)
+        hot_map = self._hot_map(model, idx)
+        term_ids, qlen, qn, qnb, hot_sids = self._fill_keyword_rows(
+            parsed, b, q, snap, hot_map
+        )
         ph_ids = np.full((b, p_lvl), snap.n_words, dtype=np.int32)
         ph_valid = np.zeros((b, p_lvl), dtype=np.float32)
         pn = np.zeros(b, dtype=np.int32)
         for i, pq in enumerate(parsed):
-            ids = snap.term_ids(pq.keyword_hashes)[:q]
-            term_ids[i, : len(ids)] = ids
-            qlen[i] = float(pq.query_len)
-            qn[i] = len(ids)
             pids = snap.term_ids(pq.phrase_hashes)[:p_lvl]
             ph_ids[i, : len(pids)] = pids
             ph_valid[i, : len(pids)] = 1.0
@@ -547,15 +550,22 @@ class QueryEngine:
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
-        # sort phrase rows first (descending pn), then by keyword count:
+        # sort phrase rows first (descending pn), then by cold-term count
+        # (the body sweep's bound under the hot split), then total keywords:
         # phrase-free 8-row blocks skip the kernel's phrase stage, keyword
         # blocks keep the qn compare-loop dispatch win
-        perm = np.lexsort((-qn, -pn))
+        perm = np.lexsort((-qn, -qnb, -pn))
         inv = np.empty_like(perm)
         inv[perm] = np.arange(b)
         term_ids, qlen, qn, pn = term_ids[perm], qlen[perm], qn[perm], pn[perm]
+        qnb, hot_sids = qnb[perm], hot_sids[perm]
         ph_ids, ph_valid = ph_ids[perm], ph_valid[perm]
         topic_probs = topic_probs[perm]
+        hot_kw = (
+            {"qnb": jnp.asarray(qnb), "hot_sids": jnp.asarray(hot_sids)}
+            if hot_map is not None
+            else {}
+        )
 
         with TRACER.span("rank.device"):
             scores, ids = model.score_mixed(
@@ -563,8 +573,46 @@ class QueryEngine:
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid),
                 topk=topk, qn=jnp.asarray(qn), pn=jnp.asarray(pn),
+                **hot_kw,
             )
             return _RankHandle(scores, ids, inv, b_real)
+
+    @staticmethod
+    def _hot_map(model, idx) -> dict[int, int] | None:
+        """term id -> hot slot when the model rides the hot-term dense
+        body-weight cache (retrieval/device_index.py _build_hot_cache);
+        None routes every term through the compare sweep as before."""
+        if getattr(model, "supports_hot", None) and model.supports_hot(idx):
+            return idx.hot_body_map
+        return None
+
+    @staticmethod
+    def _fill_keyword_rows(parsed, b, q, snap, hot_map):
+        """Build the keyword term tile (+ per-row counts) for a batch. With
+        the hot split, each row is laid out COLD TERMS FIRST then hot terms
+        (the title sweep reads all qn slots, the body sweep only the first
+        qnb), and hot slots go to hot_sids (-1 pad) for the dense matmul."""
+        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
+        qlen = np.zeros(b, dtype=np.float32)
+        qn = np.zeros(b, dtype=np.int32)  # active term slots per row
+        qnb = np.zeros(b, dtype=np.int32)  # cold (swept-in-body) slots
+        hot_sids = np.full((b, q), -1, dtype=np.int32)
+        for i, p in enumerate(parsed):
+            ids = snap.term_ids(p.keyword_hashes)[:q]
+            qlen[i] = float(p.query_len)
+            qn[i] = len(ids)
+            if hot_map is None:
+                term_ids[i, : len(ids)] = ids
+                qnb[i] = len(ids)
+                continue
+            cold = [t for t in ids.tolist() if t not in hot_map]
+            hots = [t for t in ids.tolist() if t in hot_map]
+            row = cold + hots
+            term_ids[i, : len(row)] = row
+            qnb[i] = len(cold)
+            for j, t in enumerate(hots):
+                hot_sids[i, j] = hot_map[t]
+        return term_ids, qlen, qn, qnb, hot_sids
 
     def _phrase_weights(self, idx, model=None):
         """Posting-weight arrays the phrase matcher sums: the ranking
