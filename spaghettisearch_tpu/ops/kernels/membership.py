@@ -43,16 +43,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _q_levels(q: int) -> list[int]:
     """Specialization levels up to q: 1, 2, 3, then powers of two (plus q
-    itself). Level 3 is load-bearing — 3-keyword queries are ~30% of the
-    df-weighted bench mix and were paying the q=4 sweep (a 4th phantom
-    compare pass over the whole [T, D] forward index per 8-query block;
-    at 1M docs that pass costs ~ms, probe1m_decomp.py)."""
+    itself). Level 3 is load-bearing for the KEYWORD kernels — 3-keyword
+    queries are ~30% of the df-weighted bench mix and were paying the q=4
+    sweep (a 4th phantom compare pass over the whole [T, D] forward index
+    per 8-query block; 1M membership 85.5 -> 79.2 ms, probe1m_decomp.py).
+    The MIXED kernel must NOT use this set (see _q_levels_pow2)."""
     levels = []
     lev = 1
     while lev < q:
         levels.append(lev)
         if lev == 2 and q > 3:
             levels.append(3)
+        lev *= 2
+    levels.append(q)
+    return levels
+
+
+def _q_levels_pow2(q: int) -> list[int]:
+    """Power-of-two levels only — the MIXED kernel's set. Its emit bodies
+    coexist with the phrase stage's posT streaming in Mosaic's scoped
+    VMEM, and the extra q=3 bodies pushed it over a scheduling cliff:
+    mixed 128-batch at 100k went 44 -> 59 ms/batch with the 4-level chain
+    and back to 40 with pow2 (measured on-chip, round 3)."""
+    levels = []
+    lev = 1
+    while lev < q:
+        levels.append(lev)
         lev *= 2
     levels.append(q)
     return levels
@@ -72,12 +88,13 @@ def _section_scores_unrolled(ft, fw, tq, q_eff, emit_counts):
     return score, jnp.sum(mult, axis=1)
 
 
-def _dispatch_q(nq, q, emit):
-    """Run emit(q_eff) for the power-of-two level covering nq. Each level is
-    an independent straight-line body behind one scalar branch per 8-query
+def _dispatch_q(nq, q, emit, levels=None):
+    """Run emit(q_eff) for the level covering nq. Each level is an
+    independent straight-line body behind one scalar branch per 8-query
     block; with the batch sorted by term count, blocks are homogeneous and
     1-2 term queries stop paying for phantom Q-pad compare sweeps."""
-    levels = _q_levels(q)
+    if levels is None:
+        levels = _q_levels(q)
     lo = -1  # level 1 also covers nq == 0 (all-pad blocks: sentinel terms)
     for lev in levels:
         cond = (nq > lo) & (nq <= lev) if lev != levels[-1] else nq > lo

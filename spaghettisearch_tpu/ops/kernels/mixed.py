@@ -52,7 +52,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .membership import _dispatch_q, _qn_blocks, _section_scores_unrolled
+from .membership import (
+    _dispatch_q,
+    _q_levels_pow2,
+    _qn_blocks,
+    _section_scores_unrolled,
+)
 
 #: pad value for absent position slots; finite (inf*0 = NaN would poison
 #: the one-hot select) and exactly representable in f32, far above any
@@ -244,8 +249,11 @@ def _kernel_mixed(
             else:
                 out_refs[1][pl.ds(row, b_block), :] = s
 
-        _dispatch_q(qn_ref[bi], q, emit_kw_t)
-        _dispatch_q(qnb_ref[bi], q, emit_kw_b)
+        # pow2 levels ONLY: the 4-level chain regressed this kernel 44->59
+        # ms/batch at 100k (VMEM scheduling vs the posT stream; membership
+        # _q_levels_pow2 docstring has the measurement)
+        _dispatch_q(qn_ref[bi], q, emit_kw_t, levels=_q_levels_pow2(q))
+        _dispatch_q(qnb_ref[bi], q, emit_kw_b, levels=_q_levels_pow2(q))
 
         @pl.when(pn_ref[bi] > 0)
         def _():
