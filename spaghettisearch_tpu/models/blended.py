@@ -94,7 +94,8 @@ class BlendedRanker:
             return _scoring.score_queries_forward(
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
-                term_ids, qlen, topic_probs, qn, qnb, hot_sids, hot_w, topk=k,
+                term_ids, qlen, topic_probs, qn, qnb, hot_sids, hot_w,
+                index.body.tmax_blocks, index.doc_perm, topk=k,
                 use_pallas=_scoring.pallas_available(),
                 emit_counts=index.has_zero_weight,
             )
@@ -112,7 +113,8 @@ class BlendedRanker:
                 index.title.fwd, index.body.fwd,
                 index.mag_title, index.mag_body, index.pagerank,
                 term_ids, qlen, topic_probs,
-                ph_docs, ph_tw, ph_bw, ph_fl, qn, qnb, hot_sids, hot_w, topk=k,
+                ph_docs, ph_tw, ph_bw, ph_fl, qn, qnb, hot_sids, hot_w,
+                index.body.tmax_blocks, index.doc_perm, topk=k,
                 use_pallas=_scoring.pallas_available(),
                 emit_counts=index.has_zero_weight,
             )
@@ -140,7 +142,7 @@ class BlendedRanker:
             index.title.posT, index.body.posT,
             index.mag_title, index.mag_body, index.pagerank,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
-            qnb, hot_sids, hot_w,
+            qnb, hot_sids, hot_w, index.doc_perm,
             topk=k,
             use_pallas=_scoring.pallas_available(),
             emit_counts=index.has_zero_weight,
@@ -159,7 +161,7 @@ class BlendedRanker:
         b = term_ids.shape[0]
         if ph_docs is None:
             e = 8
-            ph_docs = jnp.full((b, e), index.n_docs, jnp.int32)
+            ph_docs = jnp.full((b, e), index.match_pad, jnp.int32)
             ph_tw = jnp.zeros((b, e), jnp.float32)
             ph_bw = jnp.zeros((b, e), jnp.float32)
             ph_fl = jnp.zeros((b, e), jnp.float32)
@@ -168,13 +170,15 @@ class BlendedRanker:
             blend = jnp.array(
                 [self.w_pagerank, self.w_title, self.w_body, self.scale], jnp.float32
             )
+        # doc-sorted layout: the device doc_ids live in permuted space over
+        # [0, d_pad), so the scatter bound is match_pad and ids map back
         return _scoring.score_queries(
             index.title.offsets, index.title.doc_ids, index.title.weights,
             index.body.offsets, index.body.doc_ids, index.body.weights,
             index.mag_title, index.mag_body, index.pagerank,
             term_ids, qlen, topic_probs,
-            ph_docs, ph_tw, ph_bw, ph_fl, blend,
-            posting_cap=index.posting_cap, topk=k, n_docs=index.n_docs,
+            ph_docs, ph_tw, ph_bw, ph_fl, blend, index.doc_perm,
+            posting_cap=index.posting_cap, topk=k, n_docs=index.match_pad,
         )
 
     def _custom_forward(self, index, term_ids, qlen, topic_probs, k, phrase=None):
@@ -193,7 +197,8 @@ class BlendedRanker:
         return _custom_score(
             index.title.ft, index.title.fw, index.body.ft, index.body.fw,
             index.mag_title, index.mag_body, index.pagerank,
-            weights, term_ids, qlen, topic_probs, *phrase, topk=k,
+            weights, term_ids, qlen, topic_probs, *phrase, index.doc_perm,
+            topk=k,
         )
 
 
@@ -207,6 +212,7 @@ def _custom_score(
     weights,  # f32 [4]: w_pagerank, w_title, w_body, scale
     term_ids, qlen, topic_probs,
     ph_docs, ph_tw, ph_bw, ph_fl,
+    doc_map=None,
     *,
     topk: int,
 ):
@@ -231,4 +237,4 @@ def _custom_score(
     sqd = jnp.dot(topic_probs, pagerank.T, preferred_element_type=jnp.float32)
     final = (weights[0] * sqd + weights[1] * tn + weights[2] * bn) * weights[3]
     final = jnp.where(tc + bc > 0, final, -jnp.inf)
-    return _scoring.exact_top_k(final, topk)
+    return _scoring.exact_top_k(final, topk, doc_map=doc_map)

@@ -79,7 +79,9 @@ class BM25Ranker:
     # -- engine hooks -------------------------------------------------- #
     def prepare(self, snapshot: IndexSnapshot, index, device=None) -> None:
         """Build BM25 forward weight arrays aligned with the DeviceIndex's
-        ft layout (same snapshot => same doc/term slots)."""
+        ft layout (same snapshot => same doc/term slots; under the
+        doc-sorted layout the index's doc permutation is applied so doc
+        axes line up — BM25 keeps the static-T sweep)."""
         from ..retrieval.device_index import ForwardArrays
 
         put = lambda x: jax.device_put(x, device)  # noqa: E731
@@ -97,6 +99,11 @@ class BM25Ranker:
             fj = np.concatenate(
                 [fj, np.full((pad_rows, fj.shape[1]), csr.doc_ids.shape[0] - 1, np.int32)]
             )
+            if index.doc_perm_np is not None:
+                ft, fw, fj = (
+                    ft[index.doc_perm_np], fw[index.doc_perm_np],
+                    fj[index.doc_perm_np],
+                )
             self._fwd[name] = ForwardArrays(
                 ft=put(ft), fw=put(fw), fj=put(fj),
                 ftT=put(np.ascontiguousarray(ft.T)),
@@ -126,7 +133,7 @@ class BM25Ranker:
             tc = (ts + bs > 0).astype(ts.dtype)
             bc = jnp.zeros_like(tc)
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
-        return _scoring.exact_top_k(final, k)
+        return _scoring.exact_top_k(final, k, doc_map=index.doc_perm)
 
     def score_csr(
         self, index, term_ids, qlen, topic_probs,
@@ -138,7 +145,7 @@ class BM25Ranker:
         b = term_ids.shape[0]
         if ph_docs is None:
             e = 8
-            ph_docs = jnp.full((b, e), index.n_docs, jnp.int32)
+            ph_docs = jnp.full((b, e), index.match_pad, jnp.int32)
             ph_tw = jnp.zeros((b, e), jnp.float32)
             ph_bw = jnp.zeros((b, e), jnp.float32)
             ph_fl = jnp.zeros((b, e), jnp.float32)
@@ -147,7 +154,8 @@ class BM25Ranker:
             index.body.offsets, index.body.doc_ids, self._fwd["body_w"],
             term_ids, ph_docs, ph_tw, ph_bw, ph_fl,
             jnp.float32(self.title_boost), jnp.float32(self.body_boost),
-            posting_cap=index.posting_cap, topk=k, n_docs=index.n_docs,
+            index.doc_perm,
+            posting_cap=index.posting_cap, topk=k, n_docs=index.match_pad,
         )
 
     def score_with_phrase(
@@ -172,7 +180,7 @@ class BM25Ranker:
         ts = ts + pacc[:, :dl, 0]
         bs = bs + pacc[:, :dl, 1]
         final = _bm25_finalize(ts, tc, bs, bc, self.title_boost, self.body_boost)
-        return _scoring.exact_top_k(final, k)
+        return _scoring.exact_top_k(final, k, doc_map=index.doc_perm)
 
 
 from functools import partial  # noqa: E402
@@ -184,6 +192,7 @@ def _bm25_score_csr(
     body_offsets, body_doc_ids, body_w,
     term_ids, ph_docs, ph_tw, ph_bw, ph_fl,
     title_boost, body_boost,
+    doc_map=None,
     *,
     posting_cap: int,
     topk: int,
@@ -208,4 +217,4 @@ def _bm25_score_csr(
     bs = bs + pacc[:, :n_docs, 1]
     tc = tc + pacc[:, :n_docs, 2]
     final = _bm25_finalize(ts, tc, bs, bc, title_boost, body_boost)
-    return _scoring.exact_top_k(final, topk)
+    return _scoring.exact_top_k(final, topk, doc_map=doc_map)

@@ -127,19 +127,37 @@ def _kernel(
 
 
 def _kernel2(
-    qn_ref, qnb_ref, tq_ref, btq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref,
-    *out_refs, b_block: int, q: int, emit_counts: bool,
+    qn_ref, qnb_ref, *rest, b_block: int, q: int, emit_counts: bool,
+    tc: int | None = None,
 ):
     """Two sections, one grid sweep. The body sweep has its OWN term tile
     (btq) and per-block count (qnb): with the hot-term split active, btq
     holds only the cold slots (hot slots sentinel-masked) so hot terms'
     body contribution comes solely from the caller's dense matmul; with
     the split inactive the caller passes btq=tq, qnb=qn and this matches
-    the previous shared-tile kernel exactly."""
+    the previous shared-tile kernel exactly.
+
+    With tc set (doc-sorted layout, DeviceIndex doc_sort), the BODY sweep
+    becomes a dynamic-trip fori over tc-row term chunks bounded by this doc
+    block's real max distinct-term count (SMEM tmaxb, indexed by program
+    id): docs are sorted by term count so blocks are T-homogeneous and the
+    sweep stops paying for pad rows past the block's longest doc (~30% of
+    the dominant body compare cost at 1M docs, experiments/tbound_probe.py).
+    The title sweep stays static — Tt is tiny."""
+    if tc is None:
+        tmaxb_ref = None
+        tq_ref, btq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref, *out_refs = rest
+    else:
+        tmaxb_ref, tq_ref, btq_ref, tft_ref, tfw_ref, bft_ref, bfw_ref, *out_refs = rest
     tft = tft_ref[:]
     tfw = tfw_ref[:]
-    bft = bft_ref[:]
-    bfw = bfw_ref[:]
+    if tc is None:
+        bft = bft_ref[:]
+        bfw = bfw_ref[:]
+        trips = None
+    else:
+        db = bft_ref.shape[1]
+        trips = (tmaxb_ref[pl.program_id(0)] + (tc - 1)) // tc
 
     def b_body(bi, _):
         row = bi * b_block
@@ -160,8 +178,30 @@ def _kernel2(
             else:
                 out_refs[1][pl.ds(row, b_block), :] = s
 
+        def emit_b_tb(q_eff):
+            def t_body(ti, carry):
+                s, c = carry
+                ftc = bft_ref[pl.ds(ti * tc, tc), :]
+                fwc = bfw_ref[pl.ds(ti * tc, tc), :]
+                mult = jnp.zeros((b_block, tc, db), jnp.float32)
+                for qi in range(q_eff):
+                    t = btq[:, qi][:, None, None]
+                    mult = mult + (ftc[None, :, :] == t).astype(jnp.float32)
+                s = s + jnp.sum(mult * fwc[None, :, :], axis=1)
+                if emit_counts:
+                    c = c + jnp.sum(mult, axis=1)
+                return s, c
+
+            zeros = jnp.zeros((b_block, db), jnp.float32)
+            s, c = jax.lax.fori_loop(0, trips, t_body, (zeros, zeros))
+            if emit_counts:
+                out_refs[2][pl.ds(row, b_block), :] = s
+                out_refs[3][pl.ds(row, b_block), :] = c
+            else:
+                out_refs[1][pl.ds(row, b_block), :] = s
+
         _dispatch_q(qn_ref[bi], q, emit_t)
-        _dispatch_q(qnb_ref[bi], q, emit_b)
+        _dispatch_q(qnb_ref[bi], q, emit_b if tc is None else emit_b_tb)
         return 0
 
     jax.lax.fori_loop(0, tq_ref.shape[0] // b_block, b_body, 0)
@@ -177,8 +217,15 @@ def _qn_blocks(term_ids, qn, b_block):
     )
 
 
+#: body term-chunk rows for the doc-sorted dynamic-T sweep; 32 beat 16 by
+#: ~9% at 1M-doc shapes (fewer loop trips outweigh coarser T granularity,
+#: experiments/tbound_probe.py: 43.4 vs 47.5 ms, static baseline 68.6)
+TBOUND_TC = 32
+
+
 @functools.partial(
-    jax.jit, static_argnames=("doc_block", "b_block", "emit_counts", "interpret")
+    jax.jit,
+    static_argnames=("doc_block", "b_block", "emit_counts", "interpret", "tc"),
 )
 def pallas_forward_scores_2sec(
     title_ftT: jax.Array,  # int32 [Tt, D]
@@ -193,29 +240,44 @@ def pallas_forward_scores_2sec(
     emit_counts: bool = True,
     interpret: bool = False,
     qnb: jax.Array | None = None,  # i32 [B] cold-term counts (hot split)
+    body_tmax: jax.Array | None = None,  # i32 [D//doc_block] (doc-sorted)
+    tc: int = TBOUND_TC,
 ):
     """Both sections in ONE kernel pass (shared grid sweep):
     -> (title score, title count, body score, body count), each [B, D];
     counts are None when emit_counts=False (candidacy <=> score > 0, valid
     iff every index weight is positive). ~5% over two separate passes on
     the 100k headline shapes. With qnb (hot-term split, cold slots first)
-    the body sweep reads a sentinel-masked term tile bounded by qnb."""
+    the body sweep reads a sentinel-masked term tile bounded by qnb.
+    With body_tmax (per-doc-block max distinct body terms, doc-sorted
+    layout — DeviceIndex doc_sort) the body sweep runs a dynamic-trip
+    chunked loop instead of the full static Tb; requires Tb % tc == 0."""
     from ..scoring import mask_cold
 
     tt, d = title_ftT.shape
     tb = body_ftT.shape[0]
     b, q = term_ids.shape
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    if body_tmax is not None:
+        assert tb % tc == 0, (tb, tc)
     body_tq = mask_cold(term_ids, qnb) if qnb is not None else term_ids
     qnb_eff = qnb if qnb is not None else qn
-    kernel = functools.partial(_kernel2, b_block=b_block, q=q, emit_counts=emit_counts)
+    kernel = functools.partial(
+        _kernel2, b_block=b_block, q=q, emit_counts=emit_counts,
+        tc=None if body_tmax is None else tc,
+    )
     n_out = 4 if emit_counts else 2
+    tmax_spec = (
+        [] if body_tmax is None else [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    )
+    tmax_arg = [] if body_tmax is None else [body_tmax]
     out = pl.pallas_call(
         kernel,
         grid=(d // doc_block,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *tmax_spec,
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tt, doc_block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -230,7 +292,7 @@ def pallas_forward_scores_2sec(
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(_qn_blocks(term_ids, qn, b_block), _qn_blocks(term_ids, qnb_eff, b_block),
-      term_ids, body_tq, title_ftT, title_fwT, body_ftT, body_fwT)
+      *tmax_arg, term_ids, body_tq, title_ftT, title_fwT, body_ftT, body_fwT)
     if emit_counts:
         return out[0], out[1], out[2], out[3]
     return out[0], None, out[1], None

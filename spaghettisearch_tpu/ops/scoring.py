@@ -55,7 +55,8 @@ def pallas_available() -> bool:
 
 
 def exact_top_k(
-    scores: jax.Array, k: int, chunk: int = 128, chunk_min_docs: int = 1 << 18
+    scores: jax.Array, k: int, chunk: int = 128, chunk_min_docs: int = 1 << 18,
+    doc_map: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k over the doc axis.
 
@@ -76,11 +77,21 @@ def exact_top_k(
     lax.top_k's rule — so divergence is confined to which tied-at-v_k id
     fills the tail (the reference's tie order is map-iteration
     nondeterministic anyway, retrieval/util.go:48-54; bench --mode parity
-    classifies these as tie-explained)."""
+    classifies these as tie-explained)).
+
+    With doc_map (doc-sorted layout, DeviceIndex.doc_perm) the score axis
+    is in permuted doc space: selected ids are gathered through doc_map
+    back to natural ids BEFORE the tie normalization, so callers see
+    natural ids in the canonical (score desc, natural id asc) order."""
     b, d = scores.shape
     k = min(k, d)
     if d < chunk_min_docs or d < 2 * chunk * k:
-        return jax.lax.top_k(scores, k)
+        tv, tid = jax.lax.top_k(scores, k)
+        if doc_map is None:
+            return tv, tid
+        tid = doc_map[tid]
+        neg_s, tid = jax.lax.sort((-tv, tid), num_keys=2, dimension=1)
+        return -neg_s, tid
     pad = (-d) % chunk
     xp = (
         jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
@@ -96,6 +107,8 @@ def exact_top_k(
     tid = (
         jnp.take_along_axis(ci, tp // chunk, axis=1) * chunk + tp % chunk
     ).astype(jnp.int32)
+    if doc_map is not None:
+        tid = doc_map[tid]
     # normalize tie order to lax.top_k's (score desc, then lowest id)
     neg_s, tid = jax.lax.sort((-tv, tid), num_keys=2, dimension=1)
     return -neg_s, tid
@@ -246,13 +259,15 @@ def _section_scores(
 
 def _both_section_scores(
     title_fwd, body_fwd, term_ids, n_blocks: int, use_pallas: bool,
-    qn=None, emit_counts=True, qnb=None,
+    qn=None, emit_counts=True, qnb=None, body_tmax=None,
 ):
     """Title and body in one Pallas pass on TPU (shared tq, one grid sweep);
     falls back to per-section XLA elsewhere. With qnb (the hot-split cold
     term count, cold slots first) the BODY sweep covers only the cold
     slots — the hot terms' body contribution comes from the caller's
-    hot_body_scores matmul; the title sweep always covers every slot."""
+    hot_body_scores matmul; the title sweep always covers every slot.
+    body_tmax (doc-sorted layout) bounds the kernel's body sweep per doc
+    block; the XLA fallback ignores it (full sweep, result-identical)."""
     if not use_pallas:
         ts, tc = forward_section_scores(title_fwd.ft, title_fwd.fw, term_ids, n_blocks)
         bs, bc = forward_section_scores(
@@ -264,7 +279,7 @@ def _both_section_scores(
     tq, qn, qnb, b = _pad_batch(term_ids, qn, qnb)
     ts, tc, bs, bc = pallas_forward_scores_2sec(
         title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT, tq, qn,
-        doc_block=512, emit_counts=emit_counts, qnb=qnb,
+        doc_block=512, emit_counts=emit_counts, qnb=qnb, body_tmax=body_tmax,
     )
     return (
         ts[:b],
@@ -320,6 +335,8 @@ def score_queries_forward(
     qnb: jax.Array | None = None,  # i32 [B] cold-term count (hot split)
     hot_sids: jax.Array | None = None,  # i32 [B, QH] hot slots, -1 pad
     hot_w: jax.Array | None = None,  # f32 [H, D] dense hot body weights
+    body_tmax: jax.Array | None = None,  # i32 [D//512] (doc-sorted layout)
+    doc_map: jax.Array | None = None,  # i32 [D] permuted -> natural ids
     *,
     topk: int,
     n_blocks: int = 16,
@@ -329,7 +346,7 @@ def score_queries_forward(
     """Keyword-only fast path. -> (top scores [B,K], doc ids [B,K])."""
     ts, tc, bs, bc = _both_section_scores(
         title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts,
-        qnb=qnb,
+        qnb=qnb, body_tmax=body_tmax,
     )
     if hot_w is not None and hot_sids is not None:
         hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
@@ -342,7 +359,7 @@ def score_queries_forward(
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
-    return exact_top_k(final, topk)
+    return exact_top_k(final, topk, doc_map=doc_map)
 
 
 @partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
@@ -363,6 +380,8 @@ def score_queries_forward_phrase(
     qnb: jax.Array | None = None,
     hot_sids: jax.Array | None = None,
     hot_w: jax.Array | None = None,
+    body_tmax: jax.Array | None = None,
+    doc_map: jax.Array | None = None,
     *,
     topk: int,
     n_blocks: int = 16,
@@ -373,14 +392,16 @@ def score_queries_forward_phrase(
 
     The phrase op's output is compressed on host to its (few) real matches
     before this call, so the scatter is tiny — E is typically <= 1024 vs the
-    2*posting_cap device-side sparse width."""
+    2*posting_cap device-side sparse width. Under the doc-sorted layout
+    (doc_map set) phrase_doc_ids are already permuted-space ids — the
+    matcher reads the index's remapped device doc_ids."""
     n_docs = title_fwd.ft.shape[0]
     b = term_ids.shape[0]
     brow = jnp.arange(b)[:, None]
 
     ts, tc, bs, bc = _both_section_scores(
         title_fwd, body_fwd, term_ids, n_blocks, use_pallas, qn, emit_counts,
-        qnb=qnb,
+        qnb=qnb, body_tmax=body_tmax,
     )
     if hot_w is not None and hot_sids is not None:
         hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
@@ -403,7 +424,7 @@ def score_queries_forward_phrase(
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
-    return exact_top_k(final, topk)
+    return exact_top_k(final, topk, doc_map=doc_map)
 
 
 @partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
@@ -425,6 +446,7 @@ def score_queries_mixed(
     qnb: jax.Array | None = None,
     hot_sids: jax.Array | None = None,
     hot_w: jax.Array | None = None,
+    doc_map: jax.Array | None = None,  # i32 [D] permuted -> natural ids
     *,
     topk: int,
     n_blocks: int = 16,
@@ -465,7 +487,7 @@ def score_queries_mixed(
     final = finalize_scores(
         ts, tc, bs, bc, mag_title, mag_body, pagerank, query_len, topic_probs
     )
-    return exact_top_k(final, topk)
+    return exact_top_k(final, topk, doc_map=doc_map)
 
 
 # ---------------------------------------------------------------------- #
@@ -588,6 +610,7 @@ def score_queries(
     phrase_body_w: jax.Array,
     phrase_flag: jax.Array,
     blend: jax.Array | None = None,
+    doc_map: jax.Array | None = None,
     *,
     posting_cap: int,
     topk: int,
@@ -597,7 +620,9 @@ def score_queries(
 
     The production keyword scorer routes here when the dense forward view
     was truncated (doc_term_cap) — the CSR stays complete, so scores and
-    candidacy remain exact for pathological documents."""
+    candidacy remain exact for pathological documents. Under the
+    doc-sorted layout pass n_docs = the PADDED doc count (device doc_ids
+    are remapped over [0, d_pad)) plus doc_map for natural output ids."""
     final = score_dense(
         title_offsets, title_doc_ids, title_weights,
         body_offsets, body_doc_ids, body_weights,
@@ -608,4 +633,4 @@ def score_queries(
         n_docs=n_docs,
         blend=blend,
     )
-    return exact_top_k(final, topk)
+    return exact_top_k(final, topk, doc_map=doc_map)

@@ -18,6 +18,38 @@ DOC_BLOCK = 512
 #: scored through the exact CSR path — engine.rank routes on dense_truncated)
 DOC_TERM_CAP = 4096
 
+#: doc-sorted layout (see _doc_sort_perm) switches on automatically at and
+#: above this padded doc count: that is where the membership sweep dominates
+#: (~80 ms of a 1M 128-batch) and where exact_top_k's chunk-max route — which
+#: already owns the tie-divergence story — is active. Below it the win is
+#: noise and natural order keeps small-corpus tie behavior byte-stable.
+DOC_SORT_MIN_DOCS = 1 << 18
+
+#: body term-axis chunk rows for the doc-sorted dynamic-T sweep; body T is
+#: padded to a multiple of this (ops/kernels/membership.py TBOUND_TC)
+DOC_SORT_TC = 32
+
+
+def _doc_sort_perm(
+    nt: np.ndarray, d_pad: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Doc permutation for the dynamic-T membership sweep: sort docs by
+    descending distinct-term count so DOC_BLOCK blocks are T-homogeneous,
+    then reorder whole blocks so the two contiguous grid halves (megacore
+    splits the 1-D grid in half) carry ~equal summed work (snake
+    assignment). Returns (perm [d_pad] new-pos -> old-doc, tmax [nb] per
+    new block max nt). ~30% off the dominant body sweep at 1M docs,
+    bitwise-exact scores (experiments/tbound_probe.py)."""
+    order = np.argsort(-nt, kind="stable")
+    tmax0 = nt[order].reshape(-1, DOC_BLOCK).max(axis=1)
+    blk_order = np.argsort(-tmax0, kind="stable")
+    half_a, half_b = [], []
+    for i, blk in enumerate(blk_order):
+        (half_a if i % 4 in (0, 3) else half_b).append(blk)
+    blocks = np.array(half_a + half_b, dtype=np.int64)
+    perm = order.reshape(-1, DOC_BLOCK)[blocks].reshape(-1)
+    return perm, tmax0[blocks].astype(np.int32)
+
 
 def _round_up(n: int, m: int = 128) -> int:
     return max(((n + m - 1) // m) * m, m)
@@ -66,12 +98,14 @@ HOT_H_MAX = 512
 
 
 def _build_hot_cache(
-    csr: SectionCSR, d_pad: int
+    csr: SectionCSR, d_pad: int, inv_perm: np.ndarray | None = None
 ) -> tuple[np.ndarray, dict[int, int]] | None:
     """Dense [H_pad, D_pad] f32 weight rows for the top-H df terms plus the
     term-id -> hot-slot map. None when the section is empty or the budget
     leaves no useful H. Only valid for candidacy-by-score engines (all
-    weights > 0): callers gate on has_zero_weight."""
+    weights > 0): callers gate on has_zero_weight. With inv_perm (doc-sorted
+    layout) columns live in permuted doc space, matching the forward
+    arrays."""
     n_post = csr.n_postings
     if n_post == 0:
         return None
@@ -88,7 +122,10 @@ def _build_hot_cache(
     w = np.zeros((h_pad, d_pad), np.float32)
     for slot, wid in enumerate(top.tolist()):
         s, e = int(csr.post_offsets[wid]), int(csr.post_offsets[wid + 1])
-        w[slot, csr.doc_ids[s:e]] = csr.weights[s:e]
+        cols = csr.doc_ids[s:e]
+        if inv_perm is not None:
+            cols = inv_perm[cols]
+        w[slot, cols] = csr.weights[s:e]
     return w, {int(wid): slot for slot, wid in enumerate(top.tolist())}
 
 
@@ -219,11 +256,19 @@ class DeviceSection:
     # needs true counts; otherwise the kernels may elide count accumulation
     # because candidacy <=> score > 0
     has_zero_weight: bool = False
+    # per-DOC_BLOCK max distinct-term count (i32 [D_pad//DOC_BLOCK], SMEM
+    # input of the dynamic-T membership sweep); only set for the body
+    # section under the doc-sorted layout
+    tmax_blocks: jax.Array | None = None
 
     @classmethod
     def from_csr(
         cls, csr: SectionCSR, n_docs: int, d_pad: int, device=None,
         doc_term_cap: int | None = None, pos_cap: int | None = None,
+        perm: np.ndarray | None = None,  # [d_pad] new pos -> old doc
+        inv_full: np.ndarray | None = None,  # [n_docs+1] old -> new, pad -> d_pad
+        tmax_blocks: np.ndarray | None = None,  # body only (doc-sorted)
+        t_multiple: int = 8,
     ) -> "DeviceSection":
         if doc_term_cap is None:
             doc_term_cap = DOC_TERM_CAP
@@ -259,6 +304,24 @@ class DeviceSection:
         fj = np.concatenate(
             [fj, np.full((pad_rows, fj.shape[1]), csr.doc_ids.shape[0] - 1, np.int32)]
         )
+        if perm is not None:
+            # doc-sorted layout: rows in permuted doc space; the CSR's
+            # device doc_ids are remapped below so every formulation (dense
+            # sweep, CSR scatter, phrase matchers) agrees on doc indices
+            ft, fw, fj = ft[perm], fw[perm], fj[perm]
+        t_col_pad = (-ft.shape[1]) % t_multiple
+        if t_col_pad:
+            # dynamic-T sweep reads tc-row chunks: pad T up (empty slots)
+            ft = np.concatenate(
+                [ft, np.full((d_pad, t_col_pad), -1, np.int32)], axis=1
+            )
+            fw = np.concatenate(
+                [fw, np.zeros((d_pad, t_col_pad), np.float32)], axis=1
+            )
+            fj = np.concatenate(
+                [fj, np.full((d_pad, t_col_pad), csr.doc_ids.shape[0] - 1, np.int32)],
+                axis=1,
+            )
         fwd = ForwardArrays(
             ft=put(ft),
             fw=put(fw),
@@ -275,9 +338,10 @@ class DeviceSection:
             if built is not None:
                 posT_np, pos_c = built
                 posT = put(posT_np)
+        doc_ids_np = csr.doc_ids if inv_full is None else inv_full[csr.doc_ids]
         return cls(
             offsets=put(offsets.astype(np.int32)),
-            doc_ids=put(csr.doc_ids),
+            doc_ids=put(doc_ids_np),
             weights=put(csr.weights),
             pos_offsets=put(csr.pos_offsets),
             positions=put(csr.positions),
@@ -287,6 +351,9 @@ class DeviceSection:
             pos_c=pos_c,
             dense_truncated=truncated,
             has_zero_weight=zero_w,
+            tmax_blocks=(
+                None if tmax_blocks is None else put(tmax_blocks.astype(np.int32))
+            ),
         )
 
     # convenience aliases used by the XLA formulation and tests
@@ -317,16 +384,56 @@ class DeviceIndex:
     # dense-truncated (scoring routes through CSR), or the budget bars it
     hot_body_w: jax.Array | None = None  # f32 [H_pad, D_pad]
     hot_body_map: dict[int, int] | None = None  # term id -> hot slot
+    # doc-sorted layout (see _doc_sort_perm): every doc-axis array above
+    # lives in permuted doc space; doc_perm maps permuted position ->
+    # natural doc id (pads -> >= n_docs) and the scorers gather through it
+    # after top-k so callers always see natural ids
+    doc_perm: jax.Array | None = None  # int32 [D_pad]
+    doc_perm_np: np.ndarray | None = None
 
     @classmethod
-    def from_snapshot(cls, snap: IndexSnapshot, device=None) -> "DeviceIndex":
+    def from_snapshot(
+        cls, snap: IndexSnapshot, device=None, doc_sort: bool | None = None
+    ) -> "DeviceIndex":
         put = lambda x: jax.device_put(x, device)  # noqa: E731
         d_pad = _round_up(max(snap.n_docs, 1), DOC_BLOCK)
+
+        def section_nt(csr: SectionCSR) -> np.ndarray:
+            n_post = csr.n_postings
+            if not n_post:
+                return np.zeros(d_pad, np.int32)
+            return np.bincount(
+                csr.doc_ids[:n_post], minlength=d_pad
+            ).astype(np.int32)
+
+        # doc-sorted layout: default-on at the large-corpus tier where the
+        # static-T membership sweep dominates; off when any dense row would
+        # truncate (scoring then routes through the CSR path, which wants
+        # natural order and real-prefix slicing)
+        title_nt = section_nt(snap.title)
+        body_nt = section_nt(snap.body)
+        truncatable = (
+            int(title_nt.max(initial=0)) > DOC_TERM_CAP
+            or int(body_nt.max(initial=0)) > DOC_TERM_CAP
+        )
+        if doc_sort is None:
+            doc_sort = d_pad >= DOC_SORT_MIN_DOCS
+        doc_sort = doc_sort and not truncatable and snap.n_docs > 0
+        perm = inv_full = body_tmax = None
+        t_multiple = 8
+        if doc_sort:
+            perm, body_tmax = _doc_sort_perm(body_nt, d_pad)
+            inv = np.empty(d_pad, np.int32)
+            inv[perm] = np.arange(d_pad, dtype=np.int32)
+            inv_full = np.empty(snap.n_docs + 1, np.int32)
+            inv_full[: snap.n_docs] = inv[: snap.n_docs]
+            inv_full[snap.n_docs] = d_pad  # CSR pad doc id -> out-of-range
+            t_multiple = DOC_SORT_TC
 
         def pad_docs(a: np.ndarray) -> np.ndarray:
             out = np.zeros((d_pad,) + a.shape[1:], dtype=a.dtype)
             out[: a.shape[0]] = a
-            return out
+            return out[perm] if perm is not None else out
 
         if snap.pagerank is not None and snap.pagerank.shape[1] > 0:
             pr = snap.pagerank
@@ -335,10 +442,13 @@ class DeviceIndex:
         posting_cap = _round_up(max(snap.title.max_df, snap.body.max_df, 1))
         pos_cap = _round_up(max(snap.title.max_positions, snap.body.max_positions, 1), 8)
         title = DeviceSection.from_csr(
-            snap.title, snap.n_docs, d_pad, device, pos_cap=pos_cap
+            snap.title, snap.n_docs, d_pad, device, pos_cap=pos_cap,
+            perm=perm, inv_full=inv_full, t_multiple=t_multiple,
         )
         body = DeviceSection.from_csr(
-            snap.body, snap.n_docs, d_pad, device, pos_cap=pos_cap
+            snap.body, snap.n_docs, d_pad, device, pos_cap=pos_cap,
+            perm=perm, inv_full=inv_full, tmax_blocks=body_tmax,
+            t_multiple=t_multiple,
         )
         hot_w = hot_map = None
         if not (
@@ -347,7 +457,10 @@ class DeviceIndex:
             or title.dense_truncated
             or body.dense_truncated
         ):
-            built = _build_hot_cache(snap.body, d_pad)
+            built = _build_hot_cache(
+                snap.body, d_pad,
+                inv_perm=None if inv_full is None else inv_full[: snap.n_docs],
+            )
             if built is not None:
                 hot_np, hot_map = built
                 hot_w = put(hot_np)
@@ -365,11 +478,21 @@ class DeviceIndex:
             pos_cap=pos_cap,
             hot_body_w=hot_w,
             hot_body_map=hot_map,
+            doc_perm=None if perm is None else put(perm.astype(np.int32)),
+            doc_perm_np=None if perm is None else perm.astype(np.int32),
         )
 
     @property
     def n_categories(self) -> int:
         return int(self.pagerank.shape[1])
+
+    @property
+    def match_pad(self) -> int:
+        """Doc-id pad/sentinel for matcher outputs and phrase fold arrays:
+        real ids are < match_pad. Natural layout pads postings with n_docs;
+        the doc-sorted layout scatters real docs across [0, d_pad) so its
+        sentinel is d_pad (device doc_ids are remapped accordingly)."""
+        return self.n_docs_padded if self.doc_perm is not None else self.n_docs
 
     @property
     def dense_truncated(self) -> bool:

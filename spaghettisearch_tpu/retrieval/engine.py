@@ -237,12 +237,17 @@ class QueryEngine:
     # the flag there). The catch-all (q > Q_BASE) program moves to
     # (B_BIG, Q_CATCHALL) so exactly one catch-all exists per family.
     big_batch: bool = False
+    # doc-sorted device layout (DeviceIndex doc_sort / _doc_sort_perm);
+    # None = auto (on at the >=256k-padded-doc tier)
+    doc_sort: bool | None = None
 
     def __post_init__(self) -> None:
         if self.snapshot is None:
             self.snapshot = build_snapshot(self.db)
         if self.index is None:
-            self.index = DeviceIndex.from_snapshot(self.snapshot, self.device)
+            self.index = DeviceIndex.from_snapshot(
+                self.snapshot, self.device, doc_sort=self.doc_sort
+            )
         if hasattr(self.model, "prepare"):  # model-specific device arrays
             self.model.prepare(self.snapshot, self.index, self.device)
         # the (snapshot, index, model) triple readers must see together: a
@@ -281,7 +286,9 @@ class QueryEngine:
             new_db = Database(self.db.root, backend=self.db.backend_kind)
             db = new_db
         snapshot = build_snapshot(db)
-        index = DeviceIndex.from_snapshot(snapshot, self.device)
+        index = DeviceIndex.from_snapshot(
+            snapshot, self.device, doc_sort=self.doc_sort
+        )
         model = self.model
         if hasattr(model, "prepare"):
             # prepare into a CLONE: the live model's device arrays stay
@@ -398,7 +405,7 @@ class QueryEngine:
                 [parsed[i].phrase_hashes for i in ph_rows], live
             )
             for i, (d, tw, bw, fl) in zip(ph_rows, batch):
-                real = d < idx.n_docs
+                real = d < idx.match_pad
                 matches[i] = (d[real], tw[real], bw[real], fl[real])
             e_real = max((len(m[0]) for m in matches), default=1)
             levels = _e_levels(idx.n_docs)
@@ -469,7 +476,8 @@ class QueryEngine:
                 return _RankHandle(scores, ids, inv, b_real)
 
         # pad slot lands past the real doc range in the fold-in accumulator
-        # and is dropped/sliced away
+        # and is dropped/sliced away (the doc-sorted layout never routes
+        # through use_csr — DeviceIndex gates doc_sort on truncation)
         pad_doc = idx.n_docs if use_csr else idx.n_docs_padded
         ph_docs = np.full((b, e), pad_doc, dtype=np.int32)
         ph_tw = np.zeros((b, e), dtype=np.float32)
@@ -728,7 +736,7 @@ class QueryEngine:
                 idx.body.offsets, idx.body.doc_ids,
                 jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(gens),
                 idx.title.pos_mat, idx.body.pos_mat,
-                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.match_pad,
             )
             pending.append((rows, res))
         # ONE host sync for every group, COMPRESSED: the raw outputs are
@@ -748,7 +756,7 @@ class QueryEngine:
             twk = jnp.take_along_axis(tw, sel, axis=1)
             bwk = jnp.take_along_axis(bw, sel, axis=1)
             flk = jnp.take_along_axis(fl, sel, axis=1)
-            nreal = (d < idx.n_docs).sum(axis=1).astype(jnp.float32)
+            nreal = (d < idx.match_pad).sum(axis=1).astype(jnp.float32)
             compressed.append(
                 (rows, res, k,
                  jnp.concatenate(
@@ -892,7 +900,7 @@ class QueryEngine:
                 idx.body.offsets, idx.body.doc_ids,
                 ids, valid, gens,
                 idx.title.pos_mat, idx.body.pos_mat,
-                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.n_docs,
+                posting_cap=cap, pos_cap=idx.pos_cap, n_docs=idx.match_pad,
             )
 
         for bp in MATCHER_BP:
