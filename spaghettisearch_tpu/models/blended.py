@@ -143,6 +143,7 @@ class BlendedRanker:
             index.mag_title, index.mag_body, index.pagerank,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
             qnb, hot_sids, hot_w, index.doc_perm,
+            index.body.tmax_blocks,
             topk=k,
             use_pallas=_scoring.pallas_available(),
             emit_counts=index.has_zero_weight,

@@ -213,17 +213,36 @@ def _phrase_block(
 
 
 def _kernel_mixed(
-    qn_ref, qnb_ref, pn_ref, tq_ref, btq_ref, ph_ref, phv_ref,
-    tft_ref, tfw_ref, bft_ref, bfw_ref, tposT_ref, bposT_ref,
-    *refs, b_block: int, q: int, ct: int, cb: int, emit_counts: bool,
+    qn_ref, qnb_ref, pn_ref, *rest, b_block: int, q: int, ct: int, cb: int,
+    emit_counts: bool, tc: int | None = None,
 ):
+    """With tc set (doc-sorted layout, DeviceIndex doc_sort) the body
+    KEYWORD sweep becomes a dynamic-trip fori over tc-row term chunks
+    bounded by this doc block's real max distinct-term count (SMEM tmaxb,
+    indexed by program id) — the same dynamic-T trick as membership
+    _kernel2. The phrase stage keeps its static sweep: it runs only for
+    phrase-bearing row blocks and is ~10% of the mixed program at 1M."""
+    if tc is None:
+        tmaxb_ref = None
+        (tq_ref, btq_ref, ph_ref, phv_ref, tft_ref, tfw_ref, bft_ref,
+         bfw_ref, tposT_ref, bposT_ref, *refs) = rest
+    else:
+        (tmaxb_ref, tq_ref, btq_ref, ph_ref, phv_ref, tft_ref, tfw_ref,
+         bft_ref, bfw_ref, tposT_ref, bposT_ref, *refs) = rest
     n_out = 4 if emit_counts else 2
     out_refs = refs[:n_out]
     chain_t_ref, chain_b_ref = refs[n_out], refs[n_out + 1]
     tft = tft_ref[:]
     tfw = tfw_ref[:]
-    bft = bft_ref[:]
-    bfw = bfw_ref[:]
+    if tc is None:
+        bft = bft_ref[:]
+        bfw = bfw_ref[:]
+        trips = None
+    else:
+        # bft/bfw stay as refs for the chunked sweep; the phrase stage
+        # (rare blocks) materializes them at its pl.when site
+        db = bft_ref.shape[1]
+        trips = (tmaxb_ref[pl.program_id(0)] + (tc - 1)) // tc
     tposT = tposT_ref[:]
     bposT = bposT_ref[:]
 
@@ -249,18 +268,46 @@ def _kernel_mixed(
             else:
                 out_refs[1][pl.ds(row, b_block), :] = s
 
+        def emit_kw_b_tb(q_eff):
+            def t_body(ti, carry):
+                s, c = carry
+                ftc = bft_ref[pl.ds(ti * tc, tc), :]
+                fwc = bfw_ref[pl.ds(ti * tc, tc), :]
+                mult = jnp.zeros((b_block, tc, db), jnp.float32)
+                for qi in range(q_eff):
+                    t = btq[:, qi][:, None, None]
+                    mult = mult + (ftc[None, :, :] == t).astype(jnp.float32)
+                s = s + jnp.sum(mult * fwc[None, :, :], axis=1)
+                if emit_counts:
+                    c = c + jnp.sum(mult, axis=1)
+                return s, c
+
+            zeros = jnp.zeros((b_block, db), jnp.float32)
+            s, c = jax.lax.fori_loop(0, trips, t_body, (zeros, zeros))
+            if emit_counts:
+                out_refs[2][pl.ds(row, b_block), :] = s
+                out_refs[3][pl.ds(row, b_block), :] = c
+            else:
+                out_refs[1][pl.ds(row, b_block), :] = s
+
         # pow2 levels ONLY: the 4-level chain regressed this kernel 44->59
         # ms/batch at 100k (VMEM scheduling vs the posT stream; membership
         # _q_levels_pow2 docstring has the measurement)
         _dispatch_q(qn_ref[bi], q, emit_kw_t, levels=_q_levels_pow2(q))
-        _dispatch_q(qnb_ref[bi], q, emit_kw_b, levels=_q_levels_pow2(q))
+        _dispatch_q(
+            qnb_ref[bi], q, emit_kw_b if tc is None else emit_kw_b_tb,
+            levels=_q_levels_pow2(q),
+        )
 
         @pl.when(pn_ref[bi] > 0)
         def _():
             ph = ph_ref[pl.ds(row, b_block), :]
             phv = phv_ref[pl.ds(row, b_block), :]
             t_ok, sum_tw, b_ok, sum_bw = _phrase_block(
-                tft, tfw, bft, bfw, tposT, bposT, ph, phv,
+                tft, tfw,
+                bft if tc is None else bft_ref[:],
+                bfw if tc is None else bfw_ref[:],
+                tposT, bposT, ph, phv,
                 pn_ref[bi], ct, cb, chain_t_ref, chain_b_ref,
             )
             add_t = jnp.where(t_ok, sum_tw, 0.0)
@@ -281,7 +328,7 @@ def _kernel_mixed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("doc_block", "b_block", "emit_counts", "interpret"),
+    static_argnames=("doc_block", "b_block", "emit_counts", "interpret", "tc"),
 )
 def pallas_mixed_scores_2sec(
     title_ftT: jax.Array,  # int32 [Tt, D]
@@ -301,6 +348,8 @@ def pallas_mixed_scores_2sec(
     emit_counts: bool = True,
     interpret: bool = False,
     qnb: jax.Array | None = None,  # i32 [B] cold-term counts (hot split)
+    body_tmax: jax.Array | None = None,  # i32 [D//doc_block] (doc-sorted)
+    tc: int = 32,  # membership.TBOUND_TC; body T is padded to 32 under doc_sort
 ):
     """Fused keyword + phrase scoring, both sections, one grid sweep.
 
@@ -321,16 +370,23 @@ def pallas_mixed_scores_2sec(
     b, q = term_ids.shape
     p = ph_ids.shape[1]
     assert d % doc_block == 0 and b % b_block == 0, (d, doc_block, b, b_block)
+    if body_tmax is not None:
+        assert tb % tc == 0, (tb, tc)
+        assert body_tmax.shape == (d // doc_block,), (body_tmax.shape, d, doc_block)
     body_tq = mask_cold(term_ids, qnb) if qnb is not None else term_ids
     qnb_eff = qnb if qnb is not None else qn
     kernel = functools.partial(
         _kernel_mixed, b_block=b_block, q=q, ct=ct, cb=cb,
-        emit_counts=emit_counts,
+        emit_counts=emit_counts, tc=None if body_tmax is None else tc,
     )
     n_out = 4 if emit_counts else 2
     pn_blocks = jnp.clip(
         pn.reshape(b // b_block, b_block).max(axis=1), 0, p
     ).astype(jnp.int32)
+    tmax_spec = (
+        [] if body_tmax is None else [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    )
+    tmax_arg = [] if body_tmax is None else [body_tmax]
     out = pl.pallas_call(
         kernel,
         grid=(d // doc_block,),
@@ -338,6 +394,7 @@ def pallas_mixed_scores_2sec(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *tmax_spec,
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -360,7 +417,7 @@ def pallas_mixed_scores_2sec(
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
         interpret=interpret,
     )(_qn_blocks(term_ids, qn, b_block), _qn_blocks(term_ids, qnb_eff, b_block),
-      pn_blocks, term_ids, body_tq, ph_ids, ph_valid,
+      pn_blocks, *tmax_arg, term_ids, body_tq, ph_ids, ph_valid,
       title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT)
     if emit_counts:
         return out[0], out[1], out[2], out[3]
@@ -371,7 +428,7 @@ def mixed_scores_padded(
     title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
     term_ids, qn, ph_ids, ph_valid, pn,
     *, doc_block: int = 256, emit_counts: bool = True,
-    qnb=None, derive: bool = True,
+    qnb=None, derive: bool = True, body_tmax=None,
 ):
     """Row-pad to the kernel's 8-row blocks, run the Pallas mixed kernel,
     slice back to the real batch, and derive candidacy counts when elided
@@ -383,8 +440,18 @@ def mixed_scores_padded(
     doc_block choice and count rule live here exactly once.
 
     doc_block defaults to 256, not the keyword kernels' 512: the posT tiles
-    and the phrase-stage temporaries share VMEM with the keyword sweep."""
+    and the phrase-stage temporaries share VMEM with the keyword sweep.
+
+    body_tmax (doc-sorted layout, DeviceIndex doc_sort) arrives at the
+    index's canonical DOC_BLOCK granularity and is repeated here to this
+    kernel's finer doc_block — each sub-block inherits its parent block's
+    (conservative, exact) T bound."""
     b = term_ids.shape[0]
+    if body_tmax is not None:
+        d = title_ftT.shape[1]
+        nb = d // doc_block
+        assert nb % body_tmax.shape[0] == 0, (nb, body_tmax.shape)
+        body_tmax = jnp.repeat(body_tmax, nb // body_tmax.shape[0])
     pad = -(-b // 8) * 8 - b
     imax = jnp.iinfo(jnp.int32).max
     tq = jnp.pad(term_ids, ((0, pad), (0, 0)), constant_values=imax)
@@ -399,6 +466,7 @@ def mixed_scores_padded(
         title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
         tq, qn_p, ph_p, phv_p, pn_p,
         doc_block=doc_block, emit_counts=emit_counts, qnb=qnb_p,
+        body_tmax=body_tmax,
     )
     ts, bs = ts[:b], bs[:b]
     tc = None if tc is None else tc[:b]

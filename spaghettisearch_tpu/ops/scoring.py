@@ -447,6 +447,7 @@ def score_queries_mixed(
     hot_sids: jax.Array | None = None,
     hot_w: jax.Array | None = None,
     doc_map: jax.Array | None = None,  # i32 [D] permuted -> natural ids
+    body_tmax: jax.Array | None = None,  # i32 [D//512] (doc-sorted layout)
     *,
     topk: int,
     n_blocks: int = 16,
@@ -456,7 +457,9 @@ def score_queries_mixed(
     """The FUSED mixed lane: keyword membership scoring + dense phrase
     matching + fold + finalize + top-k in ONE device program — no sparse
     matcher dispatches, no host repack, one packed result fetch
-    (ops/kernels/mixed.py has the full design note)."""
+    (ops/kernels/mixed.py has the full design note). body_tmax (doc-sorted
+    layout) bounds the kernel's body keyword sweep per doc block; the XLA
+    twin ignores it (full sweep, result-identical)."""
     b = term_ids.shape[0]
     if pn is None:
         pn = (ph_valid.sum(axis=1)).astype(jnp.int32)
@@ -469,6 +472,7 @@ def score_queries_mixed(
             title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
             title_posT, body_posT, term_ids, qn, ph_ids, ph_valid, pn,
             emit_counts=emit_counts, qnb=qnb, derive=False,
+            body_tmax=body_tmax,
         )
     else:
         from .kernels.mixed import derive_mixed_counts, mixed_forward_scores

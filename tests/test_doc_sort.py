@@ -188,3 +188,63 @@ def test_doc_sort_auto_threshold():
     forced = DeviceIndex.from_snapshot(eng.snapshot, doc_sort=True)
     assert forced.doc_perm is not None
     assert forced.match_pad == forced.n_docs_padded
+
+
+@pytest.mark.parametrize("emit_counts", [True, False])
+def test_mixed_tbound_kernel_matches_static(emit_counts):
+    """The MIXED kernel's dynamic-T body keyword sweep (body_tmax + tc,
+    doc-sorted layout) must reproduce the static mixed kernel — interpret
+    mode on CPU, covering phrase rows, the qn dispatch, and the hot-split
+    qnb tile."""
+    from spaghettisearch_tpu.ops.kernels.mixed import (
+        pallas_mixed_scores_2sec,
+    )
+
+    db = build_corpus_db(n_pages=30, seed=23)
+    eng = QueryEngine(db, doc_sort=True)
+    idx = eng.index
+    assert idx.pos_dense and idx.body.tmax_blocks is not None
+    n_words = eng.snapshot.n_words
+
+    rng = np.random.default_rng(5)
+    b, q, p = 16, 4, 4
+    term_ids = rng.integers(0, n_words + 1, (b, q)).astype(np.int32)
+    qn = rng.integers(0, q + 1, b).astype(np.int32)
+    ph_ids = rng.integers(0, n_words, (b, p)).astype(np.int32)
+    pn = rng.integers(0, p + 1, b).astype(np.int32)
+    ph_valid = (np.arange(p)[None, :] < pn[:, None]).astype(np.float32)
+    ph_ids[ph_valid == 0] = n_words
+    order = np.lexsort((-qn, -pn))  # engine contract: phrase rows first
+    term_ids, qn, ph_ids, ph_valid, pn = (
+        term_ids[order], qn[order], ph_ids[order], ph_valid[order], pn[order]
+    )
+    qnb = np.maximum(qn - 1, 0).astype(np.int32)
+
+    d = idx.title.fwd.ftT.shape[1]
+    doc_block = 256
+    assert d % doc_block == 0
+    # mixed_scores_padded's repeat: canonical [D//512] -> kernel granularity
+    tmax = jnp.repeat(
+        idx.body.tmax_blocks, (d // doc_block) // idx.body.tmax_blocks.shape[0]
+    )
+    args = (
+        idx.title.fwd.ftT, idx.title.fwd.fwT,
+        idx.body.fwd.ftT, idx.body.fwd.fwT,
+        idx.title.posT, idx.body.posT,
+        jnp.asarray(term_ids), jnp.asarray(qn),
+        jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(pn),
+    )
+    for use_qnb in (False, True):
+        kw = dict(
+            doc_block=doc_block, emit_counts=emit_counts, interpret=True,
+            qnb=jnp.asarray(qnb) if use_qnb else None,
+        )
+        want = pallas_mixed_scores_2sec(*args, **kw)
+        got = pallas_mixed_scores_2sec(*args, body_tmax=tmax, **kw)
+        for w, g in zip(want, got):
+            if w is None:
+                assert g is None
+                continue
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7
+            )
