@@ -48,18 +48,22 @@ def main():
     root = ensure_bench_corpus(n)
     db, snap = load_bench_corpus(root)
     t0 = time.perf_counter()
-    idx = DeviceIndex.from_snapshot(snap)
+    force_natural = "natural" in sys.argv
+    idx = DeviceIndex.from_snapshot(snap, doc_sort=not force_natural)
     print(f"device index in {time.perf_counter() - t0:.1f}s  "
           f"doc_sort={idx.doc_perm is not None}  pos_dense={idx.pos_dense}",
           flush=True)
-    assert idx.doc_perm is not None and idx.pos_dense
-    assert idx.body.tmax_blocks is not None
+    assert idx.pos_dense
+    assert force_natural or (
+        idx.doc_perm is not None and idx.body.tmax_blocks is not None
+    )
 
-    tmax_np = np.asarray(idx.body.tmax_blocks)
-    tb = idx.body.fwd.ftT.shape[0]
-    print(f"body T_pad={tb}  tmax mean={tmax_np.mean():.1f} "
-          f"max={tmax_np.max()}  swept_frac(tc=32)="
-          f"{(np.ceil(tmax_np / 32) * 32).mean() / tb:.3f}", flush=True)
+    if idx.body.tmax_blocks is not None:
+        tmax_np = np.asarray(idx.body.tmax_blocks)
+        tb = idx.body.fwd.ftT.shape[0]
+        print(f"body T_pad={tb}  tmax mean={tmax_np.mean():.1f} "
+              f"max={tmax_np.max()}  swept_frac(tc=32)="
+              f"{(np.ceil(tmax_np / 32) * 32).mean() / tb:.3f}", flush=True)
 
     queries = bench_queries(snap, 256, phrase_every=8, db=db)
     parsed = [parse_query(q) for q in queries[:128]]
@@ -101,7 +105,10 @@ def main():
               emit_counts=idx.has_zero_weight)
 
     outs = {}
-    for label, btm in (("static", None), ("dynamic", idx.body.tmax_blocks)):
+    variants = [("static", None)]
+    if idx.body.tmax_blocks is not None:
+        variants.append(("dynamic", idx.body.tmax_blocks))
+    for label, btm in variants:
         t0 = time.perf_counter()
         out = score_queries_mixed(**args, body_tmax=btm, **kw)
         np.asarray(out[0][:, :1])
@@ -113,11 +120,17 @@ def main():
               flush=True)
         outs[label] = (np.asarray(out[0]), np.asarray(out[1]))
 
-    ss, si = outs["static"]
-    ds, di = outs["dynamic"]
-    rel = np.abs(ds - ss) / np.maximum(np.abs(ss), 1e-9)
-    print(f"exactness: id_agree={(si == di).mean():.4f}  "
-          f"score_max_rel={rel.max():.2e}", flush=True)
+    if "dynamic" in outs:
+        ss, si = outs["static"]
+        ds, di = outs["dynamic"]
+        finite = np.isfinite(ss) & np.isfinite(ds)
+        rel = np.where(
+            finite, np.abs(ds - ss) / np.maximum(np.abs(ss), 1e-9), 0.0
+        )
+        inf_agree = bool((np.isfinite(ss) == np.isfinite(ds)).all())
+        print(f"exactness: id_agree={(si == di).mean():.4f}  "
+              f"score_max_rel={rel.max():.2e}  inf_agree={inf_agree}",
+              flush=True)
     db.close()
 
 

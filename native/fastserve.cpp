@@ -161,6 +161,27 @@ void fv_gen_set(void* gen, int32_t doc_id, const char* frag, int32_t frag_len,
   d.set = true;
 }
 
+// Bulk registration from the persisted hydration sidecar (one GIL-released
+// pass instead of ~n_docs ctypes calls): doc-id-aligned byte blobs with
+// [n+1] offset arrays; flags bit0 = fragment present, bit1 = summary text
+// present. Only docs with BOTH are registered, mirroring the per-doc path
+// (prewarm_hydration registers a doc iff its summary text exists).
+void fv_gen_set_bulk(void* gen, int32_t n, const uint8_t* flags,
+                     const char* frag_blob, const int64_t* frag_off,
+                     const char* text_blob, const int64_t* text_off) {
+  Gen* g = (Gen*)gen;
+  if (n > (int32_t)g->docs.size()) n = (int32_t)g->docs.size();
+  for (int32_t i = 0; i < n; i++) {
+    if ((flags[i] & 3) != 3) continue;
+    Doc& d = g->docs[i];
+    d.frag.assign(frag_blob + frag_off[i],
+                  (size_t)(frag_off[i + 1] - frag_off[i]));
+    fsum::build_tokdoc(text_blob + text_off[i],
+                       (int32_t)(text_off[i + 1] - text_off[i]), &d.tok);
+    d.set = true;
+  }
+}
+
 int64_t fv_gen_count(void* gen) {
   Gen* g = (Gen*)gen;
   int64_t n = 0;

@@ -90,4 +90,5 @@ def load_snapshot(path: str) -> IndexSnapshot:
         mag_body=arrays["mag_body"],
         categories=meta["categories"],
         pagerank=arrays["pagerank"] if "pagerank" in arrays else None,
+        source_dir=os.path.abspath(path),
     )

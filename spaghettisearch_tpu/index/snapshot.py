@@ -268,6 +268,10 @@ class IndexSnapshot:
     mag_body: np.ndarray  # f32 [D]
     categories: list[str] = field(default_factory=list)
     pagerank: np.ndarray | None = None  # f32 [D, C]
+    #: directory this snapshot was loaded from (persist.load_snapshot);
+    #: None for snapshots built in memory. Gates the hydration sidecar —
+    #: derived caches persist next to the snapshot they belong to.
+    source_dir: str | None = None
 
     @property
     def n_docs(self) -> int:

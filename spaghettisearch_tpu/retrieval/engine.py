@@ -16,6 +16,7 @@ Query grammar parity:
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -1099,6 +1100,16 @@ class QueryEngine:
             return 0
         import json as _json
 
+        # persisted sidecar fast path: a snapshot loaded from disk keeps its
+        # prebuilt records next to it (fingerprint-validated against the
+        # store) — the 1M-doc build measured ~280 s, the reload ~20 s
+        blob = getattr(snap, "_hyd_blob", None)
+        if blob is not None:  # already attached: prewarm is a no-op
+            return int(np.count_nonzero(blob[0] & 1))
+        loaded = self._load_hyd_sidecar(snap)
+        if loaded is not None:
+            return loaded
+
         infos: dict[str, DocInfo] = dict(self.db.doc_info.items())
         words: dict[str, str] = dict(self.db.word.items())
         cache = getattr(snap, "_hyd_records", None)
@@ -1111,11 +1122,13 @@ class QueryEngine:
         # (native/fastserve.cpp; measured 0.52 ms -> ~0.03 ms per request)
         gen = getattr(snap, "_native_hyd", None)
         texts: dict[str, str] = {}
+        texts_walked = False
         if gen is None:
             from .native_hydrate import HydrationGen, native_available
 
             if native_available():
                 texts = dict(self.db.doc_summary.items())
+                texts_walked = True
                 if texts:
                     gen = HydrationGen(snap.n_docs)
                     snap._native_hyd = gen
@@ -1178,7 +1191,81 @@ class QueryEngine:
                 if text is not None:
                     gen.set_doc(doc_id, frag.encode(), text.encode())
                     spent += len(text)
+        self._save_hyd_sidecar(snap, cache, texts, texts_walked)
         return len(cache)
+
+    # ------------------------------------------------------------------ #
+    # hydration sidecar: persisted prewarm records (hydration_sidecar.py)
+    # ------------------------------------------------------------------ #
+
+    def _hyd_sidecar_key(self, snap) -> tuple[str, str] | None:
+        """-> (path, fingerprint) when this (snapshot, store) pair supports
+        a persisted hydration cache; None otherwise (in-memory store or
+        snapshot that was never saved to disk)."""
+        sdir = getattr(snap, "source_dir", None)
+        if not sdir or not os.path.isdir(sdir):
+            return None
+        from .hydration_sidecar import SIDECAR_NAME, store_fingerprint
+
+        fp = store_fingerprint(self.db, snap)
+        if fp is None:
+            return None
+        return os.path.join(sdir, SIDECAR_NAME), fp
+
+    def _load_hyd_sidecar(self, snap) -> int | None:
+        """Attach a valid persisted sidecar to the snapshot (lazy record
+        blob + bulk native-assembler registration). -> record count, or
+        None when a fresh build must run."""
+        key = self._hyd_sidecar_key(snap)
+        if key is None:
+            return None
+        from .hydration_sidecar import FLAG_FRAG, load_sidecar
+        from .native_hydrate import HydrationGen, native_available
+
+        native_ok = (
+            getattr(snap, "_native_hyd", None) is None and native_available()
+        )
+        loaded = load_sidecar(key[0], key[1], need_texts=native_ok)
+        if loaded is None:
+            return None
+        flags, frag_off, frag_blob, text_off, text_blob = loaded
+        snap._hyd_blob = (flags, frag_off, frag_blob)
+        if native_ok:
+            gen = HydrationGen(snap.n_docs)
+            gen.set_bulk(flags, frag_blob, frag_off, text_blob, text_off)
+            snap._native_hyd = gen
+        return int(np.count_nonzero(flags & FLAG_FRAG))
+
+    def _save_hyd_sidecar(
+        self, snap, cache: dict, texts: dict, texts_walked: bool
+    ) -> None:
+        """Persist freshly built prewarm records next to the snapshot (only
+        when it was loaded from disk against a durable store)."""
+        key = self._hyd_sidecar_key(snap)
+        if key is None or not cache:
+            return
+        from .hydration_sidecar import FLAG_FRAG, FLAG_TEXT, save_sidecar
+
+        n = snap.n_docs
+        flags = np.zeros(n, np.uint8)
+        frags: list[bytes] = [b""] * n
+        text_bs: list[bytes] = [b""] * n
+        for doc_id, rec in cache.items():
+            flags[doc_id] |= FLAG_FRAG
+            frags[doc_id] = rec[1].encode()
+            if texts_walked:
+                text = texts.get(snap.doc_hashes[doc_id])
+                if text is not None:
+                    flags[doc_id] |= FLAG_TEXT
+                    text_bs[doc_id] = text.encode()
+        try:
+            save_sidecar(key[0], key[1], flags, frags, text_bs, texts_walked)
+        except OSError as e:
+            import logging
+
+            logging.getLogger("spaghettisearch.engine").warning(
+                "hydration sidecar save failed (%s); startup stays slow", e
+            )
 
     def _doc_record(self, doc_id: int, snapshot) -> tuple[dict, str]:
         """-> (static result fields, their JSON fragment without the closing
@@ -1193,6 +1280,18 @@ class QueryEngine:
             return rec
 
         import json as _json
+
+        # persisted-sidecar docs decode lazily from the flat blob: the frag
+        # IS json.dumps(base)[:-1], so loads(frag + "}") round-trips the
+        # dict exactly (key order preserved, values parse-equal)
+        blob = getattr(snapshot, "_hyd_blob", None)
+        if blob is not None:
+            flags, off, data = blob
+            if flags[doc_id] & 1:
+                frag = data[off[doc_id]: off[doc_id + 1]].decode()
+                rec = (_json.loads(frag + "}"), frag)
+                cache[doc_id] = rec
+                return rec
 
         doc_hash = snapshot.doc_hashes[doc_id]
         info: DocInfo | None = self.db.doc_info.get(doc_hash)

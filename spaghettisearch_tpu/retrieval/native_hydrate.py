@@ -49,6 +49,13 @@ def _load_lib():
             ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_char_p, ctypes.c_int32,
         ]
+        lib.fv_gen_set_bulk.restype = None
+        lib.fv_gen_set_bulk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.fv_gen_count.restype = ctypes.c_int64
         lib.fv_gen_count.argtypes = [ctypes.c_void_p]
         lib.fv_gen_free.restype = None
@@ -110,6 +117,22 @@ class HydrationGen:
 
     def set_doc(self, doc_id: int, frag: bytes, text: bytes) -> None:
         self._lib.fv_gen_set(self._ptr, doc_id, frag, len(frag), text, len(text))
+
+    def set_bulk(self, flags, frag_blob: bytes, frag_off,
+                 text_blob: bytes, text_off) -> None:
+        """Register all sidecar docs in one GIL-released call (flags bit0 =
+        fragment, bit1 = text; only 3 == both registers, mirroring
+        set_doc's text-present gate)."""
+        flags = np.ascontiguousarray(flags, dtype=np.uint8)
+        frag_off = np.ascontiguousarray(frag_off, dtype=np.int64)
+        text_off = np.ascontiguousarray(text_off, dtype=np.int64)
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        self._lib.fv_gen_set_bulk(
+            self._ptr, min(self.n_docs, len(flags)),
+            flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            frag_blob, frag_off.ctypes.data_as(i64),
+            text_blob, text_off.ctypes.data_as(i64),
+        )
 
     def count(self) -> int:
         return int(self._lib.fv_gen_count(self._ptr))
