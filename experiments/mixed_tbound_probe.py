@@ -105,30 +105,44 @@ def main():
               emit_counts=idx.has_zero_weight)
 
     outs = {}
-    variants = [("static", None)]
+    variants = [("static-256", None, 256)]
     if idx.body.tmax_blocks is not None:
-        variants.append(("dynamic", idx.body.tmax_blocks))
-    for label, btm in variants:
+        variants += [
+            ("dynamic-256", idx.body.tmax_blocks, 256),
+            # doc_block=512 halves the grid (query-tile re-reads) but doubles
+            # every VMEM tile; dynamic-T keeps the body sweep chunked via
+            # refs, which may fit where the static kernel blew VMEM
+            ("dynamic-512", idx.body.tmax_blocks, 512),
+            ("static-512", None, 512),
+        ]
+    for label, btm, dblk in variants:
         t0 = time.perf_counter()
-        out = score_queries_mixed(**args, body_tmax=btm, **kw)
-        np.asarray(out[0][:, :1])
+        try:
+            out = score_queries_mixed(
+                **args, body_tmax=btm, doc_block=dblk, **kw)
+            np.asarray(out[0][:, :1])
+        except Exception as e:  # Mosaic VMEM overflow is data, not failure
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
         print(f"{label}: compile+settle {time.perf_counter() - t0:.1f}s",
               flush=True)
-        ms = t_queued(lambda btm=btm: score_queries_mixed(
-            **args, body_tmax=btm, **kw))
+        ms = t_queued(lambda btm=btm, dblk=dblk: score_queries_mixed(
+            **args, body_tmax=btm, doc_block=dblk, **kw))
         print(f"{label}: {ms:.1f} ms/128-batch ({b * 1e3 / ms:.0f} qps)",
               flush=True)
         outs[label] = (np.asarray(out[0]), np.asarray(out[1]))
 
-    if "dynamic" in outs:
-        ss, si = outs["static"]
-        ds, di = outs["dynamic"]
+    ss, si = outs.get("static-256", (None, None))
+    for label, (ds, di) in outs.items():
+        if label == "static-256" or ss is None:
+            continue
         finite = np.isfinite(ss) & np.isfinite(ds)
         rel = np.where(
             finite, np.abs(ds - ss) / np.maximum(np.abs(ss), 1e-9), 0.0
         )
         inf_agree = bool((np.isfinite(ss) == np.isfinite(ds)).all())
-        print(f"exactness: id_agree={(si == di).mean():.4f}  "
+        print(f"exactness[{label}]: id_agree={(si == di).mean():.4f}  "
               f"score_max_rel={rel.max():.2e}  inf_agree={inf_agree}",
               flush=True)
     db.close()

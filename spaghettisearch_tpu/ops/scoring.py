@@ -427,7 +427,8 @@ def score_queries_forward_phrase(
     return exact_top_k(final, topk, doc_map=doc_map)
 
 
-@partial(jax.jit, static_argnames=("topk", "n_blocks", "use_pallas", "emit_counts"))
+@partial(jax.jit, static_argnames=(
+    "topk", "n_blocks", "use_pallas", "emit_counts", "doc_block"))
 def score_queries_mixed(
     title_fwd,  # ForwardArrays
     body_fwd,  # ForwardArrays
@@ -453,6 +454,7 @@ def score_queries_mixed(
     n_blocks: int = 16,
     use_pallas: bool = False,
     emit_counts: bool = True,
+    doc_block: int = 256,  # mixed-kernel grid tile (see mixed_scores_padded)
 ) -> tuple[jax.Array, jax.Array]:
     """The FUSED mixed lane: keyword membership scoring + dense phrase
     matching + fold + finalize + top-k in ONE device program — no sparse
@@ -471,8 +473,8 @@ def score_queries_mixed(
         ts, tc, bs, bc = mixed_scores_padded(
             title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
             title_posT, body_posT, term_ids, qn, ph_ids, ph_valid, pn,
-            emit_counts=emit_counts, qnb=qnb, derive=False,
-            body_tmax=body_tmax,
+            doc_block=doc_block, emit_counts=emit_counts, qnb=qnb,
+            derive=False, body_tmax=body_tmax,
         )
     else:
         from .kernels.mixed import derive_mixed_counts, mixed_forward_scores

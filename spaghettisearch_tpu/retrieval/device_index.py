@@ -19,11 +19,16 @@ DOC_BLOCK = 512
 DOC_TERM_CAP = 4096
 
 #: doc-sorted layout (see _doc_sort_perm) switches on automatically at and
-#: above this padded doc count: that is where the membership sweep dominates
-#: (~80 ms of a 1M 128-batch) and where exact_top_k's chunk-max route — which
-#: already owns the tie-divergence story — is active. Below it the win is
-#: noise and natural order keeps small-corpus tie behavior byte-stable.
-DOC_SORT_MIN_DOCS = 1 << 18
+#: above this padded doc count. Measured same-day at the 100k tier
+#: (experiments/headline_tbound_probe.py + mixed_tbound_probe.py 100000):
+#: headline keyword program 17.1 -> 12.0 ms/256-batch (+42% qps, top-10 ids
+#: identical over 5,120 queries), mixed 128-batch 20.4 -> 18.9 ms — so the
+#: gate sits well below 100k. Below it small corpora (tests, fixtures) keep
+#: the natural layout: the dynamic-T sweep needs real T-skew to pay, and
+#: natural order keeps small-corpus tie behavior byte-stable. Tie semantics
+#: above the gate stay canonical — exact_top_k re-normalizes to (score
+#: desc, natural id asc) after the doc_map gather on both top-k routes.
+DOC_SORT_MIN_DOCS = 1 << 16
 
 #: body term-axis chunk rows for the doc-sorted dynamic-T sweep; body T is
 #: padded to a multiple of this (ops/kernels/membership.py TBOUND_TC)
