@@ -143,7 +143,12 @@ class BlendedRanker:
             index.mag_title, index.mag_body, index.pagerank,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
             qnb, hot_sids, hot_w, index.doc_perm,
-            index.body.tmax_blocks,
+            # NO body_tmax: the dynamic-T body sweep that buys 37% on the
+            # keyword kernels REGRESSES the mixed kernel (same-day 1M probe:
+            # static 95.1 -> dynamic 101.7 ms/128-batch; 100k neutral) — the
+            # ref-chunked fori body fights the posT stream for VMEM, the
+            # same scheduling cliff the q=3 level hit (FINDINGS round 3)
+            None,
             topk=k,
             use_pallas=_scoring.pallas_available(),
             emit_counts=index.has_zero_weight,
