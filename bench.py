@@ -432,6 +432,9 @@ def bench_scale(n_docs: int = 1_000_000) -> dict:
             idx.title.fwd, idx.body.fwd, idx.mag_title, idx.mag_body, idx.pagerank,
             tids, qlen, tp, qn, topk=10, use_pallas=use_pallas,
             emit_counts=emit_counts,
+            # doc-sorted layout args, exactly as the engine passes them
+            # (models/blended.py): dynamic-T sweep + natural-id mapping
+            body_tmax=idx.body.tmax_blocks, doc_map=idx.doc_perm,
         )
 
     np.asarray(run(batches[0])[0])
@@ -1145,6 +1148,9 @@ def bench_headline(synth: bool = False) -> dict:
             idx.mag_title, idx.mag_body, idx.pagerank,
             tids, qlen, tp, qn, topk=topk, use_pallas=use_pallas,
             emit_counts=emit_counts,
+            # doc-sorted layout args, exactly as the engine passes them
+            # (models/blended.py): dynamic-T sweep + natural-id mapping
+            body_tmax=idx.body.tmax_blocks, doc_map=idx.doc_perm,
         )
 
     # warmup / compile (np.asarray forces a host round-trip: through the

@@ -35,6 +35,22 @@ DOC_SORT_MIN_DOCS = 1 << 16
 DOC_SORT_TC = 32
 
 
+def _doc_sort_pays(nt: np.ndarray) -> bool:
+    """Project whether the bounded sweep actually wins on THIS corpus: the
+    doc-sorted layout pads body T to a multiple of DOC_SORT_TC (32) and
+    sweeps ceil(block_tmax/32)*32 rows per block, vs the natural layout's
+    static T_pad (multiple of 8). On a uniform-T corpus the 32-row padding
+    can make the bounded sweep LONGER (measured: scale1m's synthetic 1M,
+    48 terms/doc -> 64 swept rows vs 48 static, bench 4.3k -> 3.9k qps);
+    crawled corpora skew (1M crawl: mean 77 vs T_pad 120 -> 0.73). Gate on
+    the projected per-block sweep from the sorted nt distribution."""
+    t_nat = -(-max(int(nt.max(initial=1)), 1) // 8) * 8
+    srt = np.sort(nt)[::-1]
+    tmax = srt[:: DOC_BLOCK].astype(np.int64)  # per-block max = block head
+    swept = np.maximum(-(-tmax // DOC_SORT_TC) * DOC_SORT_TC, DOC_SORT_TC)
+    return float(swept.mean()) <= 0.9 * t_nat
+
+
 def _doc_sort_perm(
     nt: np.ndarray, d_pad: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -422,7 +438,7 @@ class DeviceIndex:
             or int(body_nt.max(initial=0)) > DOC_TERM_CAP
         )
         if doc_sort is None:
-            doc_sort = d_pad >= DOC_SORT_MIN_DOCS
+            doc_sort = d_pad >= DOC_SORT_MIN_DOCS and _doc_sort_pays(body_nt)
         doc_sort = doc_sort and not truncatable and snap.n_docs > 0
         perm = inv_full = body_tmax = None
         t_multiple = 8
