@@ -750,7 +750,7 @@ def bench_parity(n_pages: int = 100_000, n_queries: int = 1000) -> dict:
     return {
         "order_divergences_at_50": n_div,
         "divergences_tie_explained": n_tie,
-        "metric": "recall_at_10_vs_reference_oracle_100k",
+        "metric": f"recall_at_10_vs_reference_oracle_{n_pages // 1000}k",
         "value": round(report.recall_at_k, 6),
         "unit": "recall",
         "vs_baseline": round(report.recall_at_k / 1.0, 6),
@@ -999,6 +999,11 @@ def main() -> None:
         if mode == "parity":
             print(json.dumps(bench_parity()))
             return
+        if mode == "parity1m":
+            # mixed keyword+phrase parity at the 1M tier (engine kernel vs
+            # host oracle; the pure-XLA CPU twin OOMs there)
+            print(json.dumps(bench_parity(1_000_000, 64)))
+            return
         if mode == "mixed":
             print(json.dumps(bench_mixed()))
             return
@@ -1075,10 +1080,13 @@ def emit_results(out_path: str) -> None:
         ("index", _fresh_cpu("index")),
         ("sharded", bench_sharded),
     ]
-    # serve-at-1M joins the artifact only when its corpus is already built
-    # (first build is a ~1-2 h host-side job; `--mode serve1m` triggers it)
+    # 1M-tier stages join the artifact only when the corpus is already built
+    # (first build is a ~1 h host-side job; `--mode serve1m` triggers it)
     if os.path.exists(os.path.join(BENCH_DIR, "corpus1000k", "BUILT.json")):
         stages.insert(5, ("serve1m", lambda: bench_serve(n_pages=1_000_000)))
+        # mixed keyword+phrase parity at the top tier, engine vs oracle
+        # (the pure-XLA CPU twin OOMs at 1M — this runs the real kernel)
+        stages.insert(6, ("parity1m", lambda: bench_parity(1_000_000, 64)))
     for name, fn in stages:
         t0 = time.perf_counter()
         try:
