@@ -1038,13 +1038,23 @@ def emit_results(out_path: str) -> None:
     on the real TPU occasionally' invariant); sharded runs on the virtual
     CPU mesh in a subprocess."""
     import platform
+    import subprocess
 
     import jax
 
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except OSError:
+        head = None
     results: dict[str, object] = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "host": platform.node(),
+        "git_head": head,
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     def _fresh_cpu(mode: str):
         # host-side benches re-run in a FRESH CPU process: in-process they
