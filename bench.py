@@ -665,6 +665,11 @@ def bench_serve(
             "big_batch": big_batch,
             "fetchers": n_fetchers or 1,  # server CLI default
             "mean_batch": (stats.get("microbatcher") or {}).get("mean_batch"),
+            # phrase-class segregation (auto at the >=512k-doc fused tiers):
+            # ph_batches/batches shows the split actually happening
+            "segregate": (stats.get("microbatcher") or {}).get("segregate"),
+            "ph_batches": (stats.get("microbatcher") or {}).get("ph_batches"),
+            "batches": (stats.get("microbatcher") or {}).get("batches"),
             "rank_device_ms": (stats.get("rank.device") or {}).get("mean_ms"),
             "serve_query_ms": (stats.get("serve.query") or {}).get("mean_ms"),
             # per-stage pipeline spans (ms/batch): rank.device above is the

@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--fetchers", type=int, default=1,
                     help="concurrent device->host fetch threads in the "
                          "micro-batcher (overlapped relay RTTs)")
+    ap.add_argument("--phraseSegregate", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="phrase-class batch segregation: keep keyword-only "
+                         "traffic on the leveled keyword program (auto = "
+                         "engine decides by tier; see MicroBatcher)")
+    ap.add_argument("--phrasePatienceMs", type=float, default=250.0,
+                    help="max extra wait for a non-full phrase-class batch "
+                         "while keyword work is pending")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
     ap.add_argument("--resultCache", type=int, default=0,
@@ -115,6 +123,7 @@ def main(argv: list[str] | None = None) -> None:
     SearchServer(
         engine, batching=not args.noBatching, result_cache=args.resultCache,
         max_batch=256 if args.bigBatch else 128, n_fetchers=args.fetchers,
+        segregate=args.phraseSegregate, ph_patience_ms=args.phrasePatienceMs,
     ).serve(port=args.port)
 
 

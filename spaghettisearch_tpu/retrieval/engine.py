@@ -125,6 +125,10 @@ P_BASE = 4
 P_LEVELS = (P_BASE, 8, 16)
 E_BASE = 64
 E_MID = 4096
+# phrase-class batch segregation advice threshold (class_batching_pays):
+# below this doc count the mixed program's keyword work is within ~1 ms of
+# the leveled keyword program, so class-pure batching buys nothing
+SEGREGATE_MIN_DOCS = 1 << 19
 
 
 def _p_level(n: int) -> int:
@@ -336,6 +340,25 @@ class QueryEngine:
     # ------------------------------------------------------------------ #
     # device ranking
     # ------------------------------------------------------------------ #
+
+    def class_batching_pays(self, live=None) -> bool:
+        """Advise the micro-batcher whether phrase-class batch segregation
+        pays on the current live index. One phrase-bearing query sends a
+        whole batch down the fused mixed program, which cannot take the
+        q=3-dispatch / dynamic-T keyword levels (VMEM scheduling cliffs —
+        experiments/FINDINGS.md sessions 5-6); the cost gap vs the leveled
+        keyword program grows with doc count (~1 ms at 100k, ~35 ms per
+        128-batch at 1M), so segregation is only worth the phrase-latency
+        patience at the large tiers."""
+        if live is None:
+            live = self._live
+        idx = live[1]
+        model = live[2] if len(live) > 2 else self.model
+        return (
+            getattr(model, "supports_mixed", None) is not None
+            and model.supports_mixed(idx)
+            and idx.n_docs >= SEGREGATE_MIN_DOCS
+        )
 
     def rank(
         self, parsed: list[ParsedQuery], topk: int = MAX_RESULTS, live=None

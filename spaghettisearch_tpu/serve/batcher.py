@@ -65,6 +65,7 @@ def _packed_cached(text: str):
 class BatcherStats:
     batches: int = 0
     queries: int = 0
+    ph_batches: int = 0  # batches containing >=1 phrase-bearing query
 
     @property
     def mean_batch(self) -> float:
@@ -103,10 +104,34 @@ class MicroBatcher:
         result_timeout_s: float = 300.0,
         lock=None,
         n_fetchers: int = 1,
+        segregate: str = "auto",
+        ph_patience_ms: float = 250.0,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        # Phrase-class batch segregation: one phrase-bearing query routes
+        # the WHOLE batch onto the fused mixed program, which cannot take
+        # the q=3 dispatch / dynamic-T keyword levels (VMEM cliffs —
+        # FINDINGS sessions 5-6), so at the 1M tier a mixed 128-batch
+        # costs ~94 ms where the leveled keyword program costs ~59. With
+        # the reference workload's 1/8 phrase share, slicing class-PURE
+        # batches (keyword-only vs phrase-bearing) sends 7/8 of batches
+        # down the fast program. Policy: phrase batches dispatch when (a)
+        # full (the mixed program has a ~50 ms row-count-independent
+        # floor, so undersized phrase batches are poison), (b) no keyword
+        # work is waiting (light load — zero added latency), or (c) the
+        # oldest phrase request has waited out `ph_patience_ms` (bounded
+        # staleness under saturation). "auto" asks the engine
+        # (class_batching_pays): segregation only pays where the
+        # mixed/keyword cost gap is real, i.e. large-doc-count fused
+        # indexes — at 100k the gap is ~1 ms and splitting just costs
+        # phrase latency.
+        self._segregate = segregate if isinstance(segregate, str) else (
+            "on" if segregate else "off"
+        )
+        self.ph_patience_s = ph_patience_ms / 1e3
+        self._n_ph = 0  # phrase-class entries in _queue; guarded by _cv
         # generous default: an unwarmed shape can compile for minutes on a
         # remote-TPU tunnel; the future resolves the moment the batch does
         self.result_timeout_s = result_timeout_s
@@ -115,7 +140,8 @@ class MicroBatcher:
         # ranking reads both (the round-1 soak found the use-after-free)
         self._exec_lock = lock if lock is not None else threading.Lock()
         self.stats = BatcherStats()
-        self._queue: list[tuple[str, Future]] = []
+        # entries: (text, future, is_phrase_class, enqueue_monotonic)
+        self._queue: list[tuple[str, Future, bool, float]] = []
         self._cv = threading.Condition()
         self._stop = False
         import queue as _qmod
@@ -162,8 +188,16 @@ class MicroBatcher:
         hydrates the raw row itself (under the serving read lock).
         scores_row is None for empty queries."""
         fut: Future = Future()
+        try:
+            # classify on the caller's thread (cached parse): phrase-class
+            # requests batch separately when segregation is active
+            is_ph = bool(_parse_cached(text).phrase_hashes)
+        except Exception:  # noqa: BLE001 — parse errors fail at dispatch
+            is_ph = False
         with self._cv:
-            self._queue.append((text, fut))
+            self._queue.append((text, fut, is_ph, time.monotonic()))
+            if is_ph:
+                self._n_ph += 1
             self._cv.notify()
         return fut.result(timeout=timeout or self.result_timeout_s)
 
@@ -218,8 +252,7 @@ class MicroBatcher:
                     self._cv.wait(timeout=min(remaining, 0.003))
                     if len(self._queue) == n0:
                         break  # no arrivals in the idle gap
-                batch = self._queue[: self.max_batch]
-                self._queue = self._queue[self.max_batch:]
+                batch = self._slice_locked()
             if not batch:
                 self._slots.release()
                 if self._stop:
@@ -232,6 +265,64 @@ class MicroBatcher:
                 self._slots.release()
         for _ in range(self._n_fetchers):
             self._fetch_q.put(None)
+
+    def _segregate_now(self) -> bool:
+        if self._segregate == "on":
+            return True
+        if self._segregate == "off":
+            return False
+        pays = getattr(self.engine, "class_batching_pays", None)
+        try:
+            return bool(pays and pays())
+        except Exception:  # noqa: BLE001 — advice only, never fail a batch
+            return False
+
+    def _pick_class_locked(self, now: float) -> bool | None:
+        """None -> slice in arrival order (segregation off); True/False ->
+        slice only phrase-class / keyword-class requests. Called with _cv
+        held and a non-empty queue."""
+        if not self._segregate_now():
+            return None
+        ph_n = self._n_ph
+        kw_n = len(self._queue) - ph_n
+        if ph_n == 0:
+            return False
+        if kw_n == 0:
+            return True  # no keyword work waiting: phrases go immediately
+        if ph_n >= self.max_batch:
+            return True  # a full phrase batch amortizes its program floor
+        oldest_ph = next(e[3] for e in self._queue if e[2])
+        if now - oldest_ph >= self.ph_patience_s:
+            # patience expired: a sizable cohort is worth a pure phrase
+            # batch; a small one rides along in ONE arrival-order (mixed)
+            # batch instead of paying the mixed program's row-count-
+            # independent floor for a near-empty batch
+            return True if ph_n >= max(1, self.max_batch // 4) else None
+        return False
+
+    def _slice_locked(self) -> list:
+        """Cut the next batch off the queue (with _cv held): arrival order
+        when segregation is off, else a class-pure FIFO slice."""
+        q = self._queue
+        if not q:
+            return []
+        want_ph = self._pick_class_locked(time.monotonic())
+        if want_ph is None:
+            batch = q[: self.max_batch]
+            self._queue = q[self.max_batch:]
+            self._n_ph -= sum(1 for e in batch if e[2])
+            return batch
+        batch: list = []
+        rest: list = []
+        for e in q:
+            if e[2] == want_ph and len(batch) < self.max_batch:
+                batch.append(e)
+            else:
+                rest.append(e)
+        self._queue = rest
+        if want_ph:
+            self._n_ph -= len(batch)
+        return batch
 
     def _run_fetch(self) -> None:
         """Stage 2: block for the dispatched batch's packed device->host
@@ -271,7 +362,7 @@ class MicroBatcher:
         the in-flight job, or None if the requests were failed."""
         try:
             with TRACER.span("batch.parse"):
-                parsed = [_parse_cached(t) for t, _ in batch]
+                parsed = [_parse_cached(t) for t, _, _, _ in batch]
             rows = [i for i, p in enumerate(parsed) if not p.is_empty]
             handle = None
             with _read(self._exec_lock), TRACER.span("batch.dispatch"):
@@ -288,7 +379,7 @@ class MicroBatcher:
                 else:
                     rows = []
         except Exception as e:  # noqa: BLE001 — fail the waiting requests
-            for _, fut in batch:
+            for _, fut, _, _ in batch:
                 fut.set_exception(e)
             return None
         return (batch, parsed, rows, live, handle)
@@ -299,7 +390,7 @@ class MicroBatcher:
         batch, parsed, rows, live, scores, ids, err = job
         bodies = None
         if err is not None:
-            for _, fut in batch:
+            for _, fut, _, _ in batch:
                 fut.set_exception(err)
             return
         try:
@@ -307,14 +398,16 @@ class MicroBatcher:
                 with _read(self._exec_lock), TRACER.span("batch.assemble"):
                     bodies = self._assemble(live, batch, rows, scores, ids)
         except Exception as e:  # noqa: BLE001 — fail the waiting requests
-            for _, fut in batch:
+            for _, fut, _, _ in batch:
                 fut.set_exception(e)
             return
         self.stats.batches += 1
         self.stats.queries += len(batch)
+        if any(e[2] for e in batch):
+            self.stats.ph_batches += 1
         row_of = {i: r for r, i in enumerate(rows)}
         with TRACER.span("batch.resolve"):
-            for i, (_, fut) in enumerate(batch):
+            for i, (_, fut, _, _) in enumerate(batch):
                 r = row_of.get(i)
                 if r is None or scores is None:
                     fut.set_result((b"[]", None, None, parsed[i], live))
@@ -344,7 +437,7 @@ class MicroBatcher:
             self._cv.notify_all()
         # never-dispatched requests fail immediately instead of waiting out
         # the (generous, compile-sized) result timeout
-        for _, fut in pending:
+        for _, fut, _, _ in pending:
             if not fut.done():
                 fut.set_exception(RuntimeError("server shutting down"))
         self._slots.release()  # unblock a dispatcher stuck on backpressure

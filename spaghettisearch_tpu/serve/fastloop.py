@@ -129,6 +129,8 @@ class FastHTTPFrontend:
                     stats["microbatcher"] = {
                         "batches": s.batcher.stats.batches,
                         "queries": s.batcher.stats.queries,
+                        "ph_batches": s.batcher.stats.ph_batches,
+                        "segregate": s.batcher._segregate,
                         "mean_batch": round(s.batcher.stats.mean_batch, 2),
                     }
                 if s._rcache_size:

@@ -61,6 +61,11 @@ class SearchServer:
         n_fetchers: int = 1,  # concurrent device->host fetch threads
         # (overlapped relay RTTs — see MicroBatcher; >1 pays off only on
         # multi-core serving hosts)
+        segregate: str = "auto",  # phrase-class batch segregation
+        # ("auto"/"on"/"off"): class-pure batches keep keyword-only traffic
+        # on the leveled keyword program (see MicroBatcher)
+        ph_patience_ms: float = 250.0,  # max extra wait for a non-full
+        # phrase-class batch while keyword work is pending
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
@@ -98,6 +103,7 @@ class SearchServer:
             self.batcher = MicroBatcher(
                 engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
                 lock=self._rank_lock, n_fetchers=n_fetchers,
+                segregate=segregate, ph_patience_ms=ph_patience_ms,
             )
 
     # ------------------------------------------------------------------ #
@@ -313,6 +319,8 @@ class SearchServer:
                         stats["microbatcher"] = {
                             "batches": server.batcher.stats.batches,
                             "queries": server.batcher.stats.queries,
+                            "ph_batches": server.batcher.stats.ph_batches,
+                            "segregate": server.batcher._segregate,
                             "mean_batch": round(server.batcher.stats.mean_batch, 2),
                         }
                     if server._rcache_size:

@@ -1,6 +1,7 @@
 """Serving micro-batcher: concurrent requests coalesce into device batches."""
 
 import threading
+import time
 
 import pytest
 
@@ -37,6 +38,114 @@ def test_batched_results_match_direct(engine):
         assert batcher.stats.queries == len(queries)
     finally:
         batcher.shutdown()
+
+
+def test_segregated_batches_are_class_pure(engine):
+    """With phrase-class segregation ON, every dispatched batch is class
+    pure (all keyword-only or all phrase-bearing) and results still match
+    the direct engine path."""
+    recorded = []
+    orig_async = engine.rank_async
+
+    def recording_async(parsed, *a, **k):
+        recorded.append([bool(p.phrase_hashes) for p in parsed])
+        return orig_async(parsed, *a, **k)
+
+    engine.rank_async = recording_async
+    batcher = MicroBatcher(
+        engine, max_batch=8, max_wait_ms=20, segregate="on",
+        ph_patience_ms=30,
+    )
+    try:
+        queries = ["algorithm", '"quantum physics"', "poetry",
+                   '"database ranking"'] * 4
+        results = [None] * len(queries)
+
+        def issue(i):
+            results[i] = batcher.query(queries[i])
+
+        threads = [threading.Thread(target=issue, args=(i,))
+                   for i in range(len(queries))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert recorded, "no batches dispatched"
+        for comp in recorded:
+            assert len(set(comp)) == 1, f"mixed-class batch: {comp}"
+        for q, res in zip(queries, results):
+            direct = engine.query(q)
+            assert [r["Url"] for r in res] == [r["Url"] for r in direct], q
+        assert batcher.stats.ph_batches >= 1
+    finally:
+        batcher.shutdown()
+        engine.rank_async = orig_async
+
+
+def test_segregation_pick_policy():
+    """Unit-test the class-pick rules on a stopped batcher."""
+    b = MicroBatcher(object(), max_batch=4, segregate="on", ph_patience_ms=50)
+    b.shutdown()
+    now = time.monotonic()
+    kw = ("a", None, False, now)
+    ph = ("p", None, True, now)
+    # only keywords waiting -> keyword class
+    b._queue, b._n_ph = [kw], 0
+    assert b._pick_class_locked(now) is False
+    # only phrases waiting -> dispatch immediately (light load)
+    b._queue, b._n_ph = [ph], 1
+    assert b._pick_class_locked(now) is True
+    # both, phrase batch not full and fresh -> keyword work first
+    b._queue, b._n_ph = [ph, kw], 1
+    assert b._pick_class_locked(now) is False
+    # oldest phrase waited out its patience -> phrase batch (cohort of 1
+    # meets the max_batch//4 pure-batch bar at max_batch=4)
+    b._queue, b._n_ph = [("p", None, True, now - 1.0), kw], 1
+    assert b._pick_class_locked(now) is True
+    # a full phrase batch dispatches even with keyword work pending
+    b._queue, b._n_ph = [ph] * 4 + [kw], 4
+    assert b._pick_class_locked(now) is True
+    # a SMALL stale cohort merges into one arrival-order (mixed) batch
+    # rather than paying the mixed program floor nearly empty
+    b2 = MicroBatcher(object(), max_batch=128, segregate="on",
+                      ph_patience_ms=50)
+    b2.shutdown()
+    b2._queue = [("p", None, True, now - 1.0)] * 2 + [kw] * 3
+    b2._n_ph = 2
+    assert b2._pick_class_locked(now) is None
+    merged = b2._slice_locked()
+    assert len(merged) == 5 and b2._n_ph == 0
+    b._queue, b._n_ph = [ph] * 4 + [kw], 4  # restore for the slice check
+    # slice is class-pure FIFO; the other class stays queued in order
+    batch = b._slice_locked()
+    assert [e[0] for e in batch] == ["p"] * 4 and b._n_ph == 0
+    assert [e[0] for e in b._queue] == ["a"]
+
+
+def test_segregation_auto_asks_engine():
+    """segregate='auto' defers to engine.class_batching_pays; engines
+    without the method (or that decline) get arrival-order slicing."""
+
+    class Advises:
+        def class_batching_pays(self):
+            return True
+
+    class Declines:
+        def class_batching_pays(self):
+            return False
+
+    for eng, expect in ((Advises(), True), (Declines(), False), (object(), False)):
+        b = MicroBatcher(eng, max_batch=4, segregate="auto")
+        b.shutdown()
+        now = time.monotonic()
+        b._queue = [("p", None, True, now), ("a", None, False, now)]
+        b._n_ph = 1
+        picked = b._pick_class_locked(now)
+        if expect:
+            assert picked is False  # segregating: keyword first
+        else:
+            assert picked is None  # arrival order
 
 
 def test_batcher_propagates_errors(engine):
