@@ -103,12 +103,53 @@ def _phrase_term_stage(ft, fw, pid_col, vmask_col, posT=None, c=0):
     return found_eff, jnp.where(valid, w, 0.0), pos
 
 
+def _phrase_term_stage_ref(
+    ft_ref, fw_ref, pid_col, vmask_col, trips, tc: int,
+    posT_ref=None, c: int = 0,
+):
+    """Ref-chunked twin of _phrase_term_stage for the doc-sorted layout:
+    the body-section sweep runs as a dynamic-trip fori over tc-row term
+    chunks bounded by this doc block's real max distinct-term count
+    (`trips`, from SMEM body_tmax). Skipped chunks hold only pad slots
+    (eqf == 0 there), so bounding is EXACT — it drops only zero adds.
+    Reads stay on the refs (Mosaic has no dynamic_slice on values)."""
+    t = ft_ref.shape[0]
+    bb, db = pid_col.shape[0], ft_ref.shape[1]
+    pid = pid_col[:, None, None]
+
+    def body(ti, carry):
+        w, cnt = carry[0], carry[1]
+        pos = carry[2:]
+        ftc = ft_ref[pl.ds(ti * tc, tc), :]
+        eqf = (ftc[None, :, :] == pid).astype(jnp.float32)
+        w = w + jnp.sum(eqf * fw_ref[pl.ds(ti * tc, tc), :][None], axis=1)
+        cnt = cnt + jnp.sum(eqf, axis=1)
+        new_pos = tuple(
+            pos[ci]
+            + jnp.sum(eqf * posT_ref[pl.ds(ci * t + ti * tc, tc), :][None], axis=1)
+            for ci in range(c)
+        )
+        return (w, cnt) + new_pos
+
+    zeros = jnp.zeros((bb, db), jnp.float32)
+    out = jax.lax.fori_loop(
+        0, trips, body, (zeros, zeros) + tuple(zeros for _ in range(c))
+    )
+    w, cnt, pos = out[0], out[1], list(out[2:])
+    valid = vmask_col[:, None] > 0.0
+    found_eff = jnp.where(valid, (cnt > 0.0).astype(jnp.float32), 1.0)
+    return found_eff, jnp.where(valid, w, 0.0), pos if c else None
+
+
 def _phrase_block(
     tft, tfw, bft, bfw, tposT, bposT,
     ph, phv,  # [Bb, P] i32 / f32 (this 8-row block's phrase tiles)
     pnb,  # traced: this block's max phrase slot count
     ct: int, cb: int,
     chain_t_ref, chain_b_ref,  # VMEM scratch [Bb, Db] f32
+    body_refs=None,  # (bft_ref, bfw_ref, bposT_ref, ph_trips, ph_tc):
+    # bound the BODY-section phrase sweeps by the doc block's tmax
+    # (doc-sorted layout); title stays static (Tt is small)
 ):
     """Compute one 8-row block's phrase contribution against one doc block.
 
@@ -121,6 +162,20 @@ def _phrase_block(
     Returns (t_ok, sum_tw, b_ok, sum_bw): boolean match masks per section
     and the summed term weights ([Bb, Db] each)."""
     bb, db = chain_t_ref.shape
+
+    if body_refs is None:
+        def bstage(pid, vm, pos=False):
+            return _phrase_term_stage(
+                bft, bfw, pid, vm, bposT if pos else None, cb if pos else 0
+            )
+    else:
+        bft_ref, bfw_ref, bposT_ref, ph_trips, ph_tc = body_refs
+
+        def bstage(pid, vm, pos=False):
+            return _phrase_term_stage_ref(
+                bft_ref, bfw_ref, pid, vm, ph_trips, ph_tc,
+                bposT_ref if pos else None, cb if pos else 0,
+            )
 
     def col(v, p):
         # slot p of the [Bb, P] tile via one-hot select: Mosaic has no
@@ -141,7 +196,7 @@ def _phrase_block(
         pid = col(ph, p)
         vm = col(phv, p)
         tf_found, tw, _ = _phrase_term_stage(tft, tfw, pid, vm)
-        bf_found, bw, _ = _phrase_term_stage(bft, bfw, pid, vm)
+        bf_found, bw, _ = bstage(pid, vm)
         return (
             present * jnp.maximum(tf_found, bf_found), t_all * tf_found,
             b_all * bf_found, sum_tw + tw, sum_bw + bw,
@@ -161,7 +216,7 @@ def _phrase_block(
         pid0 = ph[:, 0]
         vm0 = phv[:, 0]
         _, _, anchor_t = _phrase_term_stage(tft, tfw, pid0, vm0, tposT, ct)
-        _, _, anchor_b = _phrase_term_stage(bft, bfw, pid0, vm0, bposT, cb)
+        _, _, anchor_b = bstage(pid0, vm0, pos=True)
         hit_t0 = tuple(
             (a < POS_REAL_MAX).astype(jnp.float32) for a in anchor_t
         )
@@ -175,7 +230,7 @@ def _phrase_block(
             vm = col(phv, p)
             valid = (vm > 0.0)[:, None]
             _, _, pos_t = _phrase_term_stage(tft, tfw, pid, vm, tposT, ct)
-            _, _, pos_b = _phrase_term_stage(bft, bfw, pid, vm, bposT, cb)
+            _, _, pos_b = bstage(pid, vm, pos=True)
             fp = p.astype(jnp.float32)
             new_t = []
             for c0 in range(ct):
@@ -214,15 +269,18 @@ def _phrase_block(
 
 def _kernel_mixed(
     qn_ref, qnb_ref, pn_ref, *rest, b_block: int, q: int, ct: int, cb: int,
-    emit_counts: bool, tc: int | None = None,
+    emit_counts: bool, tc: int | None = None, ph_tc: int | None = None,
 ):
     """With tc set (doc-sorted layout, DeviceIndex doc_sort) the body
     KEYWORD sweep becomes a dynamic-trip fori over tc-row term chunks
     bounded by this doc block's real max distinct-term count (SMEM tmaxb,
     indexed by program id) — the same dynamic-T trick as membership
-    _kernel2. The phrase stage keeps its static sweep: it runs only for
-    phrase-bearing row blocks and is ~10% of the mixed program at 1M."""
-    if tc is None:
+    _kernel2 (known to REGRESS this kernel at 1M: VMEM scheduling vs the
+    posT stream; kept for the probe matrix). With ph_tc set the PHRASE
+    stage's body sweeps take the same bound instead — phrase work is
+    ~2.9 ms per phrase row at 1M and its body sweep dominates, while the
+    keyword sweep stays static (no VMEM fight)."""
+    if tc is None and ph_tc is None:
         tmaxb_ref = None
         (tq_ref, btq_ref, ph_ref, phv_ref, tft_ref, tfw_ref, bft_ref,
          bfw_ref, tposT_ref, bposT_ref, *refs) = rest
@@ -244,7 +302,13 @@ def _kernel_mixed(
         db = bft_ref.shape[1]
         trips = (tmaxb_ref[pl.program_id(0)] + (tc - 1)) // tc
     tposT = tposT_ref[:]
-    bposT = bposT_ref[:]
+    if ph_tc is None:
+        bposT = bposT_ref[:]
+        body_refs = None
+    else:
+        bposT = None  # phrase body sweeps read the refs chunk-wise
+        ph_trips = (tmaxb_ref[pl.program_id(0)] + (ph_tc - 1)) // ph_tc
+        body_refs = (bft_ref, bfw_ref, bposT_ref, ph_trips, ph_tc)
 
     def b_body(bi, _):
         row = bi * b_block
@@ -305,10 +369,11 @@ def _kernel_mixed(
             phv = phv_ref[pl.ds(row, b_block), :]
             t_ok, sum_tw, b_ok, sum_bw = _phrase_block(
                 tft, tfw,
-                bft if tc is None else bft_ref[:],
-                bfw if tc is None else bfw_ref[:],
+                None if ph_tc is not None else (bft if tc is None else bft_ref[:]),
+                None if ph_tc is not None else (bfw if tc is None else bfw_ref[:]),
                 tposT, bposT, ph, phv,
                 pn_ref[bi], ct, cb, chain_t_ref, chain_b_ref,
+                body_refs=body_refs,
             )
             add_t = jnp.where(t_ok, sum_tw, 0.0)
             add_b = jnp.where(b_ok, sum_bw, 0.0)
@@ -328,7 +393,9 @@ def _kernel_mixed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("doc_block", "b_block", "emit_counts", "interpret", "tc"),
+    static_argnames=(
+        "doc_block", "b_block", "emit_counts", "interpret", "tc", "tmax_stage",
+    ),
 )
 def pallas_mixed_scores_2sec(
     title_ftT: jax.Array,  # int32 [Tt, D]
@@ -350,6 +417,9 @@ def pallas_mixed_scores_2sec(
     qnb: jax.Array | None = None,  # i32 [B] cold-term counts (hot split)
     body_tmax: jax.Array | None = None,  # i32 [D//doc_block] (doc-sorted)
     tc: int = 32,  # membership.TBOUND_TC; body T is padded to 32 under doc_sort
+    tmax_stage: str = "kw",  # which stage body_tmax bounds: "kw" (keyword
+    # body sweep — regresses at 1M, probe matrix only), "phrase" (phrase
+    # stage's body sweeps — the per-phrase-row cost), or "both"
 ):
     """Fused keyword + phrase scoring, both sections, one grid sweep.
 
@@ -375,9 +445,11 @@ def pallas_mixed_scores_2sec(
         assert body_tmax.shape == (d // doc_block,), (body_tmax.shape, d, doc_block)
     body_tq = mask_cold(term_ids, qnb) if qnb is not None else term_ids
     qnb_eff = qnb if qnb is not None else qn
+    kw_tc = tc if body_tmax is not None and tmax_stage in ("kw", "both") else None
+    ph_tc = tc if body_tmax is not None and tmax_stage in ("phrase", "both") else None
     kernel = functools.partial(
         _kernel_mixed, b_block=b_block, q=q, ct=ct, cb=cb,
-        emit_counts=emit_counts, tc=None if body_tmax is None else tc,
+        emit_counts=emit_counts, tc=kw_tc, ph_tc=ph_tc,
     )
     n_out = 4 if emit_counts else 2
     pn_blocks = jnp.clip(
@@ -428,7 +500,8 @@ def mixed_scores_padded(
     title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
     term_ids, qn, ph_ids, ph_valid, pn,
     *, doc_block: int = 256, emit_counts: bool = True,
-    qnb=None, derive: bool = True, body_tmax=None,
+    qnb=None, derive: bool = True, body_tmax=None, tmax_stage: str = "kw",
+    tc: int = 32,
 ):
     """Row-pad to the kernel's 8-row blocks, run the Pallas mixed kernel,
     slice back to the real batch, and derive candidacy counts when elided
@@ -466,7 +539,7 @@ def mixed_scores_padded(
         title_ftT, title_fwT, body_ftT, body_fwT, title_posT, body_posT,
         tq, qn_p, ph_p, phv_p, pn_p,
         doc_block=doc_block, emit_counts=emit_counts, qnb=qnb_p,
-        body_tmax=body_tmax,
+        body_tmax=body_tmax, tmax_stage=tmax_stage, tc=tc,
     )
     ts, bs = ts[:b], bs[:b]
     tc = None if tc is None else tc[:b]

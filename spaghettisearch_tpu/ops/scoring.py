@@ -428,7 +428,8 @@ def score_queries_forward_phrase(
 
 
 @partial(jax.jit, static_argnames=(
-    "topk", "n_blocks", "use_pallas", "emit_counts", "doc_block"))
+    "topk", "n_blocks", "use_pallas", "emit_counts", "doc_block",
+    "tmax_stage", "tc"))
 def score_queries_mixed(
     title_fwd,  # ForwardArrays
     body_fwd,  # ForwardArrays
@@ -455,13 +456,19 @@ def score_queries_mixed(
     use_pallas: bool = False,
     emit_counts: bool = True,
     doc_block: int = 256,  # mixed-kernel grid tile (see mixed_scores_padded)
+    tmax_stage: str = "phrase",  # which stage body_tmax bounds ("kw" /
+    # "phrase" / "both"): the keyword-stage bound regresses the mixed
+    # kernel at 1M (VMEM vs the posT stream), the PHRASE-stage bound cuts
+    # the dominant per-phrase-row body sweeps (kernels/mixed.py)
+    tc: int = 16,  # chunk rows for the bounded sweep; 16 matches the
+    # static _T_CHUNK grouping, keeping bounded sums bitwise-identical
 ) -> tuple[jax.Array, jax.Array]:
     """The FUSED mixed lane: keyword membership scoring + dense phrase
     matching + fold + finalize + top-k in ONE device program — no sparse
     matcher dispatches, no host repack, one packed result fetch
     (ops/kernels/mixed.py has the full design note). body_tmax (doc-sorted
-    layout) bounds the kernel's body keyword sweep per doc block; the XLA
-    twin ignores it (full sweep, result-identical)."""
+    layout) bounds the kernel's body sweep (tmax_stage picks which) per
+    doc block; the XLA twin ignores it (full sweep, result-identical)."""
     b = term_ids.shape[0]
     if pn is None:
         pn = (ph_valid.sum(axis=1)).astype(jnp.int32)
@@ -474,7 +481,7 @@ def score_queries_mixed(
             title_fwd.ftT, title_fwd.fwT, body_fwd.ftT, body_fwd.fwT,
             title_posT, body_posT, term_ids, qn, ph_ids, ph_valid, pn,
             doc_block=doc_block, emit_counts=emit_counts, qnb=qnb,
-            derive=False, body_tmax=body_tmax,
+            derive=False, body_tmax=body_tmax, tmax_stage=tmax_stage, tc=tc,
         )
     else:
         from .kernels.mixed import derive_mixed_counts, mixed_forward_scores

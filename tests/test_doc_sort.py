@@ -240,11 +240,19 @@ def test_mixed_tbound_kernel_matches_static(emit_counts):
             qnb=jnp.asarray(qnb) if use_qnb else None,
         )
         want = pallas_mixed_scores_2sec(*args, **kw)
-        got = pallas_mixed_scores_2sec(*args, body_tmax=tmax, **kw)
-        for w, g in zip(want, got):
-            if w is None:
-                assert g is None
-                continue
-            np.testing.assert_allclose(
-                np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7
+        # tmax_stage: "kw" bounds the keyword body sweep, "phrase" the
+        # phrase stage's body sweeps (the per-phrase-row cost), "both"
+        # bounds both; tc=16 matches the static _T_CHUNK grouping
+        for stage, tc in (("kw", 32), ("phrase", 16), ("phrase", 32),
+                          ("both", 32)):
+            got = pallas_mixed_scores_2sec(
+                *args, body_tmax=tmax, tmax_stage=stage, tc=tc, **kw
             )
+            for w, g in zip(want, got):
+                if w is None:
+                    assert g is None
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7,
+                    err_msg=f"stage={stage} tc={tc} qnb={use_qnb}",
+                )
