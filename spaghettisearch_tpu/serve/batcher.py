@@ -290,14 +290,17 @@ class MicroBatcher:
         if kw_n == 0:
             return True  # no keyword work waiting: phrases go immediately
         if ph_n >= self.max_batch:
-            return True  # a full phrase batch amortizes its program floor
+            return True  # a full phrase batch amortizes the program base
         oldest_ph = next(e[3] for e in self._queue if e[2])
         if now - oldest_ph >= self.ph_patience_s:
-            # patience expired: a sizable cohort is worth a pure phrase
-            # batch; a small one rides along in ONE arrival-order (mixed)
-            # batch instead of paying the mixed program's row-count-
-            # independent floor for a near-empty batch
-            return True if ph_n >= max(1, self.max_batch // 4) else None
+            # patience expired: the stale cohort rides along in ONE
+            # arrival-order (mixed) batch. Never cut an under-filled pure
+            # phrase batch — phrase cost is ~linear per ROW (~2.9 ms at
+            # 1M) on top of a ~57 ms per-batch base, so a partial phrase
+            # batch pays the base for few rows and LOSES to merging
+            # (segregate_probe: at ~1.2k qps a full 128-phrase batch
+            # takes ~850 ms to accumulate — patience always fires first)
+            return None
         return False
 
     def _slice_locked(self) -> list:

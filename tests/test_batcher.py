@@ -52,9 +52,11 @@ def test_segregated_batches_are_class_pure(engine):
         return orig_async(parsed, *a, **k)
 
     engine.rank_async = recording_async
+    # patience high enough that no stale cohort ever merges mid-test (a
+    # merge is legal but would make batch purity nondeterministic here)
     batcher = MicroBatcher(
         engine, max_batch=8, max_wait_ms=20, segregate="on",
-        ph_patience_ms=30,
+        ph_patience_ms=10_000,
     )
     try:
         queries = ["algorithm", '"quantum physics"', "poetry",
@@ -99,24 +101,16 @@ def test_segregation_pick_policy():
     # both, phrase batch not full and fresh -> keyword work first
     b._queue, b._n_ph = [ph, kw], 1
     assert b._pick_class_locked(now) is False
-    # oldest phrase waited out its patience -> phrase batch (cohort of 1
-    # meets the max_batch//4 pure-batch bar at max_batch=4)
+    # patience expired -> the stale cohort MERGES into one arrival-order
+    # batch (an under-filled pure phrase batch pays the per-batch base
+    # for few rows and loses; phrase cost is per-row wherever it rides)
     b._queue, b._n_ph = [("p", None, True, now - 1.0), kw], 1
-    assert b._pick_class_locked(now) is True
-    # a full phrase batch dispatches even with keyword work pending
+    assert b._pick_class_locked(now) is None
+    merged = b._slice_locked()
+    assert len(merged) == 2 and b._n_ph == 0
+    # a FULL phrase batch dispatches even with keyword work pending
     b._queue, b._n_ph = [ph] * 4 + [kw], 4
     assert b._pick_class_locked(now) is True
-    # a SMALL stale cohort merges into one arrival-order (mixed) batch
-    # rather than paying the mixed program floor nearly empty
-    b2 = MicroBatcher(object(), max_batch=128, segregate="on",
-                      ph_patience_ms=50)
-    b2.shutdown()
-    b2._queue = [("p", None, True, now - 1.0)] * 2 + [kw] * 3
-    b2._n_ph = 2
-    assert b2._pick_class_locked(now) is None
-    merged = b2._slice_locked()
-    assert len(merged) == 5 and b2._n_ph == 0
-    b._queue, b._n_ph = [ph] * 4 + [kw], 4  # restore for the slice check
     # slice is class-pure FIFO; the other class stays queued in order
     batch = b._slice_locked()
     assert [e[0] for e in batch] == ["p"] * 4 and b._n_ph == 0
