@@ -33,6 +33,7 @@ from .engine import (
     P_LEVELS,
     Q_BASE,
     Q_CATCHALL,
+    SEGREGATE_MIN_DOCS,
     WARM_B_MAX,
     ParsedQuery,
     QueryEngine,
@@ -223,6 +224,23 @@ class ShardedQueryEngine(QueryEngine):
             and not self._bm25
             and sidx.pos_dense
             and not sidx.dense_truncated
+        )
+
+    def class_batching_pays(self, live=None) -> bool:
+        """Sharded mirror of QueryEngine.class_batching_pays (the inherited
+        one walks DeviceIndex attributes this engine never builds): the
+        mesh has the same keyword-program/mixed-program split, so
+        phrase-class segregation pays under the same conditions — fused
+        mixed lane available and a large corpus."""
+        if live is None:
+            live = self._live
+        snap, facts = live
+        sidx = facts.sidx
+        return (
+            not self._bm25
+            and sidx.pos_dense
+            and not sidx.dense_truncated
+            and snap.n_docs >= SEGREGATE_MIN_DOCS
         )
 
     def rank(

@@ -377,3 +377,15 @@ def test_sharded_no_posT_falls_back_to_sparse_lane(db):
         k = int((s_1[r] > -np.inf).sum())
         assert np.array_equal(i_sh[r][:k], i_1[r][:k]), queries[r]
         assert np.allclose(s_sh[r][:k], s_1[r][:k], rtol=1e-5), queries[r]
+
+
+def test_sharded_class_batching_advice(db, monkeypatch):
+    """ShardedQueryEngine overrides class_batching_pays (the inherited
+    single-chip one walks DeviceIndex attrs _ShardedLive lacks): off for
+    small corpora, on past the doc threshold with the fused lane live."""
+    from spaghettisearch_tpu.retrieval import sharded_engine as se
+
+    eng = se.ShardedQueryEngine(db, n_shards=2)
+    assert eng.class_batching_pays() is False  # 30 docs < threshold
+    monkeypatch.setattr(se, "SEGREGATE_MIN_DOCS", 1)
+    assert eng.class_batching_pays() is True  # fused lane + "large" corpus
