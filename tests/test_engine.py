@@ -103,6 +103,32 @@ def test_empty_query(engine):
     assert engine.query("the and of") == []
 
 
+def test_query_torture_inputs(engine):
+    """Degenerate and adversarial query strings must parse, rank, and
+    hydrate without raising — the reference's parser is a bare regex with
+    no validation (retrieval/main_retrieve.go:34-44), so anything a user
+    can type must flow through. Covers unterminated/empty/duplicate
+    phrases, stopword-only phrases, unicode+emoji, control characters,
+    and a >Q_CATCHALL keyword blast (truncated with a warning)."""
+    nasty = [
+        '"unterminated phrase',
+        'trailing quote"',
+        '""',
+        '"the and of"',
+        '"a" "b" "c" "d" "e"',
+        "café naïve 東京 🚀",
+        "\x01\x02 control chars",
+        " ".join(f"word{i}" for i in range(100)),
+        'mixed "quantum physics" tail',
+        '"quantum physics" "quantum physics"',
+    ]
+    for q in nasty:
+        res = engine.query(q)
+        assert isinstance(res, list), q
+        for r in res:
+            assert "Url" in r and "FinalRank" in r, q
+
+
 def test_wordlist(engine):
     wl = engine.wordlist("a")
     assert all(w.startswith("a") for w in wl)
