@@ -507,6 +507,7 @@ def bench_serve(
     big_batch: bool = False,  # --bigBatch server (256-row bucket) + the
     # connection count Little's law then needs
     n_fetchers: int | None = None,  # server-side fetch pool override
+    ph_patience_ms: float | None = None,  # segregation patience override
 ) -> dict:
     """End-to-end HTTP serving throughput at the FULL Rank_combined contract
     (reference: cmd/server/server.go:32-52 + retrieval/get_metadata.go): a
@@ -539,7 +540,9 @@ def bench_serve(
              "--snapshot", os.path.join(root, "snapshot"),
              "--port", str(port)]
             + (["--bigBatch"] if big_batch else [])
-            + (["--fetchers", str(n_fetchers)] if n_fetchers else []),
+            + (["--fetchers", str(n_fetchers)] if n_fetchers else [])
+            + (["--phrasePatienceMs", str(ph_patience_ms)]
+               if ph_patience_ms is not None else []),
             stdout=log, stderr=subprocess.STDOUT, cwd=repo,
         )
     try:
@@ -1024,7 +1027,12 @@ def main() -> None:
             # BASELINE ladder rung 5, single-chip form: full-contract HTTP
             # serving over the 1M-doc crawl-built corpus (builds the corpus
             # on first use — ~1-2 h host-side; cached after)
-            print(json.dumps(bench_serve(n_pages=1_000_000)))
+            kw = {}
+            if "--phrasePatienceMs" in sys.argv:
+                kw["ph_patience_ms"] = float(
+                    sys.argv[sys.argv.index("--phrasePatienceMs") + 1]
+                )
+            print(json.dumps(bench_serve(n_pages=1_000_000, **kw)))
             return
         if mode == "sharded":
             print(json.dumps(bench_sharded()))
