@@ -117,12 +117,14 @@ class MicroBatcher:
         # costs ~94 ms where the leveled keyword program costs ~59. With
         # the reference workload's 1/8 phrase share, slicing class-PURE
         # batches (keyword-only vs phrase-bearing) sends 7/8 of batches
-        # down the fast program. Policy: phrase batches dispatch when (a)
-        # full (the mixed program has a ~50 ms row-count-independent
-        # floor, so undersized phrase batches are poison), (b) no keyword
-        # work is waiting (light load — zero added latency), or (c) the
-        # oldest phrase request has waited out `ph_patience_ms` (bounded
-        # staleness under saturation). "auto" asks the engine
+        # down the fast program. Policy: PURE phrase batches dispatch only
+        # when (a) full (phrase kernel cost is ~linear per row over a
+        # ~57 ms per-batch base at 1M — an under-filled pure batch pays
+        # the base for few rows and loses) or (b) no keyword work is
+        # waiting (light load — zero added latency); when the oldest
+        # phrase request has waited out `ph_patience_ms`, the stale
+        # cohort MERGES into one arrival-order batch instead (bounded
+        # staleness without the partial-pure-batch tax). "auto" asks the engine
         # (class_batching_pays): segregation only pays where the
         # mixed/keyword cost gap is real, i.e. large-doc-count fused
         # indexes — at 100k the gap is ~1 ms and splitting just costs
