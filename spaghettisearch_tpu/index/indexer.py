@@ -22,12 +22,14 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import numpy as np
+
 from ..config import META_POSITION
 from ..store.docinfo import ZERO_TIME, DocInfo
-from ..store.tables import Database
+from ..store.tables import _DELETED, Database
 from ..text.laundry import laundry
 from ..text.page import ParsedPage, parse_page
-from ..utils.hashing import md5_hex
+from ..utils.hashing import md5_hex, md5_str
 
 
 import struct
@@ -79,8 +81,8 @@ def index_page(
     page_title = page.title_text.split()
     size = page_size if page_size is not None else len(raw)
 
-    word_mapping = {md5_hex(w): f for w, f in page.body.freq.items()}
-    kids = [md5_hex(child) for child in page.links]
+    word_mapping = {md5_str(w): f for w, f in page.body.freq.items()}
+    kids = [md5_str(child) for child in page.links]
 
     # --- postings for title and body sections ---
     _set_section_postings(db, "title", page.title, doc_hash)
@@ -134,7 +136,47 @@ def _set_section_postings(db: Database, section: str, stats, doc_hash: str) -> N
         return
     inv = db.inverted(section)
     raw = db.inverted_raw(section)
-    bulk = inv._cache is not None
+    if inv._cache is not None:
+        # Bulk fast path: ~160 row touches per page make the per-posting
+        # Table dispatches (get_row_for_update x2 + __contains__) the
+        # single hottest slice of the crawl-build profile — operate on the
+        # write-back cache dicts directly. Word rows are append-only (no
+        # delete path exists), so a word seen in the backend can be
+        # memoized into the cache by value: the value under md5(w) is w.
+        ic, idirty, iget = inv._cache, inv._dirty, inv.get
+        rc, rdirty, rget = raw._cache, raw._dirty, raw.get
+        word_t = db.word
+        wc, wdirty, word_kv = word_t._cache, word_t._dirty, word_t._kv
+        items = stats.pos.items()
+        # one f64 divide + f32 round per term, vectorized (matches _f32's
+        # double-rounding exactly: f64 quotient, then round to f32)
+        lens = np.fromiter((len(ps) for _, ps in items), np.float64, len(items))
+        ntfs = (lens / max_freq).astype(np.float32).tolist()
+        whs = []
+        for (word, positions), norm_tf in zip(items, ntfs):
+            word_hash = md5_str(word)
+            whs.append(word_hash)
+            cur = wc.get(word_hash)
+            if cur is None or cur is _DELETED:
+                # tombstoned or uncached: a backend hit just memoizes (the
+                # value under md5(w) is definitionally w), anything else is
+                # a fresh word row to write back
+                if cur is _DELETED or word_kv.get(word_hash) is None:
+                    wdirty.add(word_hash)
+                wc[word_hash] = word
+            row = ic.get(word_hash)
+            if type(row) is not dict:  # absent or tombstone: load/create
+                row = iget(word_hash) or {}
+                ic[word_hash] = row
+            row[doc_hash] = [norm_tf] + sorted(positions)
+            rrow = rc.get(word_hash)
+            if type(rrow) is not dict:
+                rrow = rget(word_hash) or {}
+                rc[word_hash] = rrow
+            rrow[doc_hash] = norm_tf
+        idirty.update(whs)
+        rdirty.update(whs)
+        return
     with db.word.batch() as bw_word, inv.batch() as bw_inv, raw.batch() as bw_raw:
         for word, positions in stats.pos.items():
             word_hash = md5_hex(word)
@@ -145,9 +187,8 @@ def _set_section_postings(db: Database, section: str, stats, doc_hash: str) -> N
             row[doc_hash] = [norm_tf] + sorted(positions)
             rrow = raw.get_row_for_update(word_hash)
             rrow[doc_hash] = norm_tf
-            if not bulk:
-                bw_inv.set(word_hash, row)
-                bw_raw.set(word_hash, rrow)
+            bw_inv.set(word_hash, row)
+            bw_raw.set(word_hash, rrow)
 
 
 def _index_anchors(db: Database, doc_hash: str, page: ParsedPage, kids: list[str]) -> None:

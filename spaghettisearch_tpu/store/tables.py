@@ -36,12 +36,34 @@ def _ident(v: Any) -> Any:
     return v
 
 
+def _dump_posting_row(row: dict) -> str:
+    """json.dumps-byte-identical serializer for posting-shaped rows
+    ({md5hex: [float, ...]} or {md5hex: float}): keys are hex digests (no
+    escaping possible) and values are finite floats/ints, whose json
+    encoding IS repr(). The stock C encoder measured ~29% of the whole
+    bulk-index CPU budget; this is ~3x faster on these shapes and the
+    stored bytes are unchanged (decode stays json.loads)."""
+    if not row:
+        return "{}"
+    parts = []
+    ap = parts.append
+    for k, v in row.items():
+        if type(v) is list:
+            ap('"%s": [%s]' % (k, ", ".join(map(repr, v))))
+        else:
+            ap('"%s": %s' % (k, repr(v)))
+    return "{" + ", ".join(parts) + "}"
+
+
 @dataclass(frozen=True)
 class TableSpec:
     name: str
     reference_name: str
     encode: Callable[[Any], Any] = _ident  # value -> JSON-compatible
     decode: Callable[[Any], Any] = _ident  # JSON-compatible -> value
+    #: optional value -> stored-string fast path; MUST produce the exact
+    #: bytes json.dumps(encode(value)) would (the decode side is json.loads)
+    dumps: Callable[[Any], str] | None = None
 
 
 def _enc_docinfo(v: DocInfo) -> dict:
@@ -53,8 +75,8 @@ def _dec_docinfo(v: dict) -> DocInfo:
 
 
 TABLE_SPECS: tuple[TableSpec, ...] = (
-    TableSpec("inv_title", "invKeyword_title"),
-    TableSpec("inv_body", "invKeyword_body"),
+    TableSpec("inv_title", "invKeyword_title", dumps=_dump_posting_row),
+    TableSpec("inv_body", "invKeyword_body", dumps=_dump_posting_row),
     TableSpec("inv_topic", "invTopic_PR"),
     # shadow rows of RAW normTF per (word, doc): makes term weighting a pure
     # function of raw data, i.e. idempotent across re-crawls — the reference
@@ -62,8 +84,8 @@ TABLE_SPECS: tuple[TableSpec, ...] = (
     # silently inflate every weight (term_weighting.go:42, run per crawl by
     # start_crawl.go:176-177). Additive table; the 9 reference tables keep
     # their exact contract.
-    TableSpec("inv_title_raw", "invKeyword_title_rawTF"),
-    TableSpec("inv_body_raw", "invKeyword_body_rawTF"),
+    TableSpec("inv_title_raw", "invKeyword_title_rawTF", dumps=_dump_posting_row),
+    TableSpec("inv_body_raw", "invKeyword_body_rawTF", dumps=_dump_posting_row),
     # summary-visible words (space-joined), extracted at INDEX time from the
     # same DOM parse: the serving path's dynamic summaries read this instead
     # of re-parsing docs/<hash> per result per query, which is what the
@@ -95,6 +117,7 @@ class Table:
     def __init__(self, spec: TableSpec, backend: KVBackend) -> None:
         self.spec = spec
         self._kv = backend
+        self._dumps = spec.dumps or (lambda v, _e=spec.encode: json.dumps(_e(v)))
         self._cache: dict[str, Any] | None = None
         self._dirty: set[str] | None = None
 
@@ -108,14 +131,14 @@ class Table:
         """Persist dirty rows; keep the read cache warm."""
         if self._cache is None or not self._dirty:
             return
-        enc = self.spec.encode
+        dump = self._dumps
         puts: list[tuple[str, str]] = []
         for k in self._dirty:
             v = self._cache[k]
             if v is _DELETED:
                 self._kv.delete(k)
             else:
-                puts.append((k, json.dumps(enc(v))))
+                puts.append((k, dump(v)))
         if puts:
             self._kv.set_many(puts)
         self._dirty.clear()
@@ -152,7 +175,7 @@ class Table:
             self._cache[key] = value
             self._dirty.add(key)
             return
-        self._kv.set(key, json.dumps(self.spec.encode(value)))
+        self._kv.set(key, self._dumps(value))
 
     def get_row_for_update(self, key: str) -> Any:
         """Bulk-mode fast path for read-modify-write rows: fetch-or-create
@@ -206,7 +229,7 @@ class BatchWriter:
             # bulk mode: the write-back cache IS the batch
             self._table.set(key, value)
             return
-        self._buf.append((key, json.dumps(self._table.spec.encode(value))))
+        self._buf.append((key, self._table._dumps(value)))
 
     def flush(self) -> None:
         if self._buf:

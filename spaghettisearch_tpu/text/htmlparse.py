@@ -51,6 +51,15 @@ def clean_url(u: str) -> str:
 from functools import lru_cache
 
 
+@lru_cache(maxsize=1 << 12)
+def _base_authority(base_url: str) -> str:
+    """scheme://host[:port] of a base URL (one entry per crawled site)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(base_url)
+    return f"{p.scheme}://{p.netloc}"
+
+
 @lru_cache(maxsize=1 << 16)
 def resolve_href(href: str, base_url: str) -> str | None:
     """Resolve an <a href> into a cleaned absolute-ish URL, or None to skip.
@@ -73,6 +82,11 @@ def resolve_href(href: str, base_url: str) -> str | None:
         # http://h/a.html/b.html); (b) keep the port (crawler.go:78 uses
         # Hostname(), which drops non-default ports and would break any
         # crawl of a :port site)
+        if href[0] == "/" and not href.startswith("//") and "./" not in href:
+            # root-relative with no dot segments: RFC resolution is just
+            # scheme://authority + href — urljoin measured ~70 us per cache
+            # miss, ~25% of the tokenizer profile on link-dense pages
+            return clean_url(_base_authority(base_url) + href)
         return clean_url(urljoin(base_url, href))
     if href == base_url:
         return None

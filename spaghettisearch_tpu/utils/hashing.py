@@ -16,6 +16,11 @@ def _md5_str(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+#: str-only fast form for hot loops (indexer postings/anchors): skips the
+#: isinstance dispatch below, ~0.6 us per call over millions of calls
+md5_str = _md5_str
+
+
 def md5_hex(s: str | bytes) -> str:
     if isinstance(s, str):
         # words/URLs repeat Zipf-style across pages — measured ~2.4% of the

@@ -152,3 +152,32 @@ def test_bulk_delete_tombstone(tmp_path):
     assert re.word.get("k1") is None
     assert re.word.get("k2") == "v2"
     re.close()
+
+
+def test_posting_row_fast_dump_matches_json():
+    """The inv/raw tables' fast serializer must produce the exact bytes
+    json.dumps would: the decode side stays json.loads and on-disk stores
+    mix rows written by both paths."""
+    import json
+    import random
+
+    from spaghettisearch_tpu.store.tables import _dump_posting_row
+
+    rng = random.Random(7)
+    rows = [{}, {"ab12": [1.0]}, {"ff": 0.25}]
+    for _ in range(200):
+        row = {}
+        for _ in range(rng.randrange(0, 6)):
+            k = "%032x" % rng.getrandbits(128)
+            if rng.random() < 0.3:
+                row[k] = rng.random()  # raw-shadow shape: bare float
+            else:
+                n = rng.randrange(1, 8)
+                vals = [rng.random() * rng.choice([1, 100, 1e-8])]
+                vals += [float(rng.randrange(0, 500)) for _ in range(n - 1)]
+                if rng.random() < 0.3:
+                    vals.append(-100.0)  # META_POSITION sentinel
+                row[k] = vals
+        rows.append(row)
+    for row in rows:
+        assert _dump_posting_row(row) == json.dumps(row)
