@@ -201,6 +201,16 @@ class _RankHandle:
         self._packed = jnp.concatenate(
             [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
         )
+        # start the d2h transfer the moment the device program finishes:
+        # queued here (non-blocking), it rides out batch N+1's compute, so
+        # finish()'s np.asarray finds the bytes already host-side. Measured
+        # through the relay: 25-30 ms blocking fetch -> 0.3 ms
+        # (experiments/fetch_async_probe.py) — the serve pipeline's fetch
+        # stage was its longest.
+        try:
+            self._packed.copy_to_host_async()
+        except AttributeError:  # non-jax array (tests, fallbacks)
+            pass
         self._shape = scores.shape
         self._inv = inv
         self._b_real = b_real

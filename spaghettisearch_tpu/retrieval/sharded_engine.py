@@ -58,6 +58,10 @@ class _ShardedRankHandle:
         self._packed = jnp.concatenate(
             [scores.reshape(-1), ids.astype(jnp.float32).reshape(-1)]
         )
+        try:  # pre-stage the d2h transfer (see engine._RankHandle)
+            self._packed.copy_to_host_async()
+        except AttributeError:
+            pass
         self._shape = scores.shape
         self._b_real = b_real
         self._n_docs = n_docs
