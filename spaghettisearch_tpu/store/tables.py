@@ -52,7 +52,14 @@ def _dump_posting_row(row: dict) -> str:
             ap('"%s": [%s]' % (k, ", ".join(map(repr, v))))
         else:
             ap('"%s": %s' % (k, repr(v)))
-    return "{" + ", ".join(parts) + "}"
+    out = "{" + ", ".join(parts) + "}"
+    if "inf" in out or "nan" in out:
+        # non-finite weights DO occur (term weighting multiplies idf into
+        # rows in place, and degenerate dfs yield +/-inf); json spells them
+        # Infinity/-Infinity/NaN, repr() does not. Keys are hex digests, so
+        # the letters 'i'/'n' in the output can only come from a value.
+        return json.dumps(row)
+    return out
 
 
 @dataclass(frozen=True)

@@ -177,6 +177,11 @@ def test_posting_row_fast_dump_matches_json():
                 vals += [float(rng.randrange(0, 500)) for _ in range(n - 1)]
                 if rng.random() < 0.3:
                     vals.append(-100.0)  # META_POSITION sentinel
+                if rng.random() < 0.3:
+                    # idf-multiplied rows can carry non-finite weights
+                    vals[0] = rng.choice(
+                        [float("inf"), float("-inf"), float("nan")]
+                    )
                 row[k] = vals
         rows.append(row)
     for row in rows:
