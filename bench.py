@@ -1044,6 +1044,32 @@ def main() -> None:
     print(json.dumps(bench_headline(synth=synth)))
 
 
+def host_calibration() -> dict:
+    """Fixed single-core host workload, best-of-3, recorded into every
+    results artifact. The shared 1-core VM swings 1.5-3x across driver
+    restarts (experiments/FINDINGS.md round-3 sessions 6/9), so the
+    host-bound entries (serve, index, pagerank) are only comparable across
+    artifacts after dividing by this score. The scale is arbitrary but
+    stable (0.22 s reference workload); the box that ran the round-3
+    session-10 regen scored ~1.15."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(96):
+            h.update(buf)
+        a = np.random.default_rng(0).random((512, 512), np.float32)
+        for _ in range(6):
+            a = a @ a.T
+            a /= np.abs(a).max() + 1.0
+        best = min(best, time.perf_counter() - t0)
+    return {"metric": "host_single_core_score", "value": round(0.22 / best, 3),
+            "unit": "x_ref_box", "best_s": round(best, 4)}
+
+
 def emit_results(out_path: str) -> None:
     """Run every bench mode in sequence and write one JSON artifact. The
     headline/serve/parity modes run on the default backend (the real TPU
@@ -1066,6 +1092,7 @@ def emit_results(out_path: str) -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "host": platform.node(),
+        "host_calib": host_calibration(),
         "git_head": head,
         "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
