@@ -41,6 +41,27 @@ def _zipf_probs(n_vocab: int, head_drop: int = 40, s: float = 1.05) -> np.ndarra
     return p / p.sum()
 
 
+def _corpus_complete(root: str, want: dict) -> bool:
+    """A corpus root counts as built only when the marker's params match
+    AND the snapshot/store directories it vouches for exist — a marker
+    alone can survive a concurrent builder's rmtree (seen once: two
+    racing builds left BUILT.json with no snapshot/, and the stale
+    marker then short-circuited every rebuild attempt)."""
+    marker = os.path.join(root, "BUILT.json")
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker, encoding="utf-8") as f:
+            built = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if {k: built.get(k) for k in want} != want:
+        return False
+    return os.path.isdir(os.path.join(root, "snapshot")) and os.path.isdir(
+        os.path.join(root, "store")
+    )
+
+
 def build_bench_corpus(
     root: str,
     n_pages: int = 100_000,
@@ -53,11 +74,8 @@ def build_bench_corpus(
     <root>/snapshot (persisted columnar arrays). Returns root."""
     marker = os.path.join(root, "BUILT.json")
     params = {"n_pages": n_pages, "n_vocab": n_vocab, "seed": seed, "v": 3}
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            built = json.load(f)
-        if {k: built.get(k) for k in params} == params:
-            return root
+    if _corpus_complete(root, params):
+        return root
 
     from datetime import datetime, timezone
 
@@ -132,9 +150,16 @@ def build_bench_corpus(
     save_snapshot(snap, os.path.join(root, "snapshot"))
     db.flush()
     db.close()
-    with open(marker, "w", encoding="utf-8") as f:
+    # atomic marker write: a concurrent builder's rmtree between
+    # save_snapshot and this write once left a marker with no snapshot
+    # behind (round-3 session 10) — write-to-temp + rename means any
+    # visible BUILT.json was written in full, and _corpus_complete
+    # additionally demands the snapshot/store dirs it vouches for
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump({**params, "docs": snap.n_docs, "words": snap.n_words,
                    "seconds": round(time.perf_counter() - t0, 1)}, f)
+    os.replace(tmp, marker)
     say(f"total {time.perf_counter() - t0:.1f}s -> {root}")
     return root
 
@@ -271,12 +296,8 @@ def ensure_bench_corpus(n_pages: int = 100_000, n_vocab: int = 30_000) -> str:
     jobs like PageRank would otherwise pay remote-TPU compile latency for a
     one-time host-side build), or reuse the cached one."""
     root = os.path.join(BENCH_DIR, f"corpus{n_pages // 1000}k")
-    marker = os.path.join(root, "BUILT.json")
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            built = json.load(f)
-        if built.get("n_pages") == n_pages and built.get("n_vocab") == n_vocab:
-            return root
+    if _corpus_complete(root, {"n_pages": n_pages, "n_vocab": n_vocab}):
+        return root
     import subprocess
 
     print(f"# building benchmark corpus ({n_pages} pages) ...", file=sys.stderr, flush=True)
