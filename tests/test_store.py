@@ -186,3 +186,88 @@ def test_posting_row_fast_dump_matches_json():
         rows.append(row)
     for row in rows:
         assert _dump_posting_row(row) == json.dumps(row)
+
+
+def test_docs_pack_roundtrip_and_lww(tmp_path):
+    """New doc writes land in docs.pack; re-writes are last-writer-wins."""
+    root = str(tmp_path / "db")
+    db = Database(root)
+    db.cache_doc("d1", b"<html>one</html>")
+    db.cache_doc("d2", b"<html>two</html>")
+    db.cache_doc("d1", b"<html>one-v2</html>")  # re-crawl: newest wins
+    assert db.cached_doc("d1") == b"<html>one-v2</html>"
+    assert db.cached_doc("d2") == b"<html>two</html>"
+    db.close()
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(root, "docs.pack"))
+    assert not _os.path.isdir(_os.path.join(root, "docs"))  # no per-doc files
+    db2 = Database(root)
+    assert db2.cached_doc("d1") == b"<html>one-v2</html>"
+    assert db2.cached_doc("d2") == b"<html>two</html>"
+    assert db2.cached_doc("missing") is None
+    db2.close()
+
+
+def test_docs_pack_prepack_file_fallback(tmp_path):
+    """Stores written before the pack existed keep one file per doc under
+    docs/<hash>; reads fall back there, and a re-write shadows the file."""
+    import os as _os
+
+    root = str(tmp_path / "db")
+    _os.makedirs(_os.path.join(root, "docs"))
+    with open(_os.path.join(root, "docs", "dold"), "wb") as f:
+        f.write(b"<html>legacy</html>")
+    db = Database(root)
+    assert db.cached_doc("dold") == b"<html>legacy</html>"
+    db.cache_doc("dold", b"<html>repacked</html>")
+    assert db.cached_doc("dold") == b"<html>repacked</html>"
+    db.close()
+
+
+def test_docs_pack_reopen_sees_other_process_appends(tmp_path):
+    """Same contract as the tables: another handle's appends become visible
+    at reopen(), not before."""
+    root = str(tmp_path / "db")
+    reader = Database(root)
+    assert reader.cached_doc("d") is None
+    writer = Database(root)
+    writer.cache_doc("d", b"<html>late</html>")
+    writer.close()
+    assert reader.cached_doc("d") is None  # index loaded at open
+    reader.reopen()
+    assert reader.cached_doc("d") == b"<html>late</html>"
+    reader.close()
+
+
+def test_docs_pack_torn_tail(tmp_path):
+    """An index line whose payload extends past the pack (torn append) is
+    dropped at load; intact earlier entries survive."""
+    import os as _os
+
+    root = str(tmp_path / "db")
+    db = Database(root)
+    db.cache_doc("good", b"<html>ok</html>")
+    db.close()
+    with open(_os.path.join(root, "docs.pki"), "a", encoding="utf-8") as f:
+        f.write("torn 999999 50\n")  # vouches for bytes that never landed
+        f.write("halfline 12\n")  # malformed
+    db2 = Database(root)
+    assert db2.cached_doc("good") == b"<html>ok</html>"
+    assert db2.cached_doc("torn") is None
+    assert db2.cached_doc("halfline") is None
+    db2.close()
+
+
+def test_bulk_session_restores_gc(tmp_path):
+    import gc
+
+    db = Database(str(tmp_path / "db"))
+    assert gc.isenabled()
+    with db.bulk():
+        assert not gc.isenabled()
+        with db.bulk():  # nested sessions keep it off until the last exit
+            assert not gc.isenabled()
+        assert not gc.isenabled()
+    assert gc.isenabled()
+    db.close()
