@@ -479,3 +479,28 @@ def test_big_batch_server_coalesces_past_128(engine):
     server.batcher.shutdown()
     ref.batcher.shutdown()
     assert batches >= 1
+
+
+def test_fastloop_relative_static_dir_serves(engine, tmp_path, monkeypatch):
+    """A relative static_dir must serve assets, not 403 them (the traversal
+    guard compares against the absolute root — VERDICT r3 weak #7)."""
+    import socket
+
+    (tmp_path / "static").mkdir()
+    (tmp_path / "static" / "index.html").write_text("<html>rel-ok</html>")
+    monkeypatch.chdir(tmp_path)
+    server = SearchServer(engine, batching=False, static_dir="static")
+    host, port = server.start_background(port=0)
+    try:
+        c = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c.sendall(b"GET / HTTP/1.1\r\nHost: t\r\n\r\n")
+        got = c.recv(4096)
+        assert b"200" in got.split(b"\r\n", 1)[0]
+        assert b"rel-ok" in got
+        # traversal still forbidden
+        c2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+        c2.sendall(b"GET /../../etc/passwd HTTP/1.1\r\nHost: t\r\n\r\n")
+        got2 = c2.recv(4096)
+        assert b"root:" not in got2
+    finally:
+        server.shutdown()
