@@ -48,11 +48,19 @@ def _repeat_blocks(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _shard_csr(
-    csr: SectionCSR, n_shards: int, docs_per_shard: int, t_pad: int
+    csr: SectionCSR, n_shards: int, docs_per_shard: int, t_pad: int,
+    inv_perm: np.ndarray | None = None,  # [S, Dl] local natural -> permuted
+    t_multiple: int = 8,
 ) -> dict[str, np.ndarray]:
     """Split a global CSR into per-shard local CSRs (stacked, equal shapes),
     plus per-shard doc-major forward views (ft global word ids, fw weights,
-    fj posting index into the shard-LOCAL padded posting arrays)."""
+    fj posting index into the shard-LOCAL padded posting arrays).
+
+    With inv_perm (the doc-sorted layout, cf. DeviceIndex), every doc-axis
+    structure comes out in PERMUTED local doc space: CSR doc_ids are
+    remapped through inv_perm (row order untouched, matching the
+    single-chip remap), so the forward/posT views build permuted
+    directly."""
     n_words = csr.post_offsets.shape[0] - 1
     n_post = csr.n_postings
     word_of_post = np.repeat(
@@ -70,6 +78,11 @@ def _shard_csr(
         lens = (csr.pos_offsets[sel + 1] - starts).astype(np.int64)
         pos_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
         local_doc = (doc[sel] - s * docs_per_shard).astype(np.int32)
+        if inv_perm is not None:
+            # doc-sorted layout: remap values only — posting order within
+            # each word row stays CSR order, like the single-chip remap
+            # (device_index.py DeviceSection.from_csr doc_ids_np)
+            local_doc = inv_perm[s][local_doc]
         parts.append(
             dict(
                 offsets=offsets,
@@ -100,6 +113,9 @@ def _shard_csr(
     # and the scorer falls back to the exact CSR phrase matcher
     truncated = t_pad > DOC_TERM_CAP
     t_pad = min(t_pad, DOC_TERM_CAP)
+    # the dynamic-T sweep reads t_multiple-row chunks (DOC_SORT_TC under
+    # the doc-sorted layout): pad T up, extra slots are sentinels
+    t_pad = -(-t_pad // t_multiple) * t_multiple
     ft = np.full((n_shards, docs_per_shard, t_pad), -1, np.int32)
     fw = np.zeros((n_shards, docs_per_shard, t_pad), np.float32)
     fj = np.full((n_shards, docs_per_shard, t_pad), post_width - 1, np.int32)
@@ -181,6 +197,43 @@ def _shard_csr(
     )
 
 
+def _shard_hot_cache(
+    csr: SectionCSR, n_shards: int, dl: int,
+    inv_perm: np.ndarray | None = None,  # [S, Dl] local natural -> permuted
+) -> tuple[np.ndarray, dict[int, int]] | None:
+    """Per-shard slices [S, H_pad, Dl] of the hot-term dense weight cache
+    (cf. device_index._build_hot_cache): the top-H GLOBAL-df body terms get
+    exact dense weight rows so a query's hot terms cost one MXU matmul per
+    shard instead of a compare sweep each. The hot SET (and the term-id ->
+    slot map) is global — every shard answers the same hot split — while
+    the H budget is per-chip ([H, Dl] f32 in each shard's HBM)."""
+    from ..retrieval.device_index import HOT_H_MAX, HOT_W_BUDGET_BYTES, _round_up
+
+    n_post = csr.n_postings
+    if n_post == 0:
+        return None
+    n_words = csr.post_offsets.shape[0] - 1
+    df = np.diff(csr.post_offsets[: n_words + 1])
+    h = min(HOT_H_MAX, int(HOT_W_BUDGET_BYTES // max(dl * 4, 1)), n_words)
+    if h < 8:
+        return None
+    top = np.argsort(-df, kind="stable")[:h]
+    top = top[df[top] > 0]
+    if top.size == 0:
+        return None
+    h_pad = _round_up(int(top.size), 128)  # MXU tile alignment; pad rows 0
+    w = np.zeros((n_shards, h_pad, dl), np.float32)
+    for slot, wid in enumerate(top.tolist()):
+        s, e = int(csr.post_offsets[wid]), int(csr.post_offsets[wid + 1])
+        cols = csr.doc_ids[s:e]
+        shard = cols // dl
+        local = cols % dl
+        if inv_perm is not None:
+            local = inv_perm[shard, local]
+        w[shard, slot, local] = csr.weights[s:e]
+    return w, {int(wid): slot for slot, wid in enumerate(top.tolist())}
+
+
 @dataclass
 class ShardedIndex:
     mesh: Mesh
@@ -217,6 +270,17 @@ class ShardedIndex:
     title_posT: jax.Array | None = None
     body_posT: jax.Array | None = None
     has_zero_weight: bool = False  # some posting weight <= 0 (idf-0 corner)
+    # hot-term dense body-weight cache (per-shard slices of the GLOBAL
+    # top-df set, _shard_hot_cache); None when zero weights / truncated /
+    # budget bars it — same gates as the single-chip DeviceIndex
+    hot_body_w: jax.Array | None = None  # f32 [S, H_pad, Dl]
+    hot_body_map: dict[int, int] | None = None  # term id -> hot slot
+    # doc-sorted layout (device_index._doc_sort_perm applied PER SHARD):
+    # every doc-axis array lives in permuted local doc space; doc_perm maps
+    # permuted position -> local natural id and the scorers gather through
+    # it after the local top-k, so callers always see natural global ids
+    doc_perm: jax.Array | None = None  # int32 [S, Dl]
+    body_tmax: jax.Array | None = None  # int32 [S, Dl//DOC_BLOCK]
 
     @classmethod
     def from_snapshot(
@@ -225,6 +289,7 @@ class ShardedIndex:
         mesh: Mesh,
         axis: str = "d",
         weights: str = "tfidf",  # "bm25": per-posting Okapi weights instead
+        doc_sort: bool | None = None,  # None: auto-gate like DeviceIndex
     ) -> "ShardedIndex":
         if weights == "bm25":
             from dataclasses import replace as _replace
@@ -242,9 +307,56 @@ class ShardedIndex:
                     weights=bm25_posting_weights(snap.body, snap.n_docs),
                 ),
             )
+        from ..retrieval.device_index import (
+            DOC_SORT_MIN_DOCS,
+            DOC_SORT_TC,
+            _doc_sort_pays,
+            _doc_sort_perm,
+        )
+
         n_shards = mesh.shape[axis]
         dl = -(-max(snap.n_docs, 1) // n_shards)
         dl = -(-dl // 512) * 512  # Pallas doc-block aligned local doc count
+
+        def nt_of(csr: SectionCSR) -> np.ndarray:
+            n_post = csr.n_postings
+            if n_post == 0:
+                return np.zeros(n_shards * dl, np.int32)
+            out = np.zeros(n_shards * dl, np.int64)
+            out[: max(snap.n_docs, 1)] = np.bincount(
+                csr.doc_ids[:n_post], minlength=max(snap.n_docs, 1)
+            )
+            return out.astype(np.int32)
+
+        title_nt = nt_of(snap.title)
+        body_nt = nt_of(snap.body)
+        truncatable = (
+            int(title_nt.max(initial=0)) > DOC_TERM_CAP
+            or int(body_nt.max(initial=0)) > DOC_TERM_CAP
+        )
+        # doc-sorted layout: the same auto gate as the single-chip
+        # DeviceIndex, evaluated on the per-shard padded doc space (each
+        # shard sorts its OWN docs; the projected sweep win uses the global
+        # nt distribution, which every contiguous shard approximates)
+        if doc_sort is None:
+            doc_sort = n_shards * dl >= DOC_SORT_MIN_DOCS and _doc_sort_pays(
+                body_nt
+            )
+        doc_sort = doc_sort and not truncatable and snap.n_docs > 0
+        perm_all = inv_all = body_tmax_np = None
+        t_multiple = 8
+        if doc_sort:
+            t_multiple = DOC_SORT_TC
+            nt2 = body_nt.reshape(n_shards, dl)
+            perm_all = np.empty((n_shards, dl), np.int64)
+            inv_all = np.empty((n_shards, dl), np.int32)
+            tmaxes = []
+            for s in range(n_shards):
+                p, tm = _doc_sort_perm(nt2[s], dl)
+                perm_all[s] = p
+                inv_all[s, p] = np.arange(dl, dtype=np.int32)
+                tmaxes.append(tm)
+            body_tmax_np = np.stack(tmaxes)
 
         def t_pad_of(csr: SectionCSR) -> int:
             n_post = csr.n_postings
@@ -255,13 +367,22 @@ class ShardedIndex:
             )
             return max(int(per_doc.max()), 1)
 
-        title_np = _shard_csr(snap.title, n_shards, dl, t_pad_of(snap.title))
-        body_np = _shard_csr(snap.body, n_shards, dl, t_pad_of(snap.body))
+        title_np = _shard_csr(
+            snap.title, n_shards, dl, t_pad_of(snap.title),
+            inv_perm=inv_all, t_multiple=t_multiple,
+        )
+        body_np = _shard_csr(
+            snap.body, n_shards, dl, t_pad_of(snap.body),
+            inv_perm=inv_all, t_multiple=t_multiple,
+        )
 
         def pad_docs(arr: np.ndarray) -> np.ndarray:
             out = np.zeros((n_shards * dl,) + arr.shape[1:], dtype=arr.dtype)
             out[: arr.shape[0]] = arr
-            return out.reshape((n_shards, dl) + arr.shape[1:])
+            out = out.reshape((n_shards, dl) + arr.shape[1:])
+            if perm_all is not None:
+                out = np.stack([out[s][perm_all[s]] for s in range(n_shards)])
+            return out
 
         if snap.pagerank is not None and snap.pagerank.shape[1] > 0:
             pr = snap.pagerank
@@ -275,6 +396,16 @@ class ShardedIndex:
             title_np["doc_ids"].shape[1],
         )
 
+        has_zero_w = bool(
+            (snap.title.weights[: snap.title.n_postings] <= 0).any()
+            or (snap.body.weights[: snap.body.n_postings] <= 0).any()
+        )
+        hot_w = hot_map = None
+        if not (has_zero_w or title_np["truncated"] or body_np["truncated"]):
+            built = _shard_hot_cache(snap.body, n_shards, dl, inv_perm=inv_all)
+            if built is not None:
+                hot_np, hot_map = built
+                hot_w = put(hot_np)
 
         return cls(
             mesh=mesh,
@@ -309,9 +440,15 @@ class ShardedIndex:
             body_posT=(
                 put(body_np["posT"]) if body_np["posT"] is not None else None
             ),
-            has_zero_weight=bool(
-                (snap.title.weights[: snap.title.n_postings] <= 0).any()
-                or (snap.body.weights[: snap.body.n_postings] <= 0).any()
+            has_zero_weight=has_zero_w,
+            hot_body_w=hot_w,
+            hot_body_map=hot_map,
+            doc_perm=(
+                None if perm_all is None else put(perm_all.astype(np.int32))
+            ),
+            body_tmax=(
+                None if body_tmax_np is None
+                else put(body_tmax_np.astype(np.int32))
             ),
         )
 
@@ -331,12 +468,19 @@ def scorer_meta(sidx: ShardedIndex) -> tuple:
         sidx.mesh, sidx.axis, sidx.docs_per_shard,
         sidx.posting_cap, sidx.pos_cap, sidx.dense_truncated,
         sidx.pos_dense, sidx.has_zero_weight,
+        0 if sidx.hot_body_w is None else int(sidx.hot_body_w.shape[1]),
+        sidx.doc_perm is not None,
     )
 
 
-def index_args(sidx: ShardedIndex, mixed: bool = False) -> tuple:
+def index_args(
+    sidx: ShardedIndex, mixed: bool = False,
+    hot: bool = False, doc_sorted: bool = False,
+) -> tuple:
     """The 23 sharded arrays a scorer takes, in block order (+2 doc-major
-    position planes for the fused mixed scorer)."""
+    position planes for the fused mixed scorer, +1 hot-term weight cache,
+    +2 doc-sorted layout arrays — each gated by the scorer's meta so the
+    compiled signature is stable per scorer instance)."""
     t, bd = sidx.title, sidx.body
     base = (
         t["offsets"], t["doc_ids"], t["weights"], t["pos_offsets"], t["positions"],
@@ -347,7 +491,11 @@ def index_args(sidx: ShardedIndex, mixed: bool = False) -> tuple:
         sidx.title_ftT, sidx.title_fwT, sidx.body_ftT, sidx.body_fwT,
     )
     if mixed:
-        return base + (sidx.title_posT, sidx.body_posT)
+        base = base + (sidx.title_posT, sidx.body_posT)
+    if hot:
+        base = base + (sidx.hot_body_w,)
+    if doc_sorted:
+        base = base + (sidx.doc_perm, sidx.body_tmax)
     return base
 
 
@@ -363,11 +511,19 @@ def make_sharded_scorer(
 
     Accepts a ShardedIndex or its scorer_meta(). Returns
     run(sidx, term_ids [B,Q], qlen [B], topic_probs [B,C],
-        phrase_term_ids [P], phrase_valid [P], gen_idx, phrase_rows) ->
+        phrase_term_ids [P], phrase_valid [P], gen_idx, phrase_rows,
+        qn [B], qnb [B], hot_sids [B,Q]) ->
     (scores [B,K], global doc ids [B,K]). Pass phrase_valid all-False for
     keyword-only batches. The index arrays are call-time arguments: any
     ShardedIndex whose scorer_meta() (and array shapes) match can be passed,
     so a refreshed index reuses the compiled programs.
+
+    Kernel levels (single-chip parity, VERDICT r3 #3): per-8-query-block qn
+    compare-loop dispatch, the hot-term dense body-weight matmul (qnb cold
+    split + hot_sids slots, reference-blend scoring only), the doc-sorted
+    dynamic-T body sweep (per-shard body_tmax; ids gather back through
+    doc_perm so callers see natural ids), count elision when every index
+    weight is positive, and chunk-max exact top-k.
 
     On a 2-D mesh (make_mesh2d), the query batch is additionally split
     data-parallel over `batch_axis` (auto-detected: any mesh axis other than
@@ -376,27 +532,35 @@ def make_sharded_scorer(
     """
     meta = scorer_meta(sidx_or_meta) if isinstance(sidx_or_meta, ShardedIndex) else sidx_or_meta
     mesh, ax, dl, cap, pcap, dense_truncated = meta[:6]
+    has_zero_w = meta[7] if len(meta) > 7 else True
+    hot_h = meta[8] if len(meta) > 8 else 0
+    doc_sorted = bool(meta[9]) if len(meta) > 9 else False
+    # hot split rides the reference blend only (cf. BlendedRanker
+    # supports_hot); BM25 sums need true counts for candidacy
+    use_hot = hot_h > 0 and scoring != "bm25"
+    emit_counts = has_zero_w or scoring == "bm25"
     if batch_axis is None:
         others = [a for a in mesh.axis_names if a != ax and mesh.shape[a] > 1]
         batch_axis = others[0] if others else None
     bspec = P(batch_axis) if batch_axis else P()
     k = topk
+    n_extra = (1 if use_hot else 0) + (2 if doc_sorted else 0)
 
-    def block(
-        t_off, t_did, t_w, t_poff, t_pos,
-        b_off, b_did, b_w, b_poff, b_pos,
-        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj, tftT, tfwT, bftT, bfwT,
-        term_ids, qlen, topic_probs,
-        ph_ids, ph_valid, gen_idx, phrase_rows,
-    ):
-        (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
+    def block(*args):
+        (t_off, t_did, t_w, t_poff, t_pos,
+         b_off, b_did, b_w, b_poff, b_pos,
          mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
-         tftT, tfwT, bftT, bfwT) = jax.tree.map(
-            lambda a: a[0],
-            (t_off, t_did, t_w, t_poff, t_pos, b_off, b_did, b_w, b_poff, b_pos,
-             mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
-             tftT, tfwT, bftT, bfwT),
-        )
+         tftT, tfwT, bftT, bfwT) = jax.tree.map(lambda a: a[0], args[:23])
+        i = 23
+        hot_w = doc_perm = body_tmax = None
+        if use_hot:
+            hot_w = args[i][0]
+            i += 1
+        if doc_sorted:
+            doc_perm, body_tmax = args[i][0], args[i + 1][0]
+            i += 2
+        (term_ids, qlen, topic_probs, qn, qnb, hot_sids,
+         ph_ids, ph_valid, gen_idx, phrase_rows) = args[i:]
         b = term_ids.shape[0]
         e = 2 * cap
 
@@ -455,43 +619,69 @@ def make_sharded_scorer(
             jnp.any(ph_valid_b), with_phrase, without_phrase, None
         )
 
-        # local keyword scores: Pallas kernel on TPU, XLA formulation on
-        # emulated meshes (+ phrase fold below)
+        # local keyword scores: Pallas kernel on TPU (qn block dispatch +
+        # cold-slot body sweep + dynamic-T bound + count elision), XLA
+        # formulation on emulated meshes (+ phrase/hot folds below)
         if pallas_available():
             from ..ops.kernels.membership import pallas_forward_scores_2sec
 
             bq = term_ids.shape[0]
             b_pad = -(-bq // 8) * 8
+            pad = b_pad - bq
             tq_p = jnp.pad(
-                term_ids, ((0, b_pad - bq), (0, 0)),
+                term_ids, ((0, pad), (0, 0)),
                 constant_values=jnp.iinfo(jnp.int32).max,
             )
+            qn_p = jnp.pad(qn.astype(jnp.int32), (0, pad))
+            qnb_p = jnp.pad(qnb.astype(jnp.int32), (0, pad)) if use_hot else None
             ts, tc, bs, bc = pallas_forward_scores_2sec(
-                tftT, tfwT, bftT, bfwT, tq_p, doc_block=512
+                tftT, tfwT, bftT, bfwT, tq_p, qn_p, doc_block=512,
+                emit_counts=emit_counts, qnb=qnb_p, body_tmax=body_tmax,
             )
-            ts, tc, bs, bc = ts[:bq], tc[:bq], bs[:bq], bc[:bq]
+            ts, bs = ts[:bq], bs[:bq]
+            tc = None if tc is None else tc[:bq]
+            bc = None if bc is None else bc[:bq]
         else:
+            from ..ops.scoring import mask_cold
+
             ts, tc = forward_section_scores(tft, tfw, term_ids, n_blocks=4)
-            bs, bc = forward_section_scores(bft, bfw, term_ids, n_blocks=4)
+            bs, bc = forward_section_scores(
+                bft, bfw,
+                mask_cold(term_ids, qnb) if use_hot else term_ids,
+                n_blocks=4,
+            )
+        if use_hot:
+            from ..ops.scoring import hot_body_scores
+
+            hot = hot_body_scores(hot_w, hot_sids)[:, :dl]
+            bs = bs + hot
+            if bc is not None:  # true-count path: hot candidacy counts too
+                bc = bc + (hot > 0).astype(bs.dtype)
         # fold the compressed phrase rows onto their batch rows (pad rows of
         # the map point past b and drop); the scatter serializes on TPU, so
         # keyword-only batches skip it entirely
-        def fold(args):
-            ts_, bs_, tc_ = args
-            pacc = jnp.zeros((b + 1, dl + 1, 3), dtype=ts_.dtype)
+        def fold(_):
+            pacc = jnp.zeros((b + 1, dl + 1, 3), dtype=ts.dtype)
             pacc = pacc.at[
                 jnp.minimum(ph_row, b)[:, None], ph_docs
             ].add(jnp.stack([ph_tw, ph_bw, ph_fl], axis=-1), mode="drop")
             pacc = pacc[:b]
-            return (
-                ts_ + pacc[:, :dl, 0],
-                bs_ + pacc[:, :dl, 1],
-                tc_ + pacc[:, :dl, 2],
-            )
+            return pacc[:, :dl, 0], pacc[:, :dl, 1], pacc[:, :dl, 2]
 
-        ts, bs, tc = jax.lax.cond(
-            jnp.any(ph_valid_b), fold, lambda a: a, (ts, bs, tc)
+        def nofold(_):
+            z = jnp.zeros((b, dl), dtype=ts.dtype)
+            return z, z, z
+
+        d_ts, d_bs, d_fl = jax.lax.cond(
+            jnp.any(ph_valid_b), fold, nofold, None
         )
+        ts = ts + d_ts
+        bs = bs + d_bs
+        if tc is None:  # counts elided: all weights > 0, candidacy by score
+            tc = ((ts + bs > 0) | (d_fl > 0)).astype(ts.dtype)
+            bc = jnp.zeros_like(tc)
+        else:
+            tc = tc + d_fl
         if scoring == "bm25":
             final = title_boost * ts + body_boost * bs
             final = jnp.where(tc + bc > 0, final, -jnp.inf)
@@ -500,8 +690,9 @@ def make_sharded_scorer(
 
         # chunk-max exact top-k (ops/scoring.py): self-gating — identical
         # to lax.top_k below 262k docs/shard, ~2.7x cheaper above it (the
-        # single-chip 1M measurement), so big-shard meshes keep the win
-        scores, ids = exact_top_k(final, min(k, dl))
+        # single-chip 1M measurement), so big-shard meshes keep the win;
+        # the doc-sorted layout gathers back to local NATURAL ids here
+        scores, ids = exact_top_k(final, min(k, dl), doc_map=doc_perm)
         ids = ids + jax.lax.axis_index(ax) * dl
 
         all_scores = jax.lax.all_gather(scores, ax)  # [S, B, k]
@@ -517,7 +708,9 @@ def make_sharded_scorer(
         block,
         mesh=mesh,
         in_specs=tuple(
-            [P(ax)] * 23 + [bspec, bspec, bspec] + [P(), P(), P(), P()]
+            [P(ax)] * (23 + n_extra)
+            + [bspec] * 6  # term_ids, qlen, topic_probs, qn, qnb, hot_sids
+            + [P(), P(), P(), P()]
         ),
         out_specs=(bspec, bspec),
         check_vma=False,
@@ -526,12 +719,20 @@ def make_sharded_scorer(
     _run = jax.jit(sharded)
 
     def run(sidx, term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx,
-            phrase_rows=None):
+            phrase_rows=None, qn=None, qnb=None, hot_sids=None):
+        b, q = term_ids.shape
         if phrase_rows is None:  # legacy broadcast callers ([P] phrase set)
-            phrase_rows = jnp.arange(term_ids.shape[0], dtype=jnp.int32)
+            phrase_rows = jnp.arange(b, dtype=jnp.int32)
+        if qn is None:  # full-width sweep (sentinel slots never match)
+            qn = jnp.full((b,), q, jnp.int32)
+        if qnb is None:  # no hot split: every slot is cold
+            qnb = qn
+        if hot_sids is None:
+            hot_sids = jnp.full((b, q), -1, jnp.int32)
         return _run(
-            *index_args(sidx),
-            term_ids, qlen, topic_probs, ph_ids, ph_valid, gen_idx, phrase_rows,
+            *index_args(sidx, hot=use_hot, doc_sorted=doc_sorted),
+            term_ids, qlen, topic_probs, qn, qnb, hot_sids,
+            ph_ids, ph_valid, gen_idx, phrase_rows,
         )
 
     run._jit = _run  # compile-count introspection (tests, /stats)
@@ -550,15 +751,22 @@ def make_sharded_mixed_scorer(
     index to carry the doc-major position planes (ShardedIndex.pos_dense).
 
     Returns run(sidx, term_ids [B,Q], qlen [B], topic_probs [B,C],
-    ph_ids [B,P], ph_valid [B,P] f32, qn [B], pn [B]) ->
-    (scores [B,K], global doc ids [B,K]). Reference-blend scoring only —
-    custom blends/BM25 keep the sparse two-phase lane."""
+    ph_ids [B,P], ph_valid [B,P] f32, qn [B], pn [B], qnb [B],
+    hot_sids [B,Q]) -> (scores [B,K], global doc ids [B,K]).
+    Reference-blend scoring only — custom blends/BM25 keep the sparse
+    two-phase lane. Kernel levels mirror the single-chip score_queries_mixed:
+    hot-term matmul via the qnb cold split, doc-sorted ids gathered back
+    through doc_perm — and like it, NO body_tmax (the dynamic-T body sweep
+    regresses the mixed kernel: VMEM vs the posT stream, FINDINGS r3)."""
     meta = (
         scorer_meta(sidx_or_meta)
         if isinstance(sidx_or_meta, ShardedIndex)
         else sidx_or_meta
     )
-    mesh, ax, dl, cap, pcap, dense_truncated, pos_dense, has_zero_w = meta
+    mesh, ax, dl, cap, pcap, dense_truncated, pos_dense, has_zero_w = meta[:8]
+    hot_h = meta[8] if len(meta) > 8 else 0
+    doc_sorted = bool(meta[9]) if len(meta) > 9 else False
+    use_hot = hot_h > 0
     if not pos_dense or dense_truncated:
         raise ValueError("mixed scorer needs the dense position layout")
     if batch_axis is None:
@@ -567,28 +775,39 @@ def make_sharded_mixed_scorer(
     bspec = P(batch_axis) if batch_axis else P()
     k = topk
     emit_counts = has_zero_w
+    n_extra = (1 if use_hot else 0) + (1 if doc_sorted else 0)
 
-    def block(
-        t_off, t_did, t_w, t_poff, t_pos,
-        b_off, b_did, b_w, b_poff, b_pos,
-        mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj, tftT, tfwT, bftT, bfwT,
-        tposT, bposT,
-        term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
-    ):
-        (mt, mb, pr, tft, tfw, bft, bfw,
+    def block(*args):
+        (t_off, t_did, t_w, t_poff, t_pos,
+         b_off, b_did, b_w, b_poff, b_pos,
+         mt, mb, pr, tft, tfw, tfj, bft, bfw, bfj,
          tftT, tfwT, bftT, bfwT, tposT, bposT) = jax.tree.map(
-            lambda a: a[0],
-            (mt, mb, pr, tft, tfw, bft, bfw,
-             tftT, tfwT, bftT, bfwT, tposT, bposT),
+            lambda a: a[0], args[:25]
         )
+        i = 25
+        hot_w = doc_perm = None
+        if use_hot:
+            hot_w = args[i][0]
+            i += 1
+        if doc_sorted:
+            doc_perm = args[i][0]
+            i += 1
+        (term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+         qnb, hot_sids) = args[i:]
         b = term_ids.shape[0]
         if pallas_available():
-            from ..ops.kernels.mixed import mixed_scores_padded
+            from ..ops.kernels.mixed import (
+                derive_mixed_counts,
+                mixed_scores_padded,
+            )
 
+            # derive candidacy AFTER the hot fold (a doc matched only by a
+            # hot body term must still become a candidate)
             ts, tc, bs, bc = mixed_scores_padded(
                 tftT, tfwT, bftT, bfwT, tposT, bposT,
                 term_ids, qn, ph_ids, ph_valid, pn,
                 emit_counts=emit_counts,
+                qnb=qnb if use_hot else None, derive=False,
             )
         else:
             from ..ops.kernels.mixed import (
@@ -596,15 +815,25 @@ def make_sharded_mixed_scorer(
                 mixed_forward_scores,
             )
 
-            ts, tc, bs, bc = derive_mixed_counts(*mixed_forward_scores(
+            ts, tc, bs, bc = mixed_forward_scores(
                 tft, tfw, bft, bfw, tposT, bposT,
                 term_ids, ph_ids, ph_valid, n_blocks=4,
-            ))
+                qnb=qnb if use_hot else None,
+            )
+        if use_hot:
+            from ..ops.scoring import hot_body_scores
+
+            hot = hot_body_scores(hot_w, hot_sids)[:, : bs.shape[1]]
+            bs = bs + hot
+            if bc is not None:
+                bc = bc + (hot > 0).astype(bs.dtype)
+        ts, tc, bs, bc = derive_mixed_counts(ts, tc, bs, bc)
         final = finalize_scores(ts, tc, bs, bc, mt, mb, pr, qlen, topic_probs)
         # chunk-max exact top-k (ops/scoring.py): self-gating — identical
         # to lax.top_k below 262k docs/shard, ~2.7x cheaper above it (the
-        # single-chip 1M measurement), so big-shard meshes keep the win
-        scores, ids = exact_top_k(final, min(k, dl))
+        # single-chip 1M measurement), so big-shard meshes keep the win;
+        # the doc-sorted layout gathers back to local NATURAL ids here
+        scores, ids = exact_top_k(final, min(k, dl), doc_map=doc_perm)
         ids = ids + jax.lax.axis_index(ax) * dl
         all_scores = jax.lax.all_gather(scores, ax)  # [S, B, k]
         all_ids = jax.lax.all_gather(ids, ax)
@@ -618,17 +847,29 @@ def make_sharded_mixed_scorer(
     sharded = jax.shard_map(
         block,
         mesh=mesh,
-        in_specs=tuple([P(ax)] * 25 + [bspec] * 7),
+        in_specs=tuple([P(ax)] * (25 + n_extra) + [bspec] * 9),
         out_specs=(bspec, bspec),
         check_vma=False,
     )
 
     _run = jax.jit(sharded)
 
-    def run(sidx, term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn):
+    def run(sidx, term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+            qnb=None, hot_sids=None):
+        b, q = term_ids.shape
+        if qnb is None:  # no hot split: every slot is cold
+            qnb = qn
+        if hot_sids is None:
+            hot_sids = jnp.full((b, q), -1, jnp.int32)
+        # index_args appends (doc_perm, body_tmax) for doc-sorted indexes;
+        # the mixed program takes doc_perm only (no dynamic-T, see above)
+        idx = index_args(sidx, mixed=True, hot=use_hot, doc_sorted=doc_sorted)
+        if doc_sorted:
+            idx = idx[:-1]
         return _run(
-            *index_args(sidx, mixed=True),
+            *idx,
             term_ids, qlen, topic_probs, ph_ids, ph_valid, qn, pn,
+            qnb, hot_sids,
         )
 
     run._jit = _run

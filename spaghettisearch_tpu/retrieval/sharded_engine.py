@@ -314,17 +314,16 @@ class ShardedQueryEngine(QueryEngine):
                 "phrase has %d terms; matching the first %d", p_real, p_max
             )
 
-        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
-        qlen = np.zeros(b, dtype=np.float32)
+        hot_map = self._hot_map(self.model, sidx)
+        term_ids, qlen, qn, qnb, hot_sids = self._fill_keyword_rows(
+            parsed, b, q, snap, hot_map
+        )
         ph_ids = np.full((bp, p_max), snap.n_words, dtype=np.int32)
         ph_valid = np.zeros((bp, p_max), dtype=bool)
         gens = np.zeros(bp, dtype=np.int32)
         ph_rows = np.full(bp, b, dtype=np.int32)  # pad rows drop in the fold
         ph_i = 0
         for i, p in enumerate(parsed):
-            ids = snap.term_ids(p.keyword_hashes)[:q]
-            term_ids[i, : len(ids)] = ids
-            qlen[i] = float(p.query_len)
             if p.phrase_hashes:
                 row = snap.term_ids(p.phrase_hashes)[:p_max]
                 ph_ids[ph_i, : len(row)] = row
@@ -346,14 +345,26 @@ class ShardedQueryEngine(QueryEngine):
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
+        # sort by descending (cold-bounded) term count: each shard's Pallas
+        # 8-query block then bounds its compare loop by the block max (the
+        # single-chip qn dispatch); phrase-row map indices follow the sort
+        perm = np.lexsort((-qn, -qnb))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(b)
+        term_ids, qlen, qn, qnb = term_ids[perm], qlen[perm], qn[perm], qnb[perm]
+        hot_sids = hot_sids[perm]
+        topic_probs = topic_probs[perm]
+        ph_rows = np.where(ph_rows < b, inv[np.minimum(ph_rows, b - 1)], b)
+
         with TRACER.span("rank.sharded"):
             scores, ids = self._scorer(facts, topk)(
                 sidx,
                 jnp.asarray(term_ids), jnp.asarray(qlen), jnp.asarray(topic_probs),
                 jnp.asarray(ph_ids), jnp.asarray(ph_valid), jnp.asarray(gens),
-                jnp.asarray(ph_rows),
+                jnp.asarray(ph_rows), jnp.asarray(qn), jnp.asarray(qnb),
+                jnp.asarray(hot_sids),
             )
-            return _ShardedRankHandle(scores, ids, b_real, snap.n_docs)
+            return _ShardedRankHandle(scores, ids, b_real, snap.n_docs, inv)
 
     def _rank_fused(
         self, parsed: list[ParsedQuery], topk: int, live, b: int
@@ -389,17 +400,14 @@ class ShardedQueryEngine(QueryEngine):
                 "phrase has %d terms; matching the first %d", p_real, p_lvl
             )
 
-        term_ids = np.full((b, q), snap.n_words, dtype=np.int32)
-        qlen = np.zeros(b, dtype=np.float32)
-        qn = np.zeros(b, dtype=np.int32)
+        hot_map = self._hot_map(self.model, sidx)
+        term_ids, qlen, qn, qnb, hot_sids = self._fill_keyword_rows(
+            parsed, b, q, snap, hot_map
+        )
         ph_ids = np.full((b, p_lvl), snap.n_words, dtype=np.int32)
         ph_valid = np.zeros((b, p_lvl), dtype=np.float32)
         pn = np.zeros(b, dtype=np.int32)
         for i, pq in enumerate(parsed):
-            ids = snap.term_ids(pq.keyword_hashes)[:q]
-            term_ids[i, : len(ids)] = ids
-            qlen[i] = float(pq.query_len)
-            qn[i] = len(ids)
             pids = snap.term_ids(pq.phrase_hashes)[:p_lvl]
             ph_ids[i, : len(pids)] = pids
             ph_valid[i, : len(pids)] = 1.0
@@ -416,13 +424,15 @@ class ShardedQueryEngine(QueryEngine):
                 for j, c in enumerate(snap.categories):
                     topic_probs[i, j] = probs.get(c, 0.0)
 
-        # phrase rows first (descending pn), then by keyword count: the
-        # kernel's 8-row blocks skip the phrase stage when pn == 0 and
-        # bound their compare loops by the block-max qn
-        perm = np.lexsort((-qn, -pn))
+        # phrase rows first (descending pn), then by cold-term count (the
+        # body sweep's bound under the hot split), then total keywords:
+        # phrase-free 8-row blocks skip the kernel's phrase stage, keyword
+        # blocks keep the qn compare-loop dispatch win
+        perm = np.lexsort((-qn, -qnb, -pn))
         inv = np.empty_like(perm)
         inv[perm] = np.arange(b)
         term_ids, qlen, qn, pn = term_ids[perm], qlen[perm], qn[perm], pn[perm]
+        qnb, hot_sids = qnb[perm], hot_sids[perm]
         ph_ids, ph_valid = ph_ids[perm], ph_valid[perm]
         topic_probs = topic_probs[perm]
 
@@ -432,6 +442,7 @@ class ShardedQueryEngine(QueryEngine):
                 jnp.asarray(term_ids), jnp.asarray(qlen),
                 jnp.asarray(topic_probs), jnp.asarray(ph_ids),
                 jnp.asarray(ph_valid), jnp.asarray(qn), jnp.asarray(pn),
+                jnp.asarray(qnb), jnp.asarray(hot_sids),
             )
             return _ShardedRankHandle(scores, ids, b_real, snap.n_docs, inv)
 

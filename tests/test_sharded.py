@@ -389,3 +389,152 @@ def test_sharded_class_batching_advice(db, monkeypatch):
     assert eng.class_batching_pays() is False  # 30 docs < threshold
     monkeypatch.setattr(se, "SEGREGATE_MIN_DOCS", 1)
     assert eng.class_batching_pays() is True  # fused lane + "large" corpus
+
+
+# ------- single-chip kernel-level parity on the mesh (VERDICT r3 #3) ------ #
+
+
+def _hot_synth_snap():
+    """Synthetic snapshot with max_df << n_docs: no df==N zero-weight terms,
+    so the hot cache is active (cf. tests/test_hot_terms.py — the crawl
+    fixtures all carry an every-page word whose idf is 0)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import synth_snapshot
+
+    s = synth_snapshot(
+        n_docs=3_000, n_words=2_000, body_terms_per_doc=24,
+        title_terms_per_doc=4, max_df=512, seed=5,
+    )
+    s.word_id.update({h: i for i, h in enumerate(s.word_hashes)})
+    return s
+
+
+def _hot_cold_queries(snap, rng, n, phrase_every=0):
+    from spaghettisearch_tpu.retrieval.engine import ParsedQuery
+
+    df = np.diff(snap.body.post_offsets[: snap.n_words + 1])
+    hot_pool = np.argsort(-df)[:64]
+    cold_pool = np.argsort(-df)[1_000:1_500]
+    out = []
+    for i in range(n):
+        k = int(rng.integers(1, 5))
+        wids = [
+            int(rng.choice(hot_pool if rng.random() < 0.5 else cold_pool))
+            for _ in range(k)
+        ]
+        phs = []
+        if phrase_every and i % phrase_every == 0:
+            phs = [snap.word_hashes[int(rng.choice(hot_pool))]]
+        out.append(ParsedQuery(
+            raw="", stripped="", phrases=["p"] if phs else [],
+            keyword_hashes=[snap.word_hashes[w] for w in wids],
+            phrase_hashes=phs,
+        ))
+    return out
+
+
+def test_sharded_hot_cache_built_and_global(monkeypatch):
+    """The sharded index carries per-shard slices of the GLOBAL hot-term
+    set: the map must match the single-chip DeviceIndex's for the same
+    snapshot, and the dense rows must reassemble to the same weights."""
+    from spaghettisearch_tpu.retrieval import device_index as di
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setattr(di, "HOT_H_MAX", 64)
+    snap = _hot_synth_snap()
+    sidx = ShardedIndex.from_snapshot(snap, make_mesh(4))
+    single = di.DeviceIndex.from_snapshot(snap)
+    assert sidx.hot_body_w is not None and single.hot_body_w is not None
+    assert sidx.hot_body_map == single.hot_body_map
+    got = np.asarray(sidx.hot_body_w)  # [S, H, Dl]
+    want = np.asarray(single.hot_body_w)  # [H, D_pad]
+    s, h, dl = got.shape
+    flat = np.moveaxis(got, 0, 1).reshape(h, s * dl)
+    n = snap.n_docs
+    np.testing.assert_array_equal(flat[: want.shape[0], :n], want[:, :n])
+
+
+@pytest.mark.parametrize("phrase_every", [0, 4])
+def test_sharded_hot_cold_mix_matches_single_chip(monkeypatch, phrase_every):
+    """Queries mixing hot and cold terms exercise the qnb cold-split +
+    hot-matmul fold on the mesh (keyword scorer and, with phrases, the
+    fused mixed scorer); ranks must equal the single-chip hot engine."""
+    from spaghettisearch_tpu.retrieval import device_index as di
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setattr(di, "HOT_H_MAX", 64)
+    snap = _hot_synth_snap()
+    single = QueryEngine(None, snapshot=snap)
+    sharded_eng = ShardedQueryEngine(None, snapshot=snap, n_shards=4)
+    sidx = sharded_eng.index.sidx
+    assert sidx.hot_body_map is not None and len(sidx.hot_body_map) == 64
+    assert sidx.hot_body_map == single.index.hot_body_map
+    rng = np.random.default_rng(17)
+    batch = _hot_cold_queries(snap, rng, 16, phrase_every)
+    ss, si = sharded_eng.rank(batch, topk=30)
+    ws, wi = single.rank(batch, topk=30)
+    for row in range(len(batch)):
+        got = {int(i): float(s) for s, i in zip(ss[row], si[row]) if np.isfinite(s)}
+        want = {int(i): float(s) for s, i in zip(ws[row], wi[row]) if np.isfinite(s)}
+        assert got.keys() == want.keys(), row
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-5, abs=1e-7), (row, d)
+
+
+def test_sharded_doc_sorted_matches_natural(engine, mesh):
+    """The per-shard doc-sorted layout (dynamic-T sweep + doc_perm gather)
+    must return the same natural ids and scores as the natural layout."""
+    sidx_n = ShardedIndex.from_snapshot(engine.snapshot, mesh, doc_sort=False)
+    sidx_s = ShardedIndex.from_snapshot(engine.snapshot, mesh, doc_sort=True)
+    assert sidx_n.doc_perm is None
+    assert sidx_s.doc_perm is not None and sidx_s.body_tmax is not None
+    sc_n = make_sharded_scorer(sidx_n, topk=50)
+    sc_s = make_sharded_scorer(sidx_s, topk=50)
+    for query in QUERIES + ('"algorithm database"',):
+        s_n, i_n = _run_sharded(engine, sc_n, sidx_n, query)
+        s_s, i_s = _run_sharded(engine, sc_s, sidx_s, query)
+        fin = np.isfinite(s_n)
+        assert np.isfinite(s_s).sum() == fin.sum(), query
+        np.testing.assert_array_equal(i_s[fin], i_n[fin], err_msg=query)
+        np.testing.assert_allclose(
+            s_s[fin], s_n[fin], rtol=1e-5, atol=1e-7, err_msg=query
+        )
+
+
+def test_sharded_engine_doc_sorted_end_to_end(db, monkeypatch):
+    """ShardedQueryEngine on a force-gated doc-sorted index (keyword, hot
+    mix, and fused-mixed phrase batches) equals the single-chip NATURAL
+    layout engine — the strongest cross-layout oracle."""
+    from spaghettisearch_tpu.retrieval import device_index as di
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+    from spaghettisearch_tpu.text.laundry import laundry
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    single = QueryEngine(db, doc_sort=False)
+    monkeypatch.setattr(di, "DOC_SORT_MIN_DOCS", 1)
+    monkeypatch.setattr(di, "_doc_sort_pays", lambda nt: True)
+    sharded_eng = ShardedQueryEngine(db, n_shards=4)
+    sidx = sharded_eng.index.sidx
+    assert sidx.doc_perm is not None  # the gate actually fired
+    phrase = None
+    for h in single.snapshot.doc_hashes:
+        raw = db.cached_doc(h)
+        if raw:
+            toks = laundry(" ".join(raw.decode().split("<p>")[1].split("</p>")[0].split()))
+            if len(toks) >= 2:
+                phrase = f'"{toks[0]} {toks[1]}"'
+                break
+    queries = ["algorithm database", phrase, "quantum physics galaxy",
+               f"{phrase} ranking", "nonexistentzz", ""]
+    want = single.query_batch(queries)
+    got = sharded_eng.query_batch(queries)
+    for q, w, g in zip(queries, want, got):
+        assert [r["Url"] for r in g] == [r["Url"] for r in w], q
+        for rw, rg in zip(w, g):
+            assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q

@@ -87,7 +87,10 @@ def _shard_csr_vectorized(csr, n_shards, docs_per_shard, t_pad):
 
     cap = _cap()
     truncated = t_pad > cap
-    t_pad = min(t_pad, cap)
+    t_keep = min(t_pad, cap)  # truncation bound (pre-rounding)
+    # production rounds the array WIDTH up to the sweep-chunk multiple
+    # (8 natural / DOC_SORT_TC doc-sorted) with sentinel-filled extra slots
+    t_pad = -(-t_keep // 8) * 8
     ft = np.full((n_shards, docs_per_shard, t_pad), -1, np.int32)
     fw = np.zeros((n_shards, docs_per_shard, t_pad), np.float32)
     fj = np.full((n_shards, docs_per_shard, t_pad), post_width - 1, np.int32)
@@ -102,7 +105,7 @@ def _shard_csr_vectorized(csr, n_shards, docs_per_shard, t_pad):
                  np.cumsum(np.bincount(docs_r, minlength=n_shards * docs_per_shard))]
             )
             rank_in_doc = np.arange(n_post, dtype=np.int64) - off[docs_r]
-            keep = rank_order[rank_in_doc < t_pad]
+            keep = rank_order[rank_in_doc < t_keep]
         dorder = keep[np.argsort(doc[order_sw][keep], kind="stable")]
         docs_g = doc[order_sw][dorder]
         row_off = np.zeros(n_shards * docs_per_shard + 1, np.int64)
