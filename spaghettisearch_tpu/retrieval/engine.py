@@ -28,7 +28,7 @@ from ..config import MAX_KEYWORDS, MAX_LINKED_DOCS, MAX_RESULTS, EngineConfig
 from ..index.snapshot import IndexSnapshot, build_snapshot
 from ..models.blended import BlendedRanker
 from ..ops.phrase import match_phrase_batch, match_phrase_fwd_batch
-from ..store.docinfo import DocInfo
+from ..store.docinfo import ZERO_TIME, DocInfo
 from ..store.tables import Database
 from ..utils.hashing import md5_hex
 from ..utils.timing import TRACER
@@ -1142,6 +1142,12 @@ class QueryEngine:
         loaded = self._load_hyd_sidecar(snap)
         if loaded is not None:
             return loaded
+        key = self._hyd_sidecar_key(snap)
+        if key is not None:
+            # disk-backed snapshot (the crawl-scale tier): stream the store
+            # walks instead of materializing full DocInfo/record dicts —
+            # the dict build measured 38 GB peak RSS at 1M docs
+            return self._prewarm_streaming(snap, key)
 
         infos: dict[str, DocInfo] = dict(self.db.doc_info.items())
         words: dict[str, str] = dict(self.db.word.items())
@@ -1226,6 +1232,139 @@ class QueryEngine:
                     spent += len(text)
         self._save_hyd_sidecar(snap, cache, texts, texts_walked)
         return len(cache)
+
+    def _prewarm_streaming(self, snap, key: tuple[str, str]) -> int:
+        """Sidecar-building prewarm with bounded host RAM (VERDICT r3 #6):
+        instead of materializing the doc_info/word/summary tables as full
+        decoded dicts (38 GB peak RSS measured at 1M docs), stream each
+        table once, keeping only a compact per-doc skeleton (url, joined
+        title, date string, truncated link/keyword lists) plus a hash->url
+        map, then build fragments in doc-id order — the same record bytes,
+        the same budget accounting, the same sidecar file as the dict path
+        (tests/test_hydration_sidecar.py pins builder equality). The built
+        records attach as the flat sidecar blob (lazy decode), not as 1M
+        resident (dict, str) pairs."""
+        import json as _json
+
+        from .hydration_sidecar import FLAG_FRAG, FLAG_TEXT, save_sidecar
+
+        n = snap.n_docs
+        doc_id_of = snap.doc_id
+
+        # 1) summary texts, doc-id aligned (only when the native assembler
+        # will register them — the same gate as the dict path)
+        texts_walked = False
+        text_bs: list[bytes] = [b""] * n
+        text_present = np.zeros(n, bool)
+        n_texts = 0
+        if getattr(snap, "_native_hyd", None) is None:
+            from .native_hydrate import native_available
+
+            if native_available():
+                texts_walked = True
+                for dh, text in self.db.doc_summary.items():
+                    did = doc_id_of.get(dh)
+                    if did is not None:
+                        text_bs[did] = text.encode()
+                        text_present[did] = True
+                        n_texts += 1
+
+        # 2) doc_info: url map + compact skeletons (no DocInfo retained)
+        urls: dict[str, str] = {}
+        skel: dict[int, tuple] = {}
+        for dh, info in self.db.doc_info.items():
+            urls[dh] = info.url
+            did = doc_id_of.get(dh)
+            if did is None:
+                continue
+            top = sorted(
+                info.words_mapping.items(), key=lambda kv: -kv[1]
+            )[:MAX_KEYWORDS]
+            skel[did] = (
+                info.url,
+                " ".join(info.page_title) if info.page_title else info.host,
+                info.mod_date.isoformat(),
+                info.page_size,
+                list(info.parents)[:MAX_LINKED_DOCS],
+                info.children[:MAX_LINKED_DOCS],
+                top,
+            )
+        words: dict[str, str] = dict(self.db.word.items())
+
+        # 3) fragments in doc-id order (byte-identical to the dict builder)
+        flags = np.zeros(n, np.uint8)
+        frags: list[bytes] = [b""] * n
+        spent = 0
+        budget = self.PREWARM_BUDGET_BYTES
+        built = 0
+        for doc_id in range(n):
+            if spent > budget:
+                import logging
+
+                logging.getLogger("spaghettisearch.engine").warning(
+                    "hydration prewarm stopped at %d/%d docs "
+                    "(~%d MB record budget); remaining docs hydrate lazily",
+                    built, n, budget >> 20,
+                )
+                break
+            sk = skel.get(doc_id)
+            if sk is None:
+                url = title = ""
+                date_s, size = ZERO_TIME.isoformat(), 0
+                par_h: list[str] = []
+                kid_h: list[str] = []
+                top = []
+            else:
+                url, title, date_s, size, par_h, kid_h, top = sk
+            parents = [u for u in (urls.get(h) for h in par_h) if u]
+            children = [u for u in (urls.get(h) for h in kid_h) if u]
+            words_mapping = {}
+            for wh, freq in top:
+                w = words.get(wh)
+                if w is not None:
+                    words_mapping[w] = freq
+            base = {
+                "Url": url,
+                "Page_title": title,
+                "Mod_date": date_s,
+                "Page_size": size,
+                "Children": children or None,
+                "Parents": parents or None,
+                "Words_mapping": words_mapping or None,
+            }
+            frag = _json.dumps(base, separators=(",", ":"))[:-1]
+            spent += 3 * len(frag) + 200
+            frags[doc_id] = frag.encode()
+            flags[doc_id] |= FLAG_FRAG
+            built += 1
+            if texts_walked and n_texts and text_present[doc_id]:
+                flags[doc_id] |= FLAG_TEXT
+                spent += len(text_bs[doc_id])
+
+        try:
+            save_sidecar(key[0], key[1], flags, frags, text_bs, texts_walked)
+        except OSError as e:
+            import logging
+
+            logging.getLogger("spaghettisearch.engine").warning(
+                "hydration sidecar save failed (%s); startup stays slow", e
+            )
+
+        # 4) attach as the flat blob (lazy per-doc decode) + bulk-register
+        # the native assembler — never 1M resident (dict, str) pairs
+        frag_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(f) for f in frags], out=frag_off[1:])
+        frag_blob = b"".join(frags)
+        snap._hyd_blob = (flags, frag_off, frag_blob)
+        if texts_walked and n_texts:
+            from .native_hydrate import HydrationGen
+
+            text_off = np.zeros(n + 1, np.int64)
+            np.cumsum([len(t) for t in text_bs], out=text_off[1:])
+            gen = HydrationGen(n)
+            gen.set_bulk(flags, frag_blob, frag_off, b"".join(text_bs), text_off)
+            snap._native_hyd = gen
+        return built
 
     # ------------------------------------------------------------------ #
     # hydration sidecar: persisted prewarm records (hydration_sidecar.py)

@@ -124,3 +124,57 @@ def test_in_memory_snapshot_skips_sidecar(setup):
     assert e._hyd_sidecar_key(e.snapshot) is None
     assert e.prewarm_hydration() == e.snapshot.n_docs
     assert not os.path.exists(os.path.join(os.getcwd(), SIDECAR_NAME))
+
+
+def test_streamed_builder_equals_dict_builder(tmp_path):
+    """The streaming prewarm (bounded-RAM sidecar build, VERDICT r3 #6)
+    must produce per-doc fragments and texts byte-identical to the
+    in-memory dict builder it replaced on the disk-backed path."""
+    import numpy as np
+
+    db = build_corpus_db(n_pages=25, seed=9, root=str(tmp_path / "store"))
+    snap = build_snapshot(db)
+    save_snapshot(snap, str(tmp_path / "snapshot"))
+
+    e1 = QueryEngine(db, snapshot=load_snapshot(str(tmp_path / "snapshot")))
+    built = e1.prewarm_hydration()  # streaming builder (sidecar saveable)
+    assert built == e1.snapshot.n_docs
+    assert getattr(e1.snapshot, "_hyd_blob", None) is not None
+    assert not getattr(e1.snapshot, "_hyd_records", None)  # no dict cache
+    path = os.path.join(str(tmp_path / "snapshot"), SIDECAR_NAME)
+    with np.load(path) as z:
+        flags = z["flags"]
+        off = z["frag_off"]
+        blob = z["frag_blob"].tobytes()
+        texts_included = bool(z["texts_included"])
+        t_off = z["text_off"]
+        t_blob = z["text_blob"].tobytes()
+
+    # dict builder on the same pair: disable the sidecar key so the legacy
+    # in-memory path runs (it would otherwise just load the file above)
+    e2 = QueryEngine(db, snapshot=load_snapshot(str(tmp_path / "snapshot")))
+    e2._hyd_sidecar_key = lambda s: None
+    e2.prewarm_hydration()
+    cache = e2.snapshot._hyd_records
+    assert len(cache) == e2.snapshot.n_docs
+    for did in range(e2.snapshot.n_docs):
+        assert bool(flags[did] & 1), did
+        frag_streamed = blob[off[did]: off[did + 1]].decode()
+        assert cache[did][1] == frag_streamed, did
+    if texts_included:
+        for did, dh in enumerate(e2.snapshot.doc_hashes):
+            text = db.doc_summary.get(dh)
+            streamed = t_blob[t_off[did]: t_off[did + 1]].decode()
+            if flags[did] & 2:
+                assert streamed == text, did
+            else:
+                assert text is None and streamed == "", did
+
+    # and the streamed blob serves responses identical to the dict path
+    for q in QUERIES:
+        parsed = parse_query(q)
+        s1, i1 = e1.rank([parsed])
+        a = json.loads(e1.hydrate_row_json(s1[0], i1[0], parsed, e1._live))
+        s2, i2 = e2.rank([parsed])
+        b = json.loads(e2.hydrate_row_json(s2[0], i2[0], parsed, e2._live))
+        assert a == b, q
