@@ -791,6 +791,166 @@ def bench_parity(n_pages: int = 100_000, n_queries: int = 1000) -> dict:
     }
 
 
+def _mine_ngram(snap, db, rng, n_terms: int) -> str | None:
+    """An adjacent n_terms-gram from a random cached page body (so the
+    phrase actually matches at least its source doc)."""
+    for _ in range(20):
+        doc = snap.doc_hashes[int(rng.integers(0, snap.n_docs))]
+        raw = db.cached_doc(doc)
+        if not raw:
+            continue
+        body = raw.decode().split("<p>", 1)[-1].split("</p>", 1)[0].split()
+        if len(body) >= n_terms:
+            j = int(rng.integers(0, len(body) - n_terms + 1))
+            return '"' + " ".join(body[j : j + n_terms]) + '"'
+    return None
+
+
+def bench_parity_rare(n_pages: int = 100_000) -> dict:
+    """Oracle parity for the RARE-grammar program families (VERDICT r3 #5):
+    the catch-all and legacy programs are warmed and crash-tested by
+    tests/test_shape_policy.py but their scores were unproven on the real
+    device. Families walked here, each vs tests/oracle.py:
+
+      kw_catchall   5-32 keywords (Q_CATCHALL program)
+      phrase_long   8- and 16-term mined phrases (P_LEVELS tails)
+      widefold      >64-match phrases on a posT-less engine (legacy sparse
+                    matcher lane, wide e-fold levels)
+      csr_lane      dense-truncated engine (exact-CSR scoring route)
+      big_batch     one 256-row mixed batch (B_BIG program)
+      topic_fixed   use_topic_model + topic_model_fixed=True (the
+                    reference's shipped zero-seed quirk, retrieval/topics.py)
+
+    Reference ordering semantics: /root/reference/retrieval/util.go:48-54,
+    main_retrieve.go:99-103."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle import retrieve as oracle_retrieve
+
+    from spaghettisearch_tpu.evaluation import compare_rankings
+    from spaghettisearch_tpu.retrieval.engine import QueryEngine, parse_query
+
+    root = ensure_bench_corpus(n_pages)
+    db, snap = load_bench_corpus(root)
+    rng = np.random.default_rng(23)
+    word_of = {wh: db.word.get(wh) for wh in snap.word_hashes}
+    df = (snap.body.post_offsets[1:] - snap.body.post_offsets[:-1]).astype(np.float64)
+    p = df / df.sum()
+
+    def kw_query(k: int) -> str:
+        ids = rng.choice(len(snap.word_hashes), size=k, p=p)
+        return " ".join(
+            w for w in (word_of[snap.word_hashes[int(i)]] for i in ids) if w
+        )
+
+    def run_family(eng, queries, topic=False) -> dict:
+        got_all, want_all = [], []
+        for qi in range(0, len(queries), 64):
+            chunk = queries[qi : qi + 64]
+            parsed = [parse_query(q) for q in chunk]
+            scores, ids = eng.rank(parsed, topk=50)
+            for row, q in enumerate(chunk):
+                got_all.append([
+                    (snap.doc_hashes[int(d)], float(s))
+                    for s, d in zip(scores[row], ids[row])
+                    if s != -np.inf and not np.isnan(s)
+                ])
+                tp = None
+                if topic:
+                    from spaghettisearch_tpu.retrieval.topics import (
+                        compute_topic_probs,
+                    )
+
+                    tp = compute_topic_probs(
+                        db, parsed[row].keyword_hashes, fixed=True
+                    )
+                want_all.append(list(oracle_retrieve(db, q, topic_probs=tp)))
+        rep = compare_rankings(got_all, want_all, k=10)
+        exact50 = sum(
+            1 for a, b in zip(got_all, want_all)
+            if [d for d, _ in a] == [d for d, _ in b]
+        ) / max(len(got_all), 1)
+        return {
+            "queries": rep.queries,
+            "recall_at_10": round(rep.recall_at_k, 6),
+            "exact_order_at_50": round(exact50, 6),
+            "score_max_rel_err": float(f"{rep.score_max_rel_err:.3g}"),
+        }
+
+    eng = QueryEngine(db, snapshot=snap)
+    fams: dict[str, dict] = {}
+
+    # 5-32 keywords -> the Q_CATCHALL program
+    fams["kw_catchall"] = run_family(
+        eng, [kw_query(int(k)) for k in rng.integers(5, 33, 32)]
+    )
+
+    # 8/16-term phrases (+ keywords on some rows) -> P_LEVELS tails
+    longs = []
+    for n_terms in (8, 16):
+        for _ in range(8):
+            q = _mine_ngram(snap, db, rng, n_terms)
+            if q:
+                longs.append(q if rng.random() < 0.5 else f"{q} {kw_query(2)}")
+    fams["phrase_long"] = run_family(eng, longs)
+
+    # wide phrase folds on the legacy sparse matcher lane: single-term
+    # phrases of top-df words match far beyond the 64-entry base fold
+    eng_sparse = QueryEngine(db, snapshot=snap)
+    live_idx = eng_sparse._live[1]
+    live_idx.title.posT = None  # forces the two-phase sparse lane
+    hot = np.argsort(-df)[:16]
+    wide = [
+        f'"{word_of[snap.word_hashes[int(i)]]}"' for i in hot
+        if word_of[snap.word_hashes[int(i)]]
+    ] + [
+        f'"{word_of[snap.word_hashes[int(i)]]}" {kw_query(2)}'
+        for i in hot[:4] if word_of[snap.word_hashes[int(i)]]
+    ]
+    fams["widefold"] = run_family(eng_sparse, wide)
+
+    # dense-truncated engine -> the exact-CSR scoring route (tiny doc-term
+    # cap so every dense row truncates; the CSR stays complete)
+    import spaghettisearch_tpu.retrieval.device_index as _di
+
+    saved_cap = _di.DOC_TERM_CAP
+    try:
+        _di.DOC_TERM_CAP = 8
+        idx_csr = _di.DeviceIndex.from_snapshot(snap, doc_sort=False)
+    finally:
+        _di.DOC_TERM_CAP = saved_cap
+    assert idx_csr.dense_truncated
+    eng_csr = QueryEngine(db, snapshot=snap, index=idx_csr)
+    fams["csr_lane"] = run_family(
+        eng_csr,
+        [kw_query(int(k)) for k in rng.integers(1, 5, 12)]
+        + [q for q in (_mine_ngram(snap, db, rng, 2) for _ in range(4)) if q],
+    )
+
+    # one 256-row mixed batch through the B_BIG program
+    eng_big = QueryEngine(db, snapshot=snap, big_batch=True)
+    mixed = bench_queries(snap, 256, seed=31, phrase_every=4, db=db)
+    fams["big_batch"] = run_family(eng_big, mixed)
+
+    # the (disabled-by-default) topic model with the fixed-seed quirk
+    eng_topic = QueryEngine(
+        db, snapshot=snap, use_topic_model=True, topic_model_fixed=True
+    )
+    fams["topic_fixed"] = run_family(
+        eng_topic, bench_queries(snap, 32, seed=37, phrase_every=4, db=db),
+        topic=True,
+    )
+
+    worst = min(f["exact_order_at_50"] for f in fams.values())
+    return {
+        "metric": f"rare_grammar_exact_order_at_50_{n_pages // 1000}k",
+        "value": round(worst, 6),
+        "unit": "exact_order(worst family)",
+        "vs_baseline": round(worst, 6),
+        "families": fams,
+        "docs": snap.n_docs,
+    }
+
+
 def bench_mixed(n_pages: int = 100_000, n_batches: int = 12) -> dict:
     """Engine-level MIXED-workload throughput: the honest headline for the
     reference's full query grammar (keywords AND "quoted phrases" through
@@ -1031,7 +1191,10 @@ def main() -> None:
         if mode == "parity1m":
             # mixed keyword+phrase parity at the 1M tier (engine kernel vs
             # host oracle; the pure-XLA CPU twin OOMs there)
-            print(json.dumps(bench_parity(1_000_000, 64)))
+            print(json.dumps(bench_parity(1_000_000, 256)))
+            return
+        if mode == "parity_rare":
+            print(json.dumps(bench_parity_rare()))
             return
         if mode == "mixed":
             print(json.dumps(bench_mixed()))
@@ -1144,6 +1307,7 @@ def emit_results(out_path: str) -> None:
         ("headline", lambda: bench_headline(synth=False)),
         ("mixed", bench_mixed),
         ("parity_tpu", bench_parity),
+        ("parity_rare", bench_parity_rare),
         ("serve", bench_serve),
         ("scale1m", bench_scale),
         ("phrase", bench_phrase),
@@ -1157,7 +1321,7 @@ def emit_results(out_path: str) -> None:
         stages.insert(5, ("serve1m", lambda: bench_serve(n_pages=1_000_000)))
         # mixed keyword+phrase parity at the top tier, engine vs oracle
         # (the pure-XLA CPU twin OOMs at 1M — this runs the real kernel)
-        stages.insert(6, ("parity1m", lambda: bench_parity(1_000_000, 64)))
+        stages.insert(7, ("parity1m", lambda: bench_parity(1_000_000, 256)))
     for name, fn in stages:
         t0 = time.perf_counter()
         try:

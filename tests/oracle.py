@@ -95,8 +95,18 @@ def phrase_docs(db: Database, phrase_hashes: list[str]):
     return out
 
 
-def retrieve(db: Database, query: str, topk: int = 50):
-    """-> list of (doc_hash, final_rank) sorted desc (ties by doc_hash)."""
+def retrieve(
+    db: Database,
+    query: str,
+    topk: int = 50,
+    topic_probs: dict[str, float] | None = None,
+):
+    """-> list of (doc_hash, final_rank) sorted desc (ties by doc_hash).
+
+    topic_probs (category -> probability) adds the reference's
+    topic-sensitive importance term 0.33 * (probs . pagerank[doc]) for
+    candidate docs (main_retrieve.go:87-88 + get_metadata.go:69); None
+    reproduces the shipped topic-model-off behavior (sqd = 0)."""
     kw, ph = parse(query)
     qlen = len(kw) + len(ph)
     agg: dict[str, dict[str, list[float]]] = {}
@@ -125,7 +135,11 @@ def retrieve(db: Database, query: str, topk: int = 50):
         denom_b = mags.get("body", 0.0) * qmag
         tr = tr / denom_t if denom_t != 0 else (math.inf if tr > 0 else 0.0)
         br = br / denom_b if denom_b != 0 else (math.inf if br > 0 else 0.0)
-        final = (0.38 * tr + 0.29 * br) * 100.0
+        sqd = 0.0
+        if topic_probs:
+            ranks = db.doc_rank.get(doc) or {}
+            sqd = sum(p * ranks.get(c, 0.0) for c, p in topic_probs.items())
+        final = (0.33 * sqd + 0.38 * tr + 0.29 * br) * 100.0
         results.append((doc, final))
 
     results.sort(key=lambda kv: (-kv[1], kv[0]))
