@@ -705,6 +705,9 @@ def bench_serve(
                 for k in ("wait", "parse", "dispatch", "fetch",
                           "assemble", "resolve")
             },
+            # per-request queue-age distribution (enqueue -> resolve) by
+            # class: the batching-induced part of the latency tail
+            "queue_age": (stats.get("microbatcher") or {}).get("queue_age"),
         }
     finally:
         proc.terminate()

@@ -134,6 +134,7 @@ class FastHTTPFrontend:
                         "ph_batches": s.batcher.stats.ph_batches,
                         "segregate": s.batcher._segregate,
                         "mean_batch": round(s.batcher.stats.mean_batch, 2),
+                        "queue_age": s.batcher.queue_age_quantiles(),
                     }
                 if s._rcache_size:
                     stats["result_cache"] = {

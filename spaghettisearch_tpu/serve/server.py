@@ -322,6 +322,7 @@ class SearchServer:
                             "ph_batches": server.batcher.stats.ph_batches,
                             "segregate": server.batcher._segregate,
                             "mean_batch": round(server.batcher.stats.mean_batch, 2),
+                            "queue_age": server.batcher.queue_age_quantiles(),
                         }
                     if server._rcache_size:
                         stats["result_cache"] = {
