@@ -66,6 +66,53 @@ POS_BIG = float(1 << 24)
 #: everything below this is a real position (real docs are << 1e6 tokens)
 POS_REAL_MAX = float(1 << 23)
 
+#: int16 posT planes (bandwidth compression): the kernel streams HALF the
+#: HBM bytes for the row-count-independent posT floor (~50 ms of the 1M
+#: mixed program, FINDINGS session 6) and dequantizes per VMEM tile back
+#: to the exact f32 plane — POS16_PAD encodes POS_BIG, every real value
+#: (-100 sentinel included) round-trips exactly, so scores and match sets
+#: are bitwise-identical to the f32 path. quantize_posT returns None when
+#: any real position exceeds POS16_MAX (pathological giant documents keep
+#: the f32 planes; the margin below int16 max keeps PAD16 unambiguous).
+POS16_PAD = 32767
+POS16_MAX = 32000.0
+
+
+def quantize_posT(posT_np):
+    """Host-side int16 encoding of a doc-major position plane ([C*T, D]
+    f32, values in {-100} ∪ [0, POS16_MAX] ∪ {POS_BIG}); None when some
+    real position is too large to encode. Chunked to bound transients."""
+    import numpy as np
+
+    if posT_np.size == 0:
+        return posT_np.astype(np.int16)
+    mx = float(
+        posT_np.max(initial=-100.0, where=posT_np < POS_REAL_MAX)
+    )
+    if mx > POS16_MAX:
+        return None
+    out = np.empty(posT_np.shape, np.int16)
+    rows = posT_np.shape[0]
+    step = max(1, (64 << 20) // max(posT_np.shape[1] * 4, 1))
+    for r0 in range(0, rows, step):
+        blk = posT_np[r0 : r0 + step]
+        np.copyto(
+            out[r0 : r0 + step],
+            np.where(blk >= POS_REAL_MAX, np.float32(POS16_PAD), blk).astype(
+                np.int16
+            ),
+        )
+    return out
+
+
+def _deq_posT(x):
+    """Per-tile dequant of an int16 posT block back to the exact f32 plane
+    (identity on f32 inputs): upcast + one select mapping PAD16 -> POS_BIG."""
+    if x.dtype != jnp.int16:
+        return x
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf >= float(POS16_PAD), POS_BIG, xf)
+
 
 _T_CHUNK = 16  # term-axis chunk: bounds the [Bb, tc, Db] compare temporaries
 
@@ -126,7 +173,11 @@ def _phrase_term_stage_ref(
         cnt = cnt + jnp.sum(eqf, axis=1)
         new_pos = tuple(
             pos[ci]
-            + jnp.sum(eqf * posT_ref[pl.ds(ci * t + ti * tc, tc), :][None], axis=1)
+            + jnp.sum(
+                eqf
+                * _deq_posT(posT_ref[pl.ds(ci * t + ti * tc, tc), :])[None],
+                axis=1,
+            )
             for ci in range(c)
         )
         return (w, cnt) + new_pos
@@ -301,9 +352,9 @@ def _kernel_mixed(
         # (rare blocks) materializes them at its pl.when site
         db = bft_ref.shape[1]
         trips = (tmaxb_ref[pl.program_id(0)] + (tc - 1)) // tc
-    tposT = tposT_ref[:]
+    tposT = _deq_posT(tposT_ref[:])
     if ph_tc is None:
-        bposT = bposT_ref[:]
+        bposT = _deq_posT(bposT_ref[:])
         body_refs = None
     else:
         bposT = None  # phrase body sweeps read the refs chunk-wise
@@ -402,8 +453,9 @@ def pallas_mixed_scores_2sec(
     title_fwT: jax.Array,
     body_ftT: jax.Array,  # int32 [Tb, D]
     body_fwT: jax.Array,
-    title_posT: jax.Array,  # f32 [Ct*Tt, D] (c-major slot rows)
-    body_posT: jax.Array,  # f32 [Cb*Tb, D]
+    title_posT: jax.Array,  # f32|int16 [Ct*Tt, D] (c-major slot rows;
+    # int16 planes are quantize_posT encodings, dequantized per VMEM tile)
+    body_posT: jax.Array,  # f32|int16 [Cb*Tb, D]
     term_ids: jax.Array,  # int32 [B, Q]; B % b_block == 0
     qn: jax.Array,  # i32 [B] active keyword slots
     ph_ids: jax.Array,  # int32 [B, P] (sentinel pad)
@@ -578,6 +630,9 @@ def mixed_forward_scores(
     lax.map). -> (ts, tc, bs, bc) each [B, D], phrase folded in; counts add
     the phrase candidacy flag."""
     from ..scoring import forward_section_scores, mask_cold
+
+    title_posT = _deq_posT(title_posT)
+    body_posT = _deq_posT(body_posT)
 
     d = title_ft.shape[0]
     b = term_ids.shape[0]

@@ -180,6 +180,15 @@ def _shard_csr(
             )
             for s, (arr, c) in enumerate(shard_posT):
                 posT[s, : c * t_pad] = arr
+            # int16 planes, same policy as the single-chip DeviceIndex
+            # (exact per-tile dequant in the kernel — scores identical)
+            from ..retrieval.device_index import POS_T_INT16
+            from ..ops.kernels.mixed import quantize_posT
+
+            if POS_T_INT16:
+                q16 = quantize_posT(posT.reshape(n_shards * pos_c * t_pad, -1))
+                if q16 is not None:
+                    posT = q16.reshape(posT.shape)
 
     return dict(
         posT=posT,

@@ -102,6 +102,13 @@ POS_MAT_BUDGET_BYTES = 512 << 20
 POS_T_BUDGET_BYTES = 4 << 30
 POS_T_C_MAX = 32
 
+#: store posT planes as int16 when every real position fits (mixed.py
+#: quantize_posT): halves the kernel's dominant HBM stream and the plane's
+#: host+device footprint, dequantized per VMEM tile to the exact f32 values
+#: (scores bitwise-identical). Falls back to f32 per section when a
+#: pathological document has positions beyond POS16_MAX.
+POS_T_INT16 = True
+
 #: hot-term dense weight cache (body section): the H highest-df terms get
 #: their exact [D_pad] tf-idf rows stored dense in HBM, so a query's hot
 #: terms cost ONE f32 MXU matmul (one-hot [B,H] @ W [H,D]) instead of a
@@ -365,6 +372,12 @@ class DeviceSection:
             built = _build_posT(csr, fj, d_pad, POS_BIG)
             if built is not None:
                 posT_np, pos_c = built
+                if POS_T_INT16:
+                    from ..ops.kernels.mixed import quantize_posT
+
+                    q16 = quantize_posT(posT_np)
+                    if q16 is not None:
+                        posT_np = q16
                 posT = put(posT_np)
         doc_ids_np = csr.doc_ids if inv_full is None else inv_full[csr.doc_ids]
         return cls(

@@ -209,3 +209,44 @@ def test_build_posT_dedupes_and_windows():
     t = fj.shape[1]
     got = sorted(posT[0 * t, 0:1].tolist() + posT[1 * t, 0:1].tolist() + posT[2 * t, 0:1].tolist())
     assert got == [-100.0, 4.0, 9.0]
+
+
+def test_posT_int16_roundtrip_and_engine_equality():
+    """int16 posT planes (device_index.POS_T_INT16, mixed.quantize_posT)
+    must dequantize to the exact f32 planes — engine results identical
+    bit-for-bit, and out-of-range corpora must refuse quantization."""
+    from spaghettisearch_tpu.ops.kernels.mixed import (
+        POS16_PAD, POS_BIG, _deq_posT, quantize_posT,
+    )
+    from spaghettisearch_tpu.retrieval import device_index as di
+
+    # unit: roundtrip every value class through encode -> kernel dequant
+    plane = np.array(
+        [[-100.0, 0.0, 7.0, 31999.0, POS_BIG], [POS_BIG] * 5], np.float32
+    )
+    q16 = quantize_posT(plane)
+    assert q16 is not None and q16.dtype == np.int16
+    assert q16[0, 4] == POS16_PAD
+    back = np.asarray(_deq_posT(jnp.asarray(q16)))
+    np.testing.assert_array_equal(back, plane)
+    # refusal: a real position beyond POS16_MAX keeps the f32 plane
+    assert quantize_posT(np.array([[40000.0]], np.float32)) is None
+
+    # engine-level: identical results with quantization on vs off
+    db = _build_corpus(5)
+    assert di.POS_T_INT16, "int16 planes should be the default"
+    eng16 = QueryEngine(db)
+    assert eng16.index.body.posT.dtype == jnp.int16
+    old = di.POS_T_INT16
+    di.POS_T_INT16 = False
+    try:
+        eng32 = QueryEngine(db)
+    finally:
+        di.POS_T_INT16 = old
+    assert eng32.index.body.posT.dtype == jnp.float32
+    rng = random.Random(123)
+    parsed = [p for p in (parse_query(q) for q in _queries(rng, 24)) if not p.is_empty]
+    s16, i16 = eng16.rank(parsed)
+    s32, i32 = eng32.rank(parsed)
+    np.testing.assert_array_equal(np.asarray(s16), np.asarray(s32))
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
