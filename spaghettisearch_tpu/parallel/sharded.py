@@ -165,9 +165,12 @@ def _shard_csr(
             off_ext = np.full(post_width + 1, 0, np.int32)
             off_ext[: n_post_local + 1] = p["pos_offsets"]
             off_ext[n_post_local + 1 :] = p["pos_offsets"][-1]
+            from ..retrieval.device_index import POS_T_INT16 as _p16
+
             built = build_posT_raw(
                 off_ext, p["positions"], n_post_local, post_width,
                 fj[s], docs_per_shard, POS_BIG,
+                bytes_per_el=2 if _p16 else 4,
             )
             if built is None:
                 shard_posT = None
@@ -182,13 +185,19 @@ def _shard_csr(
                 posT[s, : c * t_pad] = arr
             # int16 planes, same policy as the single-chip DeviceIndex
             # (exact per-tile dequant in the kernel — scores identical)
-            from ..retrieval.device_index import POS_T_INT16
+            from ..retrieval.device_index import (
+                POS_T_BUDGET_BYTES, POS_T_INT16,
+            )
             from ..ops.kernels.mixed import quantize_posT
 
             if POS_T_INT16:
                 q16 = quantize_posT(posT.reshape(n_shards * pos_c * t_pad, -1))
                 if q16 is not None:
                     posT = q16.reshape(posT.shape)
+                elif pos_c * t_pad * docs_per_shard * 4 > POS_T_BUDGET_BYTES:
+                    # built under the 2-byte budget but unquantizable: the
+                    # f32 plane is over budget — drop to the sparse lane
+                    posT, pos_c = None, 0
 
     return dict(
         posT=posT,

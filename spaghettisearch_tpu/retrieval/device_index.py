@@ -93,12 +93,13 @@ class ForwardArrays(NamedTuple):
 POS_MAT_BUDGET_BYTES = 512 << 20
 
 #: doc-major positions (posT, the fused mixed kernel's stream layout) are
-#: built while C*T_pad*D_pad*4 bytes per section stays under this budget
-#: AND the per-posting unique-position count stays <= POS_T_C_MAX; the
-#: engine falls back to the sparse two-phase phrase lane when absent.
-#: 4 GiB keeps the mixed lane live at the 1M-doc single-chip tier (body
-#: posT there measures 3.1 GiB at C=7, T=120; whole-index footprint incl.
-#: [B, D] scoring transients ~10 GB on a 16 GB chip)
+#: built while the RESIDENT plane (C*T_pad*D_pad bytes at 2 B/el under
+#: POS_T_INT16, else 4) per section stays under this budget AND the
+#: per-posting unique-position count stays <= POS_T_C_MAX; the engine
+#: falls back to the sparse two-phase phrase lane when absent. 4 GiB kept
+#: the mixed lane live at the 1M-doc single-chip tier with f32 planes
+#: (body posT 3.58 GiB at C=8, T=120); int16 planes halve that, lifting
+#: the fused-lane ceiling to ~2M docs on a 16 GB chip
 POS_T_BUDGET_BYTES = 4 << 30
 POS_T_C_MAX = 32
 
@@ -158,13 +159,14 @@ def _build_hot_cache(
 
 
 def _build_posT(
-    csr: SectionCSR, fj: np.ndarray, d_pad: int, pos_big: float
+    csr: SectionCSR, fj: np.ndarray, d_pad: int, pos_big: float,
+    bytes_per_el: int = 4,
 ) -> tuple[np.ndarray, int] | None:
     """Doc-major positions for the fused phrase kernel (see build_posT_raw;
     this wrapper unpacks a SectionCSR)."""
     return build_posT_raw(
         csr.pos_offsets, csr.positions, csr.n_postings, csr.doc_ids.shape[0],
-        fj, d_pad, pos_big,
+        fj, d_pad, pos_big, bytes_per_el=bytes_per_el,
     )
 
 
@@ -176,6 +178,9 @@ def build_posT_raw(
     fj: np.ndarray,  # int32 [D, T] posting index per doc-term slot
     d_pad: int,
     pos_big: float,
+    bytes_per_el: int = 4,  # 2 when the caller will quantize to int16:
+    # the budget gates the RESIDENT plane, and int16 planes (POS_T_INT16)
+    # keep the fused mixed lane live at ~2x the doc count
 ) -> tuple[np.ndarray, int] | None:
     """Doc-major positions for the fused phrase kernel:
 
@@ -213,7 +218,7 @@ def build_posT_raw(
         # the -100 sentinel, so this skips the dedup gather pass
         # (measured the dominant cost of the 1M sharded index build)
         c = max(int(plen.max(initial=1)), 1)
-        if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
+        if c > POS_T_C_MAX or c * t * d_pad * bytes_per_el > POS_T_BUDGET_BYTES:
             return None
         pos_u = raw
         off_u = np.zeros(p_pad + 1, np.int64)
@@ -228,7 +233,7 @@ def build_posT_raw(
         np.cumsum(keep, out=ksum[1:])
         uniq = ksum[pos_off[1 : n_post + 1]] - ksum[pos_off[:n_post]]
         c = max(int(uniq.max(initial=1)), 1)
-        if c > POS_T_C_MAX or c * t * d_pad * 4 > POS_T_BUDGET_BYTES:
+        if c > POS_T_C_MAX or c * t * d_pad * bytes_per_el > POS_T_BUDGET_BYTES:
             return None
         # deduped offsets, extended over padded posting slots (empty ranges)
         off_u = np.zeros(p_pad + 1, np.int64)
@@ -369,7 +374,10 @@ class DeviceSection:
         if not truncated:  # truncated rows route to CSR anyway
             from ..ops.kernels.mixed import POS_BIG
 
-            built = _build_posT(csr, fj, d_pad, POS_BIG)
+            built = _build_posT(
+                csr, fj, d_pad, POS_BIG,
+                bytes_per_el=2 if POS_T_INT16 else 4,
+            )
             if built is not None:
                 posT_np, pos_c = built
                 if POS_T_INT16:
@@ -378,7 +386,12 @@ class DeviceSection:
                     q16 = quantize_posT(posT_np)
                     if q16 is not None:
                         posT_np = q16
-                posT = put(posT_np)
+                if (posT_np.dtype != np.int16
+                        and posT_np.nbytes > POS_T_BUDGET_BYTES):
+                    # quantization refused (pathological positions) and the
+                    # f32 plane only fit under the 2-byte budget: drop it
+                    posT_np, pos_c = None, 0
+                posT = put(posT_np) if posT_np is not None else None
         doc_ids_np = csr.doc_ids if inv_full is None else inv_full[csr.doc_ids]
         return cls(
             offsets=put(offsets.astype(np.int32)),
