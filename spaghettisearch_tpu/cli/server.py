@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--phrasePatienceMs", type=float, default=250.0,
                     help="max extra wait for a non-full phrase-class batch "
                          "while keyword work is pending")
+    ap.add_argument("--phrasePoolMin", type=int, default=0,
+                    help="merge the pooled phrase cohort into one mixed "
+                         "batch once this many phrases wait (0 = off; "
+                         "trades throughput for phrase latency — merged "
+                         "batches give up the leveled keyword program)")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
     ap.add_argument("--resultCache", type=int, default=0,
@@ -124,6 +129,7 @@ def main(argv: list[str] | None = None) -> None:
         engine, batching=not args.noBatching, result_cache=args.resultCache,
         max_batch=256 if args.bigBatch else 128, n_fetchers=args.fetchers,
         segregate=args.phraseSegregate, ph_patience_ms=args.phrasePatienceMs,
+        ph_pool_min=args.phrasePoolMin,
     ).serve(port=args.port)
 
 

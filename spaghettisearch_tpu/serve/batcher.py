@@ -106,6 +106,7 @@ class MicroBatcher:
         n_fetchers: int = 1,
         segregate: str = "auto",
         ph_patience_ms: float = 250.0,
+        ph_pool_min: int = 0,
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -133,6 +134,19 @@ class MicroBatcher:
             "on" if segregate else "off"
         )
         self.ph_patience_s = ph_patience_ms / 1e3
+        # phrase-cohort pool floor (0 = off): merge the cohort into one
+        # arrival-order batch as soon as this many phrases pooled, without
+        # waiting out the patience. This is a LATENCY-vs-QPS knob, not a
+        # free win — measured A/B at 1M (round 4): the patience-only
+        # policy served 1,786 qps with phrase-class p50 590 ms; pool=16
+        # (one cycle's phrase arrivals at 1/8 share) made EVERY slice a
+        # merge (283/289 batches mixed) and collapsed throughput to 1,131
+        # qps, because each merged batch surrenders the leveled keyword
+        # program (~13 ms/batch) and the per-8-row-block phrase sweep
+        # rides wherever the rows go. Merge FREQUENCY is the cost, and
+        # patience already bounds it; the floor stays for phrase-heavy
+        # deployments that want the opposite end of the trade.
+        self.ph_pool_min = max(0, int(ph_pool_min))
         self._n_ph = 0  # phrase-class entries in _queue; guarded by _cv
         # generous default: an unwarmed shape can compile for minutes on a
         # remote-TPU tunnel; the future resolves the moment the batch does
@@ -300,6 +314,10 @@ class MicroBatcher:
             return True  # no keyword work waiting: phrases go immediately
         if ph_n >= self.max_batch:
             return True  # a full phrase batch amortizes the program base
+        if self.ph_pool_min and ph_n >= self.ph_pool_min:
+            # pooled enough: merge NOW (operator opted into the
+            # phrase-latency end of the trade — see __init__ note)
+            return None
         oldest_ph = next(e[3] for e in self._queue if e[2])
         if now - oldest_ph >= self.ph_patience_s:
             # patience expired: the stale cohort rides along in ONE

@@ -66,6 +66,9 @@ class SearchServer:
         # on the leveled keyword program (see MicroBatcher)
         ph_patience_ms: float = 250.0,  # max extra wait for a non-full
         # phrase-class batch while keyword work is pending
+        ph_pool_min: int = 0,  # >0: merge the phrase cohort once this many
+        # pooled — a phrase-latency-vs-qps trade, off by default (the 1M
+        # A/B measured -37% qps at pool=16; see MicroBatcher)
         http_impl: str = "fast",  # "fast": raw keep-alive loop (~85x the
         # stdlib handler's request throughput, serve/fastloop.py);
         # "stdlib": ThreadingHTTPServer (kept for comparison/debug)
@@ -104,6 +107,7 @@ class SearchServer:
                 engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
                 lock=self._rank_lock, n_fetchers=n_fetchers,
                 segregate=segregate, ph_patience_ms=ph_patience_ms,
+                ph_pool_min=ph_pool_min,
             )
 
     # ------------------------------------------------------------------ #

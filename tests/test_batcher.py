@@ -108,6 +108,12 @@ def test_segregation_pick_policy():
     assert b._pick_class_locked(now) is None
     merged = b._slice_locked()
     assert len(merged) == 2 and b._n_ph == 0
+    # pool floor: once ph_pool_min phrases pooled the cohort merges NOW
+    # (device cost rides rows — waiting out patience only adds latency)
+    b.ph_pool_min = 2
+    b._queue, b._n_ph = [ph, ph, kw], 2
+    assert b._pick_class_locked(now) is None
+    b.ph_pool_min = 16
     # a FULL phrase batch dispatches even with keyword work pending
     b._queue, b._n_ph = [ph] * 4 + [kw], 4
     assert b._pick_class_locked(now) is True
