@@ -10,6 +10,15 @@ rank/refresh lock dance — not the indexer (the crawled-corpus soak.py
 covers that end).
 
 python experiments/soak_sharded.py [--seconds 180] [--docs 524288]
+
+--corpus1m (VERDICT r4 #8): soak against the REAL 1M bench corpus
+(.bench/corpus1000k) instead of the synthetic fixture — the store is
+COPIED to /tmp first so the append + /refresh never dirty the bench
+corpus (its BUILT marker and hydration sidecar must stay valid for
+bench.py), and the server reuses the bench snapshot + sidecar for
+startup. The /refresh then rebuilds the snapshot + 8-shard index from
+the appended store on the 1-core CPU mesh (~10-15 min) — the soak runs
+its query/wordlist load through the whole rebuild window.
 """
 
 from __future__ import annotations
@@ -148,6 +157,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_platforms", "cpu")
 sys.argv = ["server", "--db", {root!r}, "--port", "{port}",
             "--meshShards", "8", "--noWarmup"]
+if {snapshot!r}:
+    sys.argv += ["--snapshot", {snapshot!r}]
 # --noWarmup: the soak's 1-core CPU mesh compiles lazily (in-process jit
 # cache); the full warm walk at 512k docs costs tens of minutes of host
 # time and exists for the remote-TPU relay's compile/settle economics
@@ -159,6 +170,7 @@ main()
 def main() -> None:
     seconds = 180.0
     n_docs = 524_288
+    corpus1m = "--corpus1m" in sys.argv
     if "--seconds" in sys.argv:
         seconds = float(sys.argv[sys.argv.index("--seconds") + 1])
     if "--docs" in sys.argv:
@@ -168,7 +180,26 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # host-side build only
-    if not os.path.exists(os.path.join(ROOT, "BUILT")):
+    global ROOT
+    snapshot_dir = None
+    if corpus1m:
+        # real 1M crawl-built bench corpus: COPY the store (the append +
+        # refresh must never dirty .bench — BUILT marker + sidecar), reuse
+        # the bench snapshot + hydration sidecar read-only for startup
+        bench_root = os.path.join(repo, ".bench", "corpus1000k")
+        if not os.path.exists(os.path.join(bench_root, "BUILT.json")):
+            raise SystemExit("--corpus1m needs .bench/corpus1000k built")
+        ROOT = "/tmp/soak1m_store"
+        snapshot_dir = os.path.join(bench_root, "snapshot")
+        if not os.path.exists(os.path.join(ROOT, "BUILT")):
+            shutil.rmtree(ROOT, ignore_errors=True)
+            t0 = time.perf_counter()
+            shutil.copytree(os.path.join(bench_root, "store"), ROOT)
+            open(os.path.join(ROOT, "BUILT"), "w").write("1m-copy")
+            print(f"store copied in {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+        n_docs = 1_000_000
+    elif not os.path.exists(os.path.join(ROOT, "BUILT")):
         shutil.rmtree(ROOT, ignore_errors=True)
         build_synth_store(ROOT, n_docs)
         open(os.path.join(ROOT, "BUILT"), "w").write(str(n_docs))
@@ -177,7 +208,8 @@ def main() -> None:
     log = open("/tmp/soak_sharded_server.log", "wb")
     proc = subprocess.Popen(
         [sys.executable, "-c",
-         SERVER_SNIPPET.format(repo=repo, root=ROOT, port=PORT)],
+         SERVER_SNIPPET.format(repo=repo, root=ROOT, port=PORT,
+                               snapshot=snapshot_dir)],
         stdout=log, stderr=subprocess.STDOUT, cwd=repo,
     )
     lat: list[float] = []
@@ -200,6 +232,12 @@ def main() -> None:
         terms = ["w00001", "w00040 w00100", "w00002 w01000 w12345",
                  '"w00003 w00007"', "w19999", "nonexistentzz",
                  '"w00005" w00050']
+        if corpus1m:
+            # bench vocab drops the Zipf head (<w00040 have df 0): keep a
+            # couple of zero-hit probes, put real weight on live terms
+            terms = ["w00040", "w00100 w00055", '"w00041 w00077"',
+                     "w12345 w00300", "w19999", "nonexistentzz",
+                     '"w00050" w00060', "w00042 w00043 w00044 w00045"]
 
         def qworker(i: int) -> None:
             import random as _r
