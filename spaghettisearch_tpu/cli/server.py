@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> None:
                          "batch once this many phrases wait (0 = off; "
                          "trades throughput for phrase latency — merged "
                          "batches give up the leveled keyword program)")
+    ap.add_argument("--resultTimeoutS", type=float, default=300.0,
+                    help="per-request batcher future timeout; raise when "
+                         "serving --noWarmup on a slow mesh where a cold "
+                         "lazy compile can hold a batch for >5 min")
     ap.add_argument("--noWarmup", action="store_true",
                     help="skip pre-compiling the query programs at startup")
     ap.add_argument("--resultCache", type=int, default=0,
@@ -129,7 +133,7 @@ def main(argv: list[str] | None = None) -> None:
         engine, batching=not args.noBatching, result_cache=args.resultCache,
         max_batch=256 if args.bigBatch else 128, n_fetchers=args.fetchers,
         segregate=args.phraseSegregate, ph_patience_ms=args.phrasePatienceMs,
-        ph_pool_min=args.phrasePoolMin,
+        ph_pool_min=args.phrasePoolMin, result_timeout_s=args.resultTimeoutS,
     ).serve(port=args.port)
 
 
