@@ -275,6 +275,40 @@ def main() -> None:
                     errors.append(f"wordlist: {type(e).__name__}: {e}")
                 stop.wait(5.0)
 
+        # sequential shape-warm pass BEFORE concurrent load: with --noWarmup
+        # the first query of each program shape compiles lazily, and on the
+        # oversubscribed 1-core mesh a multi-minute compile starves any
+        # collective already executing past XLA's CPU rendezvous watchdog
+        # (~40 s), which FATALLY aborts the process (measured round 4:
+        # "Termination timeout for all gather" -> check-failure). One query
+        # at a time compiles with nothing else in flight; the /query_batch
+        # pass warms the combined (keyword+phrase) batch shapes the
+        # concurrent phase will form.
+        for q in terms:
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{PORT}/query",
+                    data=json.dumps({"query": q}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=1800) as resp:
+                    json.load(resp)
+                print(f"warm {q!r} ok", flush=True)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"warm {q!r}: {type(e).__name__}: {e}")
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{PORT}/query_batch",
+                data=json.dumps({"queries": terms}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=1800) as resp:
+                json.load(resp)
+            print("warm batch ok", flush=True)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"warm batch: {type(e).__name__}: {e}")
+        print("shape-warm pass done", flush=True)
+
         threads = [threading.Thread(target=qworker, args=(i,)) for i in range(6)]
         threads.append(threading.Thread(target=wworker))
         for t in threads:
