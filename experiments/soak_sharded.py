@@ -309,24 +309,36 @@ def main() -> None:
             errors.append(f"warm batch: {type(e).__name__}: {e}")
         print("shape-warm pass done", flush=True)
 
+        base = n_docs
+        if corpus1m:
+            # append BEFORE the load starts: opening the 14 GB store copy
+            # in a subprocess while the query load splits the single core
+            # blew a 900 s timeout (run 4). The discipline under test is
+            # the REFRESH under load, not the append under load — the
+            # append runs uncontended, then /refresh fires mid-load below.
+            code = APPEND_SNIPPET.format(repo=repo, root=ROOT,
+                                         count=2000, start=base)
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", code], capture_output=True,
+                    text=True, timeout=3600, cwd=repo,
+                )
+                if out.returncode != 0:
+                    errors.append("append failed: " + out.stderr[-500:])
+                else:
+                    base += 2000
+                    print("append done (pre-load)", flush=True)
+            except subprocess.TimeoutExpired:
+                errors.append("append timed out")
+
         threads = [threading.Thread(target=qworker, args=(i,)) for i in range(6)]
         threads.append(threading.Thread(target=wworker))
         for t in threads:
             t.start()
 
         t_end = time.monotonic() + seconds
-        base = n_docs
-        while time.monotonic() < t_end:
-            code = APPEND_SNIPPET.format(repo=repo, root=ROOT,
-                                         count=2000, start=base)
-            out = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True, text=True,
-                timeout=900, cwd=repo,
-            )
-            if out.returncode != 0:
-                errors.append("append failed: " + out.stderr[-500:])
-                break
-            base += 2000
+
+        def one_refresh() -> bool:
             try:
                 req = urllib.request.Request(
                     f"http://127.0.0.1:{PORT}/refresh", data=b"{}",
@@ -339,9 +351,35 @@ def main() -> None:
                 print(f"refresh #{counts['refreshes']}: docs={r['docs']} "
                       f"lock={r['lock_seconds']}s queries={counts['queries']}",
                       flush=True)
+                return True
             except Exception as e:  # noqa: BLE001
                 errors.append(f"refresh: {type(e).__name__}: {e}")
-                break
+                return False
+
+        if corpus1m:
+            # one refresh-under-load over the appended store; the query
+            # threads hammer the server through the whole rebuild window
+            one_refresh()
+            while time.monotonic() < t_end:
+                time.sleep(1.0)
+        else:
+            while time.monotonic() < t_end:
+                code = APPEND_SNIPPET.format(repo=repo, root=ROOT,
+                                             count=2000, start=base)
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-c", code], capture_output=True,
+                        text=True, timeout=900, cwd=repo,
+                    )
+                except subprocess.TimeoutExpired:
+                    errors.append("append timed out")
+                    break
+                if out.returncode != 0:
+                    errors.append("append failed: " + out.stderr[-500:])
+                    break
+                base += 2000
+                if not one_refresh():
+                    break
 
         stop.set()
         for t in threads:
