@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None) -> None:
                          "batch once this many phrases wait (0 = off; "
                          "trades throughput for phrase latency — merged "
                          "batches give up the leveled keyword program)")
+    ap.add_argument("--phraseStale", choices=("merge", "pure"),
+                    default="merge",
+                    help="patience-expired phrase cohort policy: merge "
+                         "into the next arrival-order batch (default) or "
+                         "dispatch standalone as a small pure-phrase batch "
+                         "(adds one mixed (32,4) program; a latency-vs-qps "
+                         "trade — see FINDINGS round 5)")
     ap.add_argument("--resultTimeoutS", type=float, default=300.0,
                     help="per-request batcher future timeout; raise when "
                          "serving --noWarmup on a slow mesh where a cold "
@@ -109,6 +116,8 @@ def main(argv: list[str] | None = None) -> None:
             args.bigBatch = False
     elif args.bigBatch:
         kwargs["big_batch"] = True
+    if args.phraseStale == "pure" and "n_shards" not in kwargs:
+        kwargs["phrase_b32"] = True  # warm the (32, Q_BASE) mixed program
     engine = cls(
         db, snapshot=snapshot, use_topic_model=args.topicModel,
         topic_model_fixed=args.topicModel and not args.topicQuirk,
@@ -133,7 +142,8 @@ def main(argv: list[str] | None = None) -> None:
         engine, batching=not args.noBatching, result_cache=args.resultCache,
         max_batch=256 if args.bigBatch else 128, n_fetchers=args.fetchers,
         segregate=args.phraseSegregate, ph_patience_ms=args.phrasePatienceMs,
-        ph_pool_min=args.phrasePoolMin, result_timeout_s=args.resultTimeoutS,
+        ph_pool_min=args.phrasePoolMin, ph_stale=args.phraseStale,
+        result_timeout_s=args.resultTimeoutS,
     ).serve(port=args.port)
 
 

@@ -357,9 +357,10 @@ class ShardedIndex:
         # shard sorts its OWN docs; the projected sweep win uses the global
         # nt distribution, which every contiguous shard approximates)
         if doc_sort is None:
-            doc_sort = n_shards * dl >= DOC_SORT_MIN_DOCS and _doc_sort_pays(
-                body_nt
-            )
+            # gate on the PER-SHARD padded count: each shard runs its own
+            # sweep, and below the measured tier (device_index.py) the
+            # dynamic-T machinery loses even if the global corpus is large
+            doc_sort = dl >= DOC_SORT_MIN_DOCS and _doc_sort_pays(body_nt)
         doc_sort = doc_sort and not truncatable and snap.n_docs > 0
         perm_all = inv_all = body_tmax_np = None
         t_multiple = 8

@@ -117,6 +117,13 @@ B_BIG = 256  # opt-in wide bucket (engine.big_batch / server --bigBatch):
 # when the serving wall is a per-execution relay overhead rather than the
 # kernel itself, amortizing it over 256 rows beats any block tune; costs 2
 # extra mixed-family programs' warmup settle, so it is OFF by default
+B_PHRASE = 32  # opt-in mixed bucket for stale pure-phrase cohorts
+# (engine.phrase_b32 / server --phraseStale pure): a patience-expired
+# phrase cohort dispatches standalone at (32, Q_BASE) instead of merging
+# into the next 128-row arrival-order batch. NOTE the mixed program has a
+# ~50 ms row-count-independent posT-streaming floor at 1M (FINDINGS
+# session 7), so this trades throughput for phrase latency — measured A/B
+# in experiments/FINDINGS.md round 5; OFF by default
 _MATCH_FETCH_K = 256  # matcher fetch compression width (top-K real matches)
 MATCHER_BP = (1, 4, 16)  # phrase-matcher vmap widths (chunked above 16)
 Q_BASE = 4
@@ -252,6 +259,10 @@ class QueryEngine:
     # the flag there). The catch-all (q > Q_BASE) program moves to
     # (B_BIG, Q_CATCHALL) so exactly one catch-all exists per family.
     big_batch: bool = False
+    # opt-in B_PHRASE=32 mixed bucket for pure-phrase fused-lane batches
+    # (the micro-batcher's ph_stale="pure" policy emits them at patience
+    # expiry); adds exactly one mixed (32, Q_BASE) program to the warmed set
+    phrase_b32: bool = False
     # doc-sorted device layout (DeviceIndex doc_sort / _doc_sort_perm);
     # None = auto (on at the >=256k-padded-doc tier)
     doc_sort: bool | None = None
@@ -411,6 +422,16 @@ class QueryEngine:
         # arbitrary coalesced sizes, and every distinct b would otherwise
         # compile its own XLA program
         b = _b_bucket(b_real)
+        if (
+            self.phrase_b32
+            and fused
+            and B_SMALL < b_real <= B_PHRASE
+            and all(p.phrase_hashes for p in parsed)
+        ):
+            # opt-in stale-cohort shape: a pure-phrase batch of 17..32 rows
+            # rides its own (B_PHRASE, Q_BASE) mixed program instead of a
+            # 128-row pad (see B_PHRASE note; warmed in warmup())
+            b = B_PHRASE
         q_real = max((len(p.keyword_hashes) for p in parsed), default=1)
         if q_real <= Q_BASE:
             q = Q_BASE
@@ -887,6 +908,9 @@ class QueryEngine:
             # not a compile shape
             for b in buckets:
                 jobs.append(_partial(self.rank, [ph] * b, MAX_RESULTS))
+            if self.phrase_b32:
+                # the opt-in stale-cohort (B_PHRASE, Q_BASE) mixed program
+                jobs.append(_partial(self.rank, [ph] * B_PHRASE, MAX_RESULTS))
             jobs.append(_partial(self.rank, [ph_n(2, kws=Q_BASE + 1)], MAX_RESULTS))
         else:
             # legacy two-phase lane: matcher bp buckets + fold programs
@@ -1228,8 +1252,11 @@ class QueryEngine:
             if gen is not None:
                 text = texts.get(doc_hash)
                 if text is not None:
-                    gen.set_doc(doc_id, frag.encode(), text.encode())
-                    spent += len(text)
+                    tb = text.encode()
+                    gen.set_doc(doc_id, frag.encode(), tb)
+                    # charge BYTES, same unit as _prewarm_streaming, so the
+                    # budget cuts off at the same doc on non-ASCII corpora
+                    spent += len(tb)
         self._save_hyd_sidecar(snap, cache, texts, texts_walked)
         return len(cache)
 

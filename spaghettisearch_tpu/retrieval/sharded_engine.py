@@ -159,12 +159,19 @@ class ShardedQueryEngine(QueryEngine):
             ghost.db = db
             ghost._live = (snapshot, facts)
             ghost.snapshot, ghost.index = snapshot, facts
-            # the warm walk exists for the remote-TPU relay (fresh-compile
-            # + per-program settle costs); on the CPU mesh the geometry-
-            # keyed scorer cache + in-process jit cache already cover a
-            # same-geometry swap, and re-EXECUTING every program at
-            # half-million-doc scale costs minutes of the 1-core host
-            if jax.default_backend() != "cpu":
+            # warm policy: on the TPU relay always (fresh-compile +
+            # per-program settle costs); on the CPU mesh only when the
+            # padded geometry CHANGED — a same-geometry swap is fully
+            # covered by the geometry-keyed scorer cache + jit cache, and
+            # re-executing every program at half-million-doc scale costs
+            # minutes of a 1-core host. A changed geometry MUST warm even
+            # on CPU: a lazy shard_map compile under live load starves
+            # in-flight collectives past XLA's ~40 s rendezvous watchdog
+            # and aborts the process (round-4 soak, commit d8ac86c).
+            geometry_changed = scorer_meta(facts.sidx) != scorer_meta(
+                self._live[1].sidx
+            )
+            if jax.default_backend() != "cpu" or geometry_changed:
                 ghost.warmup()
             ghost.prewarm_hydration()
             ghost.prewarm_wordlist()

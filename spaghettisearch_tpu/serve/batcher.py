@@ -107,6 +107,7 @@ class MicroBatcher:
         segregate: str = "auto",
         ph_patience_ms: float = 250.0,
         ph_pool_min: int = 0,
+        ph_stale: str = "merge",
     ) -> None:
         self.engine = engine
         self.max_batch = max_batch
@@ -147,6 +148,13 @@ class MicroBatcher:
         # patience already bounds it; the floor stays for phrase-heavy
         # deployments that want the opposite end of the trade.
         self.ph_pool_min = max(0, int(ph_pool_min))
+        # stale-cohort policy at patience expiry: "merge" (default) rides
+        # the cohort in one arrival-order batch; "pure" cuts it as its own
+        # under-filled pure-phrase batch (pair with engine.phrase_b32 so a
+        # 17..32-row cohort gets the small (32, Q_BASE) mixed program).
+        # Merge won the round-4 A/B on throughput; pure trades qps for
+        # phrase-class latency — measured A/B in FINDINGS round 5.
+        self.ph_stale = ph_stale
         self._n_ph = 0  # phrase-class entries in _queue; guarded by _cv
         # generous default: an unwarmed shape can compile for minutes on a
         # remote-TPU tunnel; the future resolves the moment the batch does
@@ -320,14 +328,16 @@ class MicroBatcher:
             return None
         oldest_ph = next(e[3] for e in self._queue if e[2])
         if now - oldest_ph >= self.ph_patience_s:
-            # patience expired: the stale cohort rides along in ONE
-            # arrival-order (mixed) batch. Never cut an under-filled pure
-            # phrase batch — phrase cost is ~linear per ROW (~2.9 ms at
-            # 1M) on top of a ~57 ms per-batch base, so a partial phrase
-            # batch pays the base for few rows and LOSES to merging
-            # (segregate_probe: at ~1.2k qps a full 128-phrase batch
-            # takes ~850 ms to accumulate — patience always fires first)
-            return None
+            # patience expired. Default ("merge"): the stale cohort rides
+            # along in ONE arrival-order (mixed) batch. Never cut an
+            # under-filled pure phrase batch — phrase cost is ~linear per
+            # ROW (~2.9 ms at 1M) on top of a ~57 ms per-batch base, so a
+            # partial phrase batch pays the base for few rows and LOSES to
+            # merging (segregate_probe: at ~1.2k qps a full 128-phrase
+            # batch takes ~850 ms to accumulate — patience always fires
+            # first). "pure" dispatches the cohort standalone instead —
+            # the latency end of the trade (see __init__ note).
+            return True if self.ph_stale == "pure" else None
         return False
 
     def _slice_locked(self) -> list:

@@ -69,6 +69,9 @@ class SearchServer:
         ph_pool_min: int = 0,  # >0: merge the phrase cohort once this many
         # pooled — a phrase-latency-vs-qps trade, off by default (the 1M
         # A/B measured -37% qps at pool=16; see MicroBatcher)
+        ph_stale: str = "merge",  # patience-expired cohort policy:
+        # "merge" (default) or "pure" (standalone small phrase batch;
+        # pair with engine.phrase_b32 — see MicroBatcher)
         result_timeout_s: float = 300.0,  # per-request future timeout; a
         # cold LAZY-compiled program family (--noWarmup on a CPU mesh) can
         # legitimately hold a batch for >10 min — raise it there
@@ -110,7 +113,8 @@ class SearchServer:
                 engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
                 lock=self._rank_lock, n_fetchers=n_fetchers,
                 segregate=segregate, ph_patience_ms=ph_patience_ms,
-                ph_pool_min=ph_pool_min, result_timeout_s=result_timeout_s,
+                ph_pool_min=ph_pool_min, ph_stale=ph_stale,
+                result_timeout_s=result_timeout_s,
             )
 
     # ------------------------------------------------------------------ #

@@ -307,6 +307,20 @@ class _DocsPack:
         if self._w is None:
             os.makedirs(os.path.dirname(self.pack_path), exist_ok=True)
             self._w = open(self.pack_path, "ab")
+            # offsets come from this handle's tell(): a second writer
+            # process would silently interleave and corrupt the offset
+            # index, so the append handle is exclusive per pack
+            try:
+                import fcntl
+
+                fcntl.flock(self._w.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                self._w.close()
+                self._w = None
+                raise RuntimeError(
+                    f"docs pack {self.pack_path} is already open for append "
+                    "by another process (single-writer log)"
+                ) from None
             self._iw = open(self.idx_path, "a", encoding="utf-8")
         off = self._w.tell()
         self._w.write(raw)
@@ -520,6 +534,7 @@ class Database:
     def flush_bulk(self) -> None:
         for t in self.tables.values():
             t.flush_bulk()
+        _BulkSession.checkpoint()
 
     def start_gc(self, interval_s: float = 7200.0) -> None:
         """Background compaction daemon (the analogue of the reference's
@@ -589,3 +604,20 @@ class _BulkSession:
         if cls._depth == 0 and cls._was_enabled:
             gc.unfreeze()
             gc.enable()
+
+    @classmethod
+    def checkpoint(cls) -> None:
+        """Free cyclic garbage accumulated while collection is paused.
+
+        Handled exceptions during a crawl (fetch/parse errors) pin
+        frame/traceback cycles that refcounting cannot free, so a long
+        bulk session would otherwise grow without bound. Collect-then-
+        freeze at each flush_bulk epoch: the collect only scans objects
+        allocated since the previous checkpoint (everything older —
+        including the bulk cache itself — is frozen), so the pause tracks
+        the epoch's allocations, not the whole heap."""
+        import gc
+
+        if cls._depth > 0 and cls._was_enabled:
+            gc.collect()
+            gc.freeze()

@@ -167,3 +167,51 @@ def test_batcher_propagates_errors(engine):
         assert batcher.query("algorithm") is not None
     finally:
         batcher.shutdown()
+
+
+def test_stale_cohort_pure_policy():
+    """ph_stale='pure': a patience-expired phrase cohort dispatches as its
+    own pure batch instead of merging (the latency end of the trade)."""
+    b = MicroBatcher(object(), max_batch=4, segregate="on",
+                     ph_patience_ms=50, ph_stale="pure")
+    b.shutdown()
+    now = time.monotonic()
+    kw = ("a", None, False, now)
+    stale = ("p", None, True, now - 1.0)
+    b._queue, b._n_ph = [stale, kw, ("p2", None, True, now - 1.0)], 2
+    assert b._pick_class_locked(now) is True
+    batch = b._slice_locked()
+    assert [e[0] for e in batch] == ["p", "p2"] and b._n_ph == 0
+    assert [e[0] for e in b._queue] == ["a"]
+
+
+def test_phrase_b32_bucket_matches_default(engine):
+    """engine.phrase_b32: a 17..32-row pure-phrase fused batch rides the
+    (B_PHRASE, Q_BASE) program and matches the default-bucket results."""
+    import dataclasses
+
+    from spaghettisearch_tpu.retrieval.engine import parse_query
+
+    if not (getattr(engine.model, "supports_mixed", None)
+            and engine.model.supports_mixed(engine.index)):
+        pytest.skip("fused mixed lane inactive on this fixture")
+    eng32 = dataclasses.replace(engine, phrase_b32=True)
+    queries = [
+        '"quantum physics"', '"database ranking"', '"algorithm database"',
+        '"poetry novel"', '"galaxy planet"',
+    ] * 4  # 20 rows: B_SMALL < n <= B_PHRASE
+    parsed = [parse_query(q) for q in queries]
+    assert all(p.phrase_hashes for p in parsed)
+    s_want, i_want = engine.rank(parsed)
+    s_got, i_got = eng32.rank(parsed)
+    import numpy as np
+
+    assert np.array_equal(i_want, i_got)
+    assert np.allclose(s_want, s_got, rtol=1e-6, equal_nan=True)
+    # a mixed-composition 20-row batch must NOT take the phrase bucket
+    # (only pure-phrase cohorts ride it) — results again identical
+    mixed_q = parsed[:10] + [parse_query("algorithm database")] * 10
+    s2w, i2w = engine.rank(mixed_q)
+    s2g, i2g = eng32.rank(mixed_q)
+    assert np.array_equal(i2w, i2g)
+    assert np.allclose(s2w, s2g, rtol=1e-6, equal_nan=True)

@@ -538,3 +538,78 @@ def test_sharded_engine_doc_sorted_end_to_end(db, monkeypatch):
         assert [r["Url"] for r in g] == [r["Url"] for r in w], q
         for rw, rg in zip(w, g):
             assert rg["FinalRank"] == pytest.approx(rw["FinalRank"], rel=1e-5), q
+
+
+def test_sharded_refresh_warm_covers_all_live_shapes(db):
+    """VERDICT r4 #5: after a geometry-changing refresh, the FIRST query of
+    every program family the batcher can dispatch must hit a warmed program.
+    A lazy shard_map compile under live mesh load starves in-flight
+    collectives past XLA's ~40 s rendezvous watchdog and fatally aborts the
+    server (round-4 1M soak, commit d8ac86c) — so prepare_refresh(warm=True)
+    must walk the full shape set even on the CPU mesh when geometry changed."""
+    import logging
+    from datetime import datetime, timezone
+
+    from corpus import VOCAB
+    from spaghettisearch_tpu.index.indexer import index_page
+    from spaghettisearch_tpu.ops.pagerank import update_pagerank
+    from spaghettisearch_tpu.ops.weighting import update_term_weights
+    from spaghettisearch_tpu.retrieval.sharded_engine import ShardedQueryEngine
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    fresh_db = build_corpus_db(n_pages=24, seed=11)
+    eng = ShardedQueryEngine(fresh_db, n_shards=2)
+    eng.warmup()
+
+    # grow the vocab + per-doc distinct-term count past the padded geometry
+    body = " ".join(f"zfreshterm{i}" for i in range(64))
+    html = (
+        "<html><head><title>fresh geometry page</title></head>"
+        f"<body><p>{body}</p></body></html>"
+    ).encode()
+    index_page(fresh_db, html, "http://test.local/fresh",
+               last_modified=datetime(2026, 2, 1, tzinfo=timezone.utc))
+    update_pagerank(fresh_db)
+    update_term_weights(fresh_db, "title")
+    update_term_weights(fresh_db, "body")
+
+    jax.config.update("jax_log_compiles", True)
+    records: list[logging.LogRecord] = []
+
+    class _Cap(logging.Handler):
+        def emit(self, r):  # noqa: D102
+            records.append(r)
+
+    cap = _Cap(level=logging.WARNING)
+    logging.getLogger("jax").addHandler(cap)
+    try:
+        state = eng.prepare_refresh(warm=True)
+        warmed = [r for r in records if "Compiling " in r.getMessage()]
+        # sensitivity: the changed geometry must force fresh compiles during
+        # the off-lock warm (this also proves the capture hook works)
+        assert warmed, "geometry change did not recompile — test is blind"
+        old = eng.commit_refresh(state)
+        if old is not None:
+            old.close()
+        records.clear()
+
+        # the batcher's reachable dispatch surface: trickle + both batch
+        # buckets, mixed composition, pure-phrase, rare-grammar catch-alls
+        kw = "algorithm database"
+        ph = '"algorithm database"'
+        rare_kw = " ".join(VOCAB[:12])
+        rare_ph = '"' + " ".join(VOCAB[:12]) + '" ' + rare_kw
+        eng.query_batch([kw])
+        eng.query_batch([ph, kw, kw])
+        eng.query_batch([kw] * 16)
+        eng.query_batch([ph] * 16)
+        eng.query_batch([ph, kw] * 30)
+        eng.query_batch([kw] * 128)
+        eng.query_batch(([ph] * 3 + [kw] * 5) * 16)
+        eng.query_batch([rare_kw, rare_ph, kw, ph])
+        lazy = [r.getMessage() for r in records if "Compiling " in r.getMessage()]
+        assert not lazy, f"post-refresh lazy compiles: {lazy[:4]}"
+    finally:
+        logging.getLogger("jax").removeHandler(cap)
+        jax.config.update("jax_log_compiles", False)
