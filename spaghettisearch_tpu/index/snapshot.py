@@ -387,3 +387,76 @@ def build_snapshot(db: Database) -> IndexSnapshot:
         categories=categories,
         pagerank=pagerank,
     )
+
+
+def _slice_section(csr: SectionCSR, n_keep: int) -> SectionCSR:
+    """Restrict a section's CSR to doc ids < n_keep (postings stay sorted by
+    doc within each word row, so filtering preserves the layout contract)."""
+    n_post = csr.n_postings
+    n_words = len(csr.post_offsets) - 1
+    doc = csr.doc_ids[:n_post]
+    keep = doc < n_keep
+    word_of = np.repeat(
+        np.arange(n_words, dtype=np.int64),
+        np.diff(csr.post_offsets.astype(np.int64)),
+    )
+    counts = np.bincount(word_of[keep], minlength=n_words)
+    post_offsets = np.zeros(n_words + 1, np.int64)
+    np.cumsum(counts, out=post_offsets[1:])
+    new_npost = int(post_offsets[-1])
+
+    p_pad = _pad_to(new_npost)
+    doc_ids = np.full(p_pad, n_keep, dtype=np.int32)
+    weights = np.zeros(p_pad, dtype=np.float32)
+    doc_ids[:new_npost] = doc[keep]
+    weights[:new_npost] = csr.weights[:n_post][keep]
+
+    pos_cnt = np.diff(csr.pos_offsets[: n_post + 1].astype(np.int64))
+    kept_cnt = pos_cnt[keep]
+    pos_offsets = np.zeros(new_npost + 1, np.int64)
+    np.cumsum(kept_cnt, out=pos_offsets[1:])
+    total = int(pos_offsets[-1])
+    l_pad = _pad_to(total)
+    positions = np.full(l_pad, np.inf, dtype=np.float32)
+    if total:
+        starts = csr.pos_offsets[:n_post][keep].astype(np.int64)
+        idx = np.repeat(starts - pos_offsets[:-1], kept_cnt) + np.arange(total)
+        positions[:total] = csr.positions[idx]
+    pos_offsets = np.concatenate(
+        [pos_offsets, np.full(p_pad - new_npost, total, dtype=np.int64)]
+    ).astype(np.int32)
+
+    return SectionCSR(
+        post_offsets=post_offsets.astype(np.int32),
+        doc_ids=doc_ids,
+        weights=weights,
+        pos_offsets=pos_offsets,
+        positions=positions,
+        n_postings=new_npost,
+        max_df=int(counts.max(initial=0)),
+        max_positions=int(kept_cnt.max(initial=0)),
+    )
+
+
+def slice_snapshot(snap: IndexSnapshot, n_keep: int) -> IndexSnapshot:
+    """The first n_keep docs of a snapshot as a standalone snapshot —
+    exactly the doc range shard 0 of a contiguous doc-sharded mesh serves
+    (parallel/sharded.py ShardedIndex.from_snapshot), with the GLOBAL term
+    weights baked into the postings kept as-is. Built for shard-scale
+    device measurements on a single chip (experiments/shard_scale_probe.py)
+    and shard-local tooling; per-doc scores equal the full snapshot's."""
+    n_keep = min(n_keep, snap.n_docs)
+    kept_hashes = snap.doc_hashes[:n_keep]
+    return IndexSnapshot(
+        doc_hashes=kept_hashes,
+        word_hashes=snap.word_hashes,
+        doc_id={h: i for i, h in enumerate(kept_hashes)},
+        word_id=snap.word_id,
+        title=_slice_section(snap.title, n_keep),
+        body=_slice_section(snap.body, n_keep),
+        mag_title=snap.mag_title[:n_keep],
+        mag_body=snap.mag_body[:n_keep],
+        categories=snap.categories,
+        pagerank=None if snap.pagerank is None else snap.pagerank[:n_keep],
+        source_dir=None,
+    )

@@ -1,6 +1,7 @@
 """Snapshot save/load roundtrip + micro-bench smoke + GC daemon."""
 
 import numpy as np
+import pytest
 
 from corpus import build_corpus_db
 from spaghettisearch_tpu.index.persist import load_snapshot, save_snapshot
@@ -69,3 +70,33 @@ def test_save_snapshot_overwrite_is_atomic(tmp_path):
     again = load_snapshot(path)
     assert again.n_docs == first.n_docs == snapshot.n_docs
     assert not [d for d in os.listdir(tmp_path) if ".tmp-" in d or ".old-" in d]
+
+
+def test_slice_snapshot_scores_match_full():
+    """slice_snapshot (shard-0 doc range): per-doc scores on the sliced
+    snapshot equal the full engine's scores restricted to the kept docs —
+    the property the shard-scale device measurements rest on."""
+    from spaghettisearch_tpu.index.snapshot import slice_snapshot
+    from spaghettisearch_tpu.retrieval.engine import parse_query
+
+    db = build_corpus_db(n_pages=30, seed=4)
+    full = QueryEngine(db)
+    n_keep = 20
+    part = QueryEngine(db, snapshot=slice_snapshot(full.snapshot, n_keep))
+    assert part.snapshot.n_docs == n_keep
+    assert part.index.n_docs == n_keep
+    queries = ["algorithm database", "quantum physics galaxy",
+               '"gradient neural"', 'ranking "matrix tensor" cluster',
+               "poetry"]
+    parsed = [parse_query(q) for q in queries]
+    fs, fi = full.rank(parsed, topk=30)
+    ps, pi = part.rank(parsed, topk=30)
+    for r in range(len(parsed)):
+        want = {int(d): float(s) for s, d in zip(fs[r], fi[r])
+                if np.isfinite(s) and int(d) < n_keep}
+        got = {int(d): float(s) for s, d in zip(ps[r], pi[r])
+              if np.isfinite(s)}
+        assert set(got) == set(want), queries[r]
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, rel=1e-5), (queries[r], d)
+
