@@ -98,6 +98,25 @@ class _ShardedLive:
         self.scorers = scorers  # topk -> run(sidx, ...) fn
 
 
+def _index_sig(sidx: ShardedIndex) -> tuple:
+    """The full jit cache key a compiled sharded scorer sees: scorer_meta
+    PLUS every index array's (shape, dtype) — the arrays are call-time jit
+    arguments, so padded-shape drift (vocab growth, a posting-pad boundary
+    crossed by appends) recompiles even at equal scorer_meta. Drives the
+    CPU-mesh refresh-warm gate in prepare_refresh."""
+    from ..parallel.sharded import index_args
+
+    arrs = index_args(
+        sidx,
+        mixed=bool(sidx.pos_dense),
+        hot=sidx.hot_body_w is not None,
+        doc_sorted=sidx.doc_perm is not None,
+    )
+    return (scorer_meta(sidx),) + tuple(
+        (tuple(a.shape), str(a.dtype)) for a in arrs
+    )
+
+
 @dataclass
 class ShardedQueryEngine(QueryEngine):
     n_shards: int = 1
@@ -161,14 +180,18 @@ class ShardedQueryEngine(QueryEngine):
             ghost.snapshot, ghost.index = snapshot, facts
             # warm policy: on the TPU relay always (fresh-compile +
             # per-program settle costs); on the CPU mesh only when the
-            # padded geometry CHANGED — a same-geometry swap is fully
+            # jit-relevant signature CHANGED — a same-shape swap is fully
             # covered by the geometry-keyed scorer cache + jit cache, and
             # re-executing every program at half-million-doc scale costs
-            # minutes of a 1-core host. A changed geometry MUST warm even
+            # minutes of a 1-core host. A changed signature MUST warm even
             # on CPU: a lazy shard_map compile under live load starves
             # in-flight collectives past XLA's ~40 s rendezvous watchdog
             # and aborts the process (round-4 soak, commit d8ac86c).
-            geometry_changed = scorer_meta(facts.sidx) != scorer_meta(
+            # NOTE scorer_meta alone is NOT the compile key — the index
+            # arrays are jit ARGUMENTS, so any padded-shape drift (vocab
+            # growth, a posting pad boundary) recompiles too; compare the
+            # full array signature.
+            geometry_changed = _index_sig(facts.sidx) != _index_sig(
                 self._live[1].sidx
             )
             if jax.default_backend() != "cpu" or geometry_changed:
