@@ -789,15 +789,22 @@ def bench_residency(n_pages: int = 2_000_000) -> dict:
     batches = [parsed[i : i + 128] for i in range(0, 512, 128)]
 
     def pipelined(bs, reps=3):
-        hs = [eng.rank_async(b) for b in bs]
-        for h in hs:
-            h.finish()
+        # depth-2 dispatch window: each in-flight execution holds ~[B, D]
+        # f32 temporaries (1+ GiB at 2M docs) — a deep queue OOMs the chip
+        def window(seq):
+            prev = None
+            for b in seq:
+                h = eng.rank_async(b)
+                if prev is not None:
+                    prev.finish()
+                prev = h
+            prev.finish()
+
+        window(bs)  # compile + settle
         best = float("inf")
         for _ in range(reps):
             t0 = _time.perf_counter()
-            hs = [eng.rank_async(b) for b in bs * 3]
-            for h in hs:
-                h.finish()
+            window(bs * 3)
             best = min(best, (_time.perf_counter() - t0) / (len(bs) * 3))
         return best * 1e3
 

@@ -344,7 +344,14 @@ def main() -> None:
                     f"http://127.0.0.1:{PORT}/refresh", data=b"{}",
                     headers={"Content-Type": "application/json"},
                 )
-                with urllib.request.urlopen(req, timeout=2500) as resp:
+                # corpus1m: /refresh now pays the full shape-warm walk
+                # UPFRONT (off-lock) when the jit signature changed —
+                # sharded_engine.prepare_refresh, round 5 — instead of
+                # leaking lazy compiles into the query path; on the 1-core
+                # virtual mesh that walk is tens of minutes of compiles
+                with urllib.request.urlopen(
+                    req, timeout=9000 if corpus1m else 2500
+                ) as resp:
                     r = json.load(resp)
                     assert r.get("ok"), r
                 counts["refreshes"] += 1

@@ -124,6 +124,13 @@ POS_T_INT16 = True
 #: win (2 GB HBM at 1M docs, ~2.5 ms/batch read vs ~30 ms sweep saved).
 HOT_W_BUDGET_BYTES = 2 << 30
 HOT_H_MAX = 512
+#: Above this padded doc count the hot cache is skipped outright: at 2M
+#: docs the resident index (forward sweeps both orientations + CSR +
+#: int16 posT planes ≈ 12.3 GiB) plus one [B, D] f32 execution's
+#: temporaries already brushes the 16 GB chip — adding a 2 GiB hot matrix
+#: OOMed the first mixed batch (round-5 scale2m, measured). The cold
+#: sweep is the price of top-tier residency; the mesh is the scale path.
+HOT_MAX_DPAD = 1_400_000
 
 
 def _build_hot_cache(
@@ -141,6 +148,11 @@ def _build_hot_cache(
     n_words = csr.post_offsets.shape[0] - 1
     df = np.diff(csr.post_offsets[: n_words + 1])
     h = min(HOT_H_MAX, int(HOT_W_BUDGET_BYTES // max(d_pad * 4, 1)), n_words)
+    if h >= 128:
+        # keep the PADDED array inside the budget: h_pad rounds up to the
+        # 128-row MXU tile, which at 2M docs would otherwise overshoot the
+        # budget by ~50% (384 rows = 3.07 GiB against a 2 GiB budget)
+        h = (h // 128) * 128
     if h < 8:
         return None
     top = np.argsort(-df, kind="stable")[:h]
@@ -505,7 +517,7 @@ class DeviceIndex:
             t_multiple=t_multiple,
         )
         hot_w = hot_map = None
-        if not (
+        if d_pad <= HOT_MAX_DPAD and not (
             title.has_zero_weight
             or body.has_zero_weight
             or title.dense_truncated
