@@ -131,6 +131,10 @@ HOT_H_MAX = 512
 #: OOMed the first mixed batch (round-5 scale2m, measured). The cold
 #: sweep is the price of top-tier residency; the mesh is the scale path.
 HOT_MAX_DPAD = 1_400_000
+#: Above this padded doc count the doc-major forward copies (ft/fw/fj)
+#: stay host-side and upgrade lazily (see DeviceSection.fwd_device) —
+#: the fused Pallas lane never reads them.
+FWD_DEV_MAX_DPAD = 1_400_000
 
 
 def _build_hot_cache(
@@ -312,6 +316,25 @@ class DeviceSection:
     # input of the dynamic-T membership sweep); only set for the body
     # section under the doc-sorted layout
     tmax_blocks: jax.Array | None = None
+    # placement target for lazy uploads (fwd_device)
+    device: object | None = None
+
+    def fwd_device(self) -> "ForwardArrays":
+        """The forward arrays with ft/fw/fj ON DEVICE. Above
+        FWD_DEV_MAX_DPAD those stay host-side at build (the fused lane
+        never reads them; ~3 GiB of HBM at 2M docs) — the sparse phrase
+        matcher upgrades them here, once, and the result is memoized.
+        Concurrent upgraders both produce valid arrays; the attribute
+        store is atomic."""
+        f = self.fwd
+        if not isinstance(f.ft, np.ndarray):
+            return f
+        put = lambda x: jax.device_put(x, self.device)  # noqa: E731
+        f = ForwardArrays(
+            ft=put(f.ft), fw=put(f.fw), fj=put(f.fj), ftT=f.ftT, fwT=f.fwT
+        )
+        self.fwd = f
+        return f
 
     @classmethod
     def from_csr(
@@ -374,13 +397,6 @@ class DeviceSection:
                 [fj, np.full((d_pad, t_col_pad), csr.doc_ids.shape[0] - 1, np.int32)],
                 axis=1,
             )
-        fwd = ForwardArrays(
-            ft=put(ft),
-            fw=put(fw),
-            fj=put(fj),
-            ftT=put(np.ascontiguousarray(ft.T)),
-            fwT=put(np.ascontiguousarray(fw.T)),
-        )
         posT = None
         pos_c = 0
         if not truncated:  # truncated rows route to CSR anyway
@@ -404,6 +420,21 @@ class DeviceSection:
                     # f32 plane only fit under the 2-byte budget: drop it
                     posT_np, pos_c = None, 0
                 posT = put(posT_np) if posT_np is not None else None
+        # doc-major ft/fw/fj feed only the sparse phrase matcher and the
+        # XLA-twin formulation; the live Pallas lane reads ftT/fwT (+posT).
+        # Above FWD_DEV_MAX_DPAD they stay HOST-side (three [D, T] copies
+        # are ~3 GiB of HBM at 2M docs — the difference between the fused
+        # lane fitting the chip and OOMing, round-5 scale2m) and upgrade
+        # lazily via fwd_device() if a sparse-lane path ever runs. When
+        # posT is absent the sparse lane IS the serving path: upload.
+        fwd_eager = d_pad <= FWD_DEV_MAX_DPAD or posT is None or truncated
+        fwd = ForwardArrays(
+            ft=put(ft) if fwd_eager else ft,
+            fw=put(fw) if fwd_eager else fw,
+            fj=put(fj) if fwd_eager else fj,
+            ftT=put(np.ascontiguousarray(ft.T)),
+            fwT=put(np.ascontiguousarray(fw.T)),
+        )
         doc_ids_np = csr.doc_ids if inv_full is None else inv_full[csr.doc_ids]
         return cls(
             offsets=put(offsets.astype(np.int32)),
@@ -420,6 +451,7 @@ class DeviceSection:
             tmax_blocks=(
                 None if tmax_blocks is None else put(tmax_blocks.astype(np.int32))
             ),
+            device=device,
         )
 
     # convenience aliases used by the XLA formulation and tests

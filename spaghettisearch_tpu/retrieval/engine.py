@@ -782,10 +782,12 @@ class QueryEngine:
             ids[: len(rows)] = ids_all[rows]
             valid[: len(rows)] = valid_all[rows]
             gens[: len(rows)] = gens_all[rows]
+            t_fwd = idx.title.fwd_device()  # lazy ft/fj upload >1.4M docs
+            b_fwd = idx.body.fwd_device()
             res = match_phrase_fwd_batch(
-                idx.title.fwd.ft, idx.title.fwd.fj, t_w,
+                t_fwd.ft, t_fwd.fj, t_w,
                 idx.title.pos_offsets, idx.title.positions,
-                idx.body.fwd.ft, idx.body.fwd.fj, b_w,
+                b_fwd.ft, b_fwd.fj, b_w,
                 idx.body.pos_offsets, idx.body.positions,
                 idx.title.offsets, idx.title.doc_ids,
                 idx.body.offsets, idx.body.doc_ids,
@@ -949,10 +951,12 @@ class QueryEngine:
                     n_docs=idx.n_docs,
                 )
                 return
+            t_fwd = idx.title.fwd_device()  # lazy ft/fj upload >1.4M docs
+            b_fwd = idx.body.fwd_device()
             match_phrase_fwd_batch(
-                idx.title.fwd.ft, idx.title.fwd.fj, t_w,
+                t_fwd.ft, t_fwd.fj, t_w,
                 idx.title.pos_offsets, idx.title.positions,
-                idx.body.fwd.ft, idx.body.fwd.fj, b_w,
+                b_fwd.ft, b_fwd.fj, b_w,
                 idx.body.pos_offsets, idx.body.positions,
                 idx.title.offsets, idx.title.doc_ids,
                 idx.body.offsets, idx.body.doc_ids,

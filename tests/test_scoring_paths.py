@@ -235,3 +235,35 @@ def test_engine_rank_order_independent_of_term_count_sort(engine):
         assert [r["Url"] for r in got] == [r["Url"] for r in want]
         for g, w in zip(got, want):
             assert g["FinalRank"] == pytest.approx(w["FinalRank"])
+
+
+def test_lazy_fwd_host_resident_matches_eager(monkeypatch):
+    """Above FWD_DEV_MAX_DPAD the doc-major ft/fw/fj stay host-side (the
+    fused lane never reads them; ~3 GiB of HBM at 2M docs) and the sparse
+    phrase matcher upgrades them lazily via fwd_device() — results must be
+    identical either way, on both the fused lane and the sparse lane."""
+    from spaghettisearch_tpu.models.bm25 import BM25Ranker
+    from spaghettisearch_tpu.retrieval import device_index as di
+
+    db = build_corpus_db(n_pages=25, seed=9)
+    eager = QueryEngine(db)
+    monkeypatch.setattr(di, "FWD_DEV_MAX_DPAD", 0)
+    lazy = QueryEngine(db)
+    assert isinstance(lazy.index.body.fwd.ft, np.ndarray), "fwd not host-side"
+    queries = ["algorithm database", '"quantum physics"',
+               'ranking "matrix tensor" cluster', "poetry"]
+    for q, w, g in zip(queries, eager.query_batch(queries),
+                       lazy.query_batch(queries)):
+        assert [r["Url"] for r in g] == [r["Url"] for r in w], q
+
+    # sparse lane (BM25 has no fused mixed path): the phrase matcher must
+    # trigger the lazy upgrade and match the eager engine result-for-result
+    eb = QueryEngine(db, model=BM25Ranker())
+    lb = QueryEngine(db, model=BM25Ranker())
+    assert isinstance(lb.index.body.fwd.ft, np.ndarray)
+    for q in queries:
+        w, g = eb.query(q), lb.query(q)
+        assert [r["Url"] for r in g] == [r["Url"] for r in w], q
+    assert not isinstance(lb.index.body.fwd.ft, np.ndarray), (
+        "sparse matcher did not upgrade fwd to device"
+    )
