@@ -592,7 +592,11 @@ def bench_serve(
 
         for i, q in enumerate(queries):
             if route_mix and i % 16 == 14:
-                pre = "abcdefghijklmnopqrstuvwxyz"[i // 16 % 26]
+                # prefixes mined from the QUERY workload so they hit the
+                # real vocabulary (the synthetic corpora's words don't
+                # start with arbitrary letters)
+                pre = (queries[(i * 7) % len(queries)].split()[0].strip('\"')
+                       or "a")[0]
                 payloads.append(
                     f"GET /wordlist/{pre} HTTP/1.1\r\nHost: b\r\n\r\n".encode()
                 )
@@ -653,7 +657,15 @@ def bench_serve(
                             return True
                         hdr = self.buf[:he].lower()
                         cl = hdr.find(b"content-length:")
-                        self.need = he + 4 + int(hdr[cl + 15 : hdr.find(b"\r", cl)])
+                        # CL is fastloop's LAST header: there is no \r
+                        # after it inside hdr, and find() == -1 as a slice
+                        # stop silently chops the final digit (framing then
+                        # only resyncs on the NEXT header block; a single-
+                        # digit CL crashed outright — round-5 routes bench)
+                        end = hdr.find(b"\r", cl)
+                        if end < 0:
+                            end = len(hdr)
+                        self.need = he + 4 + int(hdr[cl + 15 : end])
                     if len(self.buf) < self.need:
                         return True
                     self.buf = self.buf[self.need:]
